@@ -1,0 +1,38 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[N]``; the config block is written for a real
+multi-executor cluster: AQE handles skew/coalescing at runtime, Arrow makes
+the few Pandas-UDF paths cheap, and shuffle partitions are sized for the
+test scale (override ``spark.sql.shuffle.partitions`` upward on a cluster —
+rule of thumb: 2-3× total cores, or rely on AQE coalescing from a high
+initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "etl-pipeline-spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+        # ones, switch sort-merge→broadcast when a side turns out small.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        # Arrow for the (rare) Pandas-UDF paths and toPandas previews.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The flatten operator emits 5k+ column selects; keep codegen from
+        # giving up silently and cache more generated classes.
+        .config("spark.sql.codegen.cache.maxEntries", "200")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,188 @@
+"""Differential tests: our Spark flatten vs the reference algorithm run in
+place as the oracle (FIXTURES.md §A). ``bug_compat=True`` must match the
+reference byte-for-byte including its data-loss quirks Q1/Q2."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten
+
+GOLDEN = "/root/reference/ElasticSearch_Document.json"
+
+
+def spark_flatten_dicts(spark, docs, **kw):
+    """Flatten a list of plain-dict documents through Spark; returns
+    (columns, rows-as-list-of-dicts)."""
+    sc = spark.sparkContext
+    rdd = sc.parallelize([json.dumps(d) for d in docs], max(1, min(len(docs), 4)))
+    df = spark.read.json(rdd)
+    out = flatten(df, **kw)
+    return out.columns, [r.asDict() for r in out.collect()]
+
+
+def reference_flatten_dicts(reference_etl, docs, max_depth=20):
+    envelope = {"hits": {"hits": [{"_source": d} for d in docs]}}
+    pdf = reference_etl.json_to_tsv_in_memory(envelope, max_depth=max_depth)
+    return list(pdf.columns), pdf.to_dict(orient="records")
+
+
+def assert_matches_reference(spark, reference_etl, docs, max_depth=20):
+    ref_cols, ref_rows = reference_flatten_dicts(reference_etl, docs, max_depth)
+    cols, rows = spark_flatten_dicts(spark, docs, max_depth=max_depth, bug_compat=True)
+    assert cols == ref_cols
+    assert len(rows) == len(ref_rows)
+    # Row order: Spark preserves input order within this single-stage plan;
+    # compare as multisets keyed by full row content to stay robust.
+    key = lambda r: tuple(sorted((k, str(v)) for k, v in r.items()))
+    assert sorted(map(key, rows)) == sorted(map(key, ref_rows))
+
+
+# ---------------------------------------------------------------------------
+# FIXTURES.md §A4 micro-fixtures
+# ---------------------------------------------------------------------------
+
+
+def test_claim_mini(spark, reference_etl):
+    doc = {
+        "claimRequestId": 123,
+        "lines": [{"lineNumber": 1, "charge": 100.0}, {"lineNumber": 2, "charge": 200.0}],
+    }
+    ref_cols, ref_rows = reference_flatten_dicts(reference_etl, [doc])
+    assert ref_cols == [
+        "ClaimRequestId",
+        "Lines_0_Charge",
+        "Lines_0_LineNumber",
+        "Lines_1_Charge",
+        "Lines_1_LineNumber",
+    ]
+    assert_matches_reference(spark, reference_etl, [doc])
+
+
+def test_digit_map_key_quirk_q1(spark, reference_etl):
+    doc = {"valueCodes": {"45": [2250.0], "A2": [1000.0]}, "id": 1}
+    assert_matches_reference(spark, reference_etl, [doc])
+    cols, rows = spark_flatten_dicts(spark, [doc], bug_compat=True)
+    row = rows[0]
+    assert row["ValueCodes_45"] == ""  # Q1: digit key lost by the parser
+    assert row["ValueCodes_A2"] == "[1000.0]"
+
+
+def test_snake_key_quirk_q2(spark, reference_etl):
+    doc = {"my_field": 5, "ok": "v"}
+    assert_matches_reference(spark, reference_etl, [doc])
+    cols, rows = spark_flatten_dicts(spark, [doc], bug_compat=True)
+    assert rows[0]["My_field"] == ""  # Q2: underscore key lost by the parser
+
+
+def test_no_bug_compat_keeps_data(spark):
+    doc = {"valueCodes": {"45": [2250.0]}, "my_field": 5}
+    cols, rows = spark_flatten_dicts(spark, [doc], bug_compat=False)
+    assert rows[0]["ValueCodes_45"] == "[2250.0]"
+    assert rows[0]["My_field"] == "5"
+
+
+def test_empty_list(spark, reference_etl):
+    assert_matches_reference(spark, reference_etl, [{"edits": [], "id": 1}])
+
+
+def test_prim_list_spacing(spark, reference_etl):
+    docs = [{"codes": ["S9290", "M4833"], "vals": [1.5, 2.25, None], "id": 1}]
+    assert_matches_reference(spark, reference_etl, docs)
+    _, rows = spark_flatten_dicts(spark, docs, bug_compat=True)
+    assert rows[0]["Codes"] == '["S9290", "M4833"]'  # json.dumps ', ' spacing
+
+
+@pytest.mark.xfail(
+    reason="known deviation: Spark JSON inference unifies mixed int/float "
+    "arrays to array<double>, so 2 renders as '2.0' where the reference "
+    "keeps the int token",
+    strict=True,
+)
+def test_mixed_numeric_array_known_deviation(spark, reference_etl):
+    assert_matches_reference(spark, reference_etl, [{"vals": [1.5, 2], "id": 1}])
+
+
+def test_nulls(spark, reference_etl):
+    assert_matches_reference(spark, reference_etl, [{"x": None, "y": {"z": None}, "id": 1}])
+
+
+def test_bools(spark, reference_etl):
+    docs = [{"f": True, "g": False, "id": 1}, {"f": False, "id": 2}]
+    assert_matches_reference(spark, reference_etl, docs)
+    _, rows = spark_flatten_dicts(spark, docs, bug_compat=True)
+    by_id = {r["Id"]: r for r in rows}
+    assert by_id["1"]["F"] == "True" and by_id["1"]["G"] == "False"
+    assert by_id["2"]["G"] == ""  # missing field → ''
+
+
+def test_depth_cap(spark, reference_etl):
+    doc = {"l1": {"l2": {"l3": {"l4": {"v": 42}}}}}
+    assert_matches_reference(spark, reference_etl, [doc], max_depth=2)
+    _, rows = spark_flatten_dicts(spark, [doc], max_depth=2, bug_compat=True)
+    assert rows[0]["L1_L2_L3"] == '{"l4": {"v": 42}}'
+
+
+def test_multi_doc_union(spark, reference_etl):
+    docs = [
+        {"a": 1, "nested": {"x": "q"}},
+        {"a": 2, "b": "z", "arr": [{"q": 1}, {"q": 2}]},
+    ]
+    assert_matches_reference(spark, reference_etl, docs)
+
+
+def test_big_array_lexicographic_order(spark, reference_etl):
+    doc = {"arr": [{"v": i} for i in range(12)]}
+    ref_cols, _ = reference_flatten_dicts(reference_etl, [doc])
+    assert ref_cols[:4] == ["Arr_0_V", "Arr_10_V", "Arr_11_V", "Arr_1_V"]
+    assert_matches_reference(spark, reference_etl, [doc])
+
+
+def test_pascal_key_variants(spark, reference_etl):
+    docs = [{"LengthOfStay": 1, "UPPER": "u", "mixedCase": 2.5}]
+    assert_matches_reference(spark, reference_etl, docs)
+
+
+def test_empty_array_in_one_doc_bare_column(spark, reference_etl):
+    # Reference's empty-list branch: bare column exists and serializes the
+    # full array for docs where the array is non-empty.
+    docs = [{"lines": [], "id": 1}, {"lines": [{"q": 7}], "id": 2}]
+    assert_matches_reference(spark, reference_etl, docs)
+
+
+def test_array_of_arrays(spark, reference_etl):
+    assert_matches_reference(spark, reference_etl, [{"m": [[1, 2], [3]], "id": 1}])
+
+
+def test_ragged_nested_arrays(spark, reference_etl):
+    # Per-index nested array lengths must be data-driven per outer index.
+    docs = [
+        {"lines": [{"msgs": [{"e": 1}, {"e": 2}]}, {"msgs": [{"e": 3}]}]},
+        {"lines": [{"msgs": []}]},
+    ]
+    assert_matches_reference(spark, reference_etl, docs)
+
+
+# ---------------------------------------------------------------------------
+# Golden document (FIXTURES.md §A2/§A3): 1 row × 5,028 columns
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_golden_document_parity(spark, reference_etl):
+    with open(GOLDEN) as f:
+        data = json.load(f)
+    ref_pdf = reference_etl.json_to_tsv_in_memory(data)
+    assert ref_pdf.shape == (1, 5028)
+
+    df = spark.read.option("multiLine", True).json(GOLDEN)
+    out = flatten(df, bug_compat=True)
+    assert out.columns == list(ref_pdf.columns)
+    row = out.collect()[0].asDict()
+    ref_row = ref_pdf.iloc[0].to_dict()
+    mismatches = {
+        c: (row[c], ref_row[c]) for c in ref_pdf.columns if str(row[c]) != str(ref_row[c])
+    }
+    assert not mismatches, f"{len(mismatches)} mismatched cells, e.g. {list(mismatches.items())[:10]}"
