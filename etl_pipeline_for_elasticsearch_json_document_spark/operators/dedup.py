@@ -1,0 +1,247 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Every variant is expressed with built-in DataFrame ops (shuffle-conscious,
+no Python in the hot path):
+
+- exact:       hash-groupBy on a 16-byte fingerprint (not on full text)
+- MinHash+LSH: per-doc K-wide signature → banded bucket keys → bucket
+               equi-join on candidates only (never all-pairs)
+- SimHash:     per-doc bit-majority hash → hamming-distance candidate pairs
+- Jaccard:     token-postings inverted-index join (pairs share ≥1 token)
+- embedding:   cosine near-dup within a blocking key
+
+Scale notes: MinHash/SimHash/LSH are the 100 TB paths — their joins are
+equi-joins on short keys whose fan-out is controlled by band/bit-prefix
+width. The Jaccard all-pairs-sharing-a-token join is quadratic in posting
+list length and is only for modest corpora / as a verification oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.text import fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one row per distinct
+    fingerprint with the keeper id (min) and the duplicate count. The
+    groupBy key is the 16-byte md5, so the shuffle moves hashes, not text."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per fingerprint group."""
+    w = F.row_number().over(
+        Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    )
+    return df.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# Word-set postings (shared by Jaccard / MinHash)
+# ---------------------------------------------------------------------------
+
+
+def _distinct_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram / word-set Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6
+) -> DataFrame:
+    """Exact word-set Jaccard similarity for all pairs sharing ≥1 token.
+
+    Inverted-index join: postings self-joined on the token, intersection
+    counted per pair, sizes joined back. Columns: a_id, b_id, jaccard.
+    """
+    words = _distinct_words(df, id_col, text_col).cache()
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+#
+# Hash family: h_j(w) = md5(j || w) compared as a hex *string*; the per-doc
+# signature component is the lexicographic min. String-min of a uniform hash
+# is exactly a min-hash, and (unlike integer mixing) is bit-identical across
+# engines — the whole pipeline stays SQL-expressible for oracle checking.
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16
+) -> DataFrame:
+    words = _distinct_words(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(j)), F.col("w")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from banded LSH, scored by estimated Jaccard
+    (= fraction of matching signature components). Columns: a_id, b_id,
+    est_jaccard.
+
+    The only join is an equi-join on band keys — candidates, never
+    all-pairs. rows_per_band = num_hashes / bands controls the
+    candidate-recall/precision trade-off (s-curve threshold ≈
+    (1/bands)^(1/rows_per_band)).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes).cache()
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a_id"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)])
+    sb = sig.select(F.col("doc_id").alias("b_id"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)])
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("est_jaccard", F.round(matches / F.lit(float(num_hashes)), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a_id", "b_id", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+#
+# 16-bit simhash over word md5s: bit i of the doc hash is the majority vote
+# of bit i across its words' hashes. Near-dup candidates = pairs with
+# hamming distance ≤ k (bit_count(xor) — cross-join here; at scale, block on
+# bit-prefix chunks: two sigs within distance k share an identical chunk
+# when split into k+1 chunks).
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc simhash as BIGINT column ``sh`` (lowest ``bits`` bits)."""
+    assert bits <= 16  # 4 hex chars of md5; extend by slicing more below
+    words = _distinct_words(df, id_col, text_col)
+    # word hash bits from the first 4 hex chars of md5(w)
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long")
+    wb = words.select("doc_id", *[((F.shiftright(h, i) % 2) * 2 - 1).alias(f"s{i}") for i in range(bits)])
+    votes = wb.groupBy("doc_id").agg(*[F.sum(f"s{i}").alias(f"v{i}") for i in range(bits)])
+    sh = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0)) for i in range(bits)
+    )
+    return votes.select("doc_id", sh.cast("long").alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming. Columns: a_id, b_id, hamming."""
+    sh = simhash(df, id_col, text_col, bits).cache()
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine within a blocking key)
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in double
+    precision JVM-side (zip_with + aggregate — no UDF)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vector pairs within a blocking key (equi-join on the
+    block, cosine filter). Columns: a_id, b_id, cos. At scale the block is
+    an LSH bucket / coarse quantizer cell instead of a label."""
+    a = df.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    )
+    b = df.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )

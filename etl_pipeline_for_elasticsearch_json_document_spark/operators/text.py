@@ -1,0 +1,92 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen-friendly) — no Python UDFs. Each operator takes a
+DataFrame with a text column and returns per-document metrics; at 100 TB
+these are embarrassingly parallel map-only transforms (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space split, matching the synthetic
+    corpus; swap the pattern for real data)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column, stopwords=DEFAULT_STOPWORDS) -> Column:
+    ws = tokens(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(ws, lambda x: F.array_contains(sw, x))) / F.size(ws)
+
+
+def avg_token_length(text: Column) -> Column:
+    ws = tokens(text)
+    total = F.aggregate(ws, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
+    return total / F.size(ws)
+
+
+def quality_score(text: Column, stopwords=DEFAULT_STOPWORDS) -> Column:
+    """Toy composite quality score: rewards mid-length docs with a healthy
+    stopword ratio — the *shape* of a production quality scorer (per-doc
+    arithmetic over token stats; codegen-able, shuffle-free)."""
+    n = token_count(text)
+    sw = stopword_ratio(text, stopwords)
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    sw_term = F.lit(1.0) - F.abs(sw - F.lit(0.1))
+    return F.round(len_term * sw_term, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the case/whitespace
+    normalized text. Exact-dup detection at scale = one hash + groupBy on a
+    16-byte key instead of comparing full documents."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def bigrams(text: Column) -> Column:
+    """Word bigrams via zip_with over offset slices (no explode needed until
+    the caller counts them)."""
+    ws = tokens(text)
+    n = F.size(ws)
+    return F.zip_with(
+        F.slice(ws, 1, n - 1), F.slice(ws, 2, n - 1), lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Character n-gram shingles (for MinHash / language-ID features)."""
+    t = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.substring(t, i, n),
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language ID over character classes / frequent-word hits.
+
+    A real implementation scores char-n-gram profiles per language; the
+    synthetic corpus has no language signal, so this demonstrates the
+    operator shape (pure-expression scoring, no shuffle) with a tiny
+    frequent-word profile table inlined as a CASE cascade.
+    """
+    t = F.lower(text)
+    return (
+        F.when(t.rlike(r"\b(der|die|das|und|ist)\b"), "de")
+        .when(t.rlike(r"\b(le|la|les|et|est)\b"), "fr")
+        .when(t.rlike(r"\b(el|los|las|es|y)\b"), "es")
+        .when(t.rlike(r"[一-鿿]"), "zh")
+        .otherwise("en")
+    )

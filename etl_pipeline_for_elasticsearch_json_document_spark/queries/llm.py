@@ -1,0 +1,400 @@
+"""LLM training-data pipeline queries (the BASELINE.json north star):
+dedup (exact / MinHash-LSH / SimHash / Jaccard / embedding), similarity
+search, text analysis, multimodal columns, plus the flatten operator bound
+to the events table.
+
+MinHash and SimHash are built on engine-portable hashing (md5 string
+min / md5 hex bits) specifically so the *entire* pipeline — including LSH
+banding — has an exact DuckDB oracle. See operators/dedup.py for the scale
+discussion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators import dedup, similarity, text
+from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten
+from etl_pipeline_for_elasticsearch_json_document_spark.queries.registry import query
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_dedup_exact",
+    oracle="""
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM documents GROUP BY fp
+""",
+    doc="Exact dedup groups via normalized-md5 fingerprint groupBy.",
+)
+def q30(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q31_jaccard_pairs",
+    oracle="""
+WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(i / (sa.n + sb.n - i), 6) >= 0.6
+""",
+    doc="Exact word-set Jaccard pairs via inverted-index join.",
+)
+def q31(spark, sf_dir):
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.6)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mins = ",\n  ".join(
+        f"min(md5('{j}' || w)) AS mh{j}" for j in range(num_hashes)
+    )
+    band_exprs = ",\n   ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + "))"
+        for b in range(bands)
+    )
+    matches = " + ".join(f"(sa.mh{j} = sb.mh{j})::INT" for j in range(num_hashes))
+    return f"""
+WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sig AS (SELECT doc_id,
+  {mins}
+  FROM words GROUP BY doc_id),
+banded AS (SELECT doc_id, unnest(list_value(
+   {band_exprs})) AS bucket FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT a_id, b_id,
+       round(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = a_id
+JOIN sig sb ON sb.doc_id = b_id
+WHERE round(({matches}) / {float(num_hashes)}, 6) >= {threshold}
+"""
+
+
+@query(
+    "q32_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash(16)+LSH(4 bands) near-dup candidates with estimated "
+    "Jaccard — engine-portable md5-string min-hash family.",
+)
+def q32(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+def _simhash_oracle(bits: int = 16, max_hamming: int = 3) -> str:
+    hexv = "strpos('0123456789abcdef', substring(md5(w), {p}, 1)) - 1"
+    h = " + ".join(f"({hexv.format(p=p + 1)}) * {16 ** (3 - p)}" for p in range(4))
+    votes = ",\n  ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(bits)
+    )
+    sh = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wh AS (SELECT doc_id, ({h})::BIGINT AS h FROM words),
+votes AS (SELECT doc_id,
+  {votes}
+  FROM wh GROUP BY doc_id),
+sh AS (SELECT doc_id, ({sh})::BIGINT AS sh FROM votes)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+@query(
+    "q33_simhash_pairs",
+    oracle=_simhash_oracle(),
+    doc="16-bit SimHash near-dup pairs at hamming ≤ 3.",
+)
+def q33(spark, sf_dir):
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=16, max_hamming=3
+    )
+
+
+@query(
+    "q34_embedding_neardup",
+    oracle="""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+""",
+    doc="Embedding near-dup pairs: cosine ≥ 0.95 within label blocks.",
+)
+def q34(spark, sf_dir):
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", threshold=0.95
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_knn_bruteforce",
+    oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""",
+    doc="Exact cosine top-5 neighbors for 10 query vectors (broadcast "
+    "queries, one scoring pass, Window top-k).",
+)
+def q40(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "q41_knn_lsh",
+    oracle=None,  # approximate by construction → rows-only driver check;
+    # recall vs brute force asserted in tests/test_similarity.py
+    doc="ANN top-5 via random-hyperplane LSH (4 tables × 6 planes): "
+    "bucket equi-join instead of full scan.",
+)
+def q41(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_lsh(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q50_token_stats",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       max(len(string_split(text, ' '))) AS max_tokens,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY lang
+""",
+    doc="Token counting rolled up by language.",
+)
+def q50(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nt = text.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(nt), 4).alias("avg_tokens"),
+        F.max(nt).alias("max_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q51_quality_metrics",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+             / len(string_split(text, ' ')), 4) AS avg_token_len,
+       round(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is')))
+             / len(string_split(text, ' ')), 4) AS stopword_ratio
+FROM documents WHERE doc_id < 100
+""",
+    doc="Per-document quality metrics: token count, mean token length, "
+    "stopword ratio — pure expressions, no shuffle.",
+)
+def q51(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.round(text.avg_token_length(F.col("text")), 4).alias("avg_token_len"),
+        F.round(text.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "q52_lang_facet",
+    oracle="""
+SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+FROM documents GROUP BY lang, source
+""",
+    doc="Language × source facet counts.",
+)
+def q52(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+    )
+
+
+@query(
+    "q53_fingerprint_groups",
+    oracle="""
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       count(*) AS n, min(doc_id) AS first_doc
+FROM documents GROUP BY fp HAVING count(*) >= 1
+""",
+    doc="Document fingerprint (normalized md5) groups.",
+)
+def q53(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(text.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n") >= 1)
+    )
+
+
+@query(
+    "q54_bigram_counts",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM w)
+SELECT bg, count(*) AS n FROM b GROUP BY bg HAVING count(*) >= 20
+""",
+    doc="Corpus-wide word-bigram counts (zip_with sliding window, "
+    "explode only at the count).",
+)
+def q54(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(text.bigrams(F.col("text"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+@query(
+    "q55_language_id",
+    oracle="""
+SELECT CASE
+         WHEN regexp_matches(lower(text), '\\b(der|die|das|und|ist)\\b') THEN 'de'
+         WHEN regexp_matches(lower(text), '\\b(le|la|les|et|est)\\b') THEN 'fr'
+         WHEN regexp_matches(lower(text), '\\b(el|los|las|es|y)\\b') THEN 'es'
+         ELSE 'en'
+       END AS pred_lang,
+       count(*) AS n
+FROM documents GROUP BY pred_lang
+""",
+    doc="Heuristic language-ID facet (frequent-word profiles as regex).",
+)
+def q55(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    pred = (
+        F.when(t.rlike(r"\b(der|die|das|und|ist)\b"), "de")
+        .when(t.rlike(r"\b(le|la|les|et|est)\b"), "fr")
+        .when(t.rlike(r"\b(el|los|las|es|y)\b"), "es")
+        .otherwise("en")
+    )
+    return d.groupBy(pred.alias("pred_lang")).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q60_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_hash
+FROM documents WHERE doc_id < 100
+""",
+    doc="Opaque binary payload + typed metadata (the multimodal column "
+    "pattern: binary blob, metadata computed engine-side).",
+)
+def q60(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+    )
+
+
+@query(
+    "q61_multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       16 + octet_length(encode(text)) % 64 AS width,
+       16 + ascii(substring(text, 1, 1)) % 64 AS height,
+       (16 + octet_length(encode(text)) % 64) * (16 + ascii(substring(text, 1, 1)) % 64) AS n_pixels
+FROM documents WHERE doc_id < 100
+""",
+    doc="Stubbed multimodal decode via mapInPandas: Arrow-batched binary → "
+    "feature columns. The decode itself is a deterministic fake (no image "
+    "libs in this environment); the Spark plumbing (binary column, batch "
+    "iteration, schema) is real.",
+)
+def q61(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.multimodal import decode_images
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return decode_images(payload, "payload", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Flatten bound to the events table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q70_flatten_events",
+    oracle="""
+SELECT CAST(event_id AS VARCHAR) AS Event_id,
+       event_type AS Event_type,
+       coalesce(CAST(props->>'$.k' AS VARCHAR), '') AS Props_K
+FROM events
+""",
+    doc="The flatten operator over semi-structured events: parse the JSON "
+    "props column, flatten to PascalCase string columns (reference "
+    "json_to_tsv_in_memory semantics, Catalyst-executed).",
+)
+def q70(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    nested = e.select(
+        "event_id", "event_type", F.from_json("props", "k INT").alias("props")
+    )
+    return flatten(nested)

@@ -1,0 +1,744 @@
+"""Relational operator surface (SURVEY.md §2 Tier B): scans, filters,
+joins, aggregations, windows, sorts, set ops, scalar functions, keyset
+pagination — each with a DuckDB oracle.
+
+Spark-first notes: dimension joins broadcast explicitly; aggregations rely
+on Catalyst partial aggregation; windows declare explicit ROWS frames;
+filters/projections are plain expressions so they push into the parquet
+scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_for_elasticsearch_json_document_spark.queries.registry import query
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, digits=2, scale="decimal(18,4)"):
+    """Exact (partition-order-independent) sum of a double measure: sum in
+    decimal, emit rounded double."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.round(F.sum(c.cast(scale)).cast("double"), digits)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       round(cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+       round(cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+       round(cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(cast(sum(cast(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-style pricing summary: filtered scan + grouped aggregation.",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    n = F.count("*")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double"), 2).alias("sum_disc_price"),
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+                  .cast("decimal(18,6)")).cast("double"), 2).alias("sum_charge"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / n, 6).alias("avg_price"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / n, 6).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "q02_filter_predicates",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part
+WHERE p_size BETWEEN 10 AND 30
+  AND p_type IN ('ECONOMY', 'SMALL')
+  AND p_brand LIKE 'Brand#1%'
+  AND p_name NOT LIKE '%green%'
+""",
+    doc="Predicate surface: BETWEEN / IN / LIKE / NOT LIKE pushed to the scan.",
+)
+def q02(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30)
+        & F.col("p_type").isin("ECONOMY", "SMALL")
+        & F.col("p_brand").like("Brand#1%")
+        & ~F.col("p_name").like("%green%")
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+@query(
+    "q03_revenue_topn",
+    oracle="""
+SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       round(cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3-style: 3-way join + grouped revenue + deterministic top-N.",
+)
+def q03(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+                .cast("double"), 2).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q04_join_region_rollup",
+    oracle="""
+SELECT r.r_name, n.n_name, count(*) AS n_customers,
+       round(cast(sum(cast(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    doc="Star join through two broadcast dimensions + grouped agg.",
+)
+def q04(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), _dsum("c_acctbal").alias("total_acctbal"))
+    )
+
+
+@query(
+    "q05_count_distinct",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="COUNT DISTINCT + grouped agg.",
+)
+def q05(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            _dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+@query(
+    "q06_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+       round(cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP with GROUPING() markers.",
+)
+def q06(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+            _dsum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
+    )
+
+
+@query(
+    "q07_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over two dimensions.",
+)
+def q07(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dsum("o_totalprice").alias("total"))
+    )
+
+
+@query(
+    "q08_grouping_sets",
+    oracle="""
+SELECT c_mktsegment, c_nationkey, count(*) AS n
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+""",
+    doc="Explicit GROUPING SETS via the SQL surface.",
+)
+def q08(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q08_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, count(*) AS n
+        FROM q08_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@query(
+    "q09_median_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles (quantile_cont ≡ percentile).",
+)
+def q09(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_window_topk",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    doc="Per-group top-k via row_number (deterministic tiebreak).",
+)
+def q10(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q11_window_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(cast(sum(cast(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total,
+       round(cast(lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 2) AS prev_price,
+       round(cast(lead(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 2) AS next_price
+FROM orders
+""",
+    doc="Running sum with explicit ROWS frame + lag/lead.",
+)
+def q11(spark, sf_dir):
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(wf).cast("double"), 2)
+        .alias("running_total"),
+        F.round(F.lag("o_totalprice").over(wo).cast("double"), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(wo).cast("double"), 2).alias("next_price"),
+    )
+
+
+@query(
+    "q12_rank_dense",
+    oracle="""
+SELECT s_suppkey, s_name,
+       rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+       dense_rank() OVER (ORDER BY s_nationkey) AS nation_grp,
+       ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+FROM supplier
+""",
+    doc="rank / dense_rank / ntile global windows.",
+)
+def q12(spark, sf_dir):
+    w1 = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    w2 = Window.orderBy("s_nationkey")
+    return _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.rank().over(w1).alias("rnk"),
+        F.dense_rank().over(w2).alias("nation_grp"),
+        F.ntile(4).over(w1).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_sort_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    doc="Global top-N (Spark TakeOrderedAndProject — no full sort).",
+)
+def q13(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q14_union_all",
+    oracle="""
+SELECT nationkey, count(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY nationkey
+""",
+    doc="UNION ALL + regroup.",
+)
+def q14(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).groupBy("nationkey").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q15_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+    doc="INTERSECT (distinct set semantics).",
+)
+def q15(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q16_except",
+    oracle="""
+SELECT n_nationkey FROM nation
+EXCEPT
+SELECT c_nationkey FROM customer
+""",
+    doc="EXCEPT (distinct set semantics).",
+)
+def q16(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    return n.subtract(c)  # EXCEPT (distinct)
+
+
+@query(
+    "q17_semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    doc="Left-semi join (EXISTS).",
+)
+def q17(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q18_anti_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Left-anti join (NOT EXISTS).",
+)
+def q18(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q19_outer_join_coalesce",
+    oracle="""
+SELECT n.n_name, coalesce(x.n_cust, 0) AS n_cust
+FROM nation n LEFT JOIN (
+  SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey
+) x ON x.c_nationkey = n.n_nationkey
+""",
+    doc="Left outer join against a derived aggregate with null repair.",
+)
+def q19(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    x = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    return n.join(x, n.n_nationkey == x.c_nationkey, "left").select(
+        "n_name", F.coalesce("n_cust", F.lit(0)).alias("n_cust")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       lower(p_name) AS name_l,
+       substring(p_type, 1, 4) AS type4,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       length(p_name) AS name_len,
+       replace(p_name, ' ', '_') AS name_us,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+FROM part WHERE p_partkey <= 100
+""",
+    doc="String function surface.",
+)
+def q20(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_name").alias("name_l"),
+        F.substring("p_type", 1, 4).alias("type4"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+    )
+
+
+@query(
+    "q21_date_funcs",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+       count(*) AS n_orders,
+       round(cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM orders
+WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+GROUP BY ym
+""",
+    doc="Date bucketing: monthly revenue.",
+)
+def q21(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate").between(1996, 1998))
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "q22_case_when",
+    oracle="""
+SELECT l_returnflag,
+       round(cast(sum(CASE WHEN l_discount > 0.05
+                     THEN cast(l_extendedprice AS DECIMAL(18,4))
+                     ELSE cast(0 AS DECIMAL(18,4)) END) AS DOUBLE), 2) AS discounted_rev,
+       sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS bulk_lines,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+HAVING count(*) > 10
+""",
+    doc="Conditional aggregation + HAVING.",
+)
+def q22(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice").cast("decimal(18,4)"))
+                    .otherwise(F.lit(0).cast("decimal(18,4)"))
+                ).cast("double"), 2).alias("discounted_rev"),
+            F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("bulk_lines"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") > 10)
+    )
+
+
+@query(
+    "q23_json_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+       max(CAST(props->>'$.k' AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+""",
+    doc="JSON path extraction from a string column (get_json_object).",
+)
+def q23(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q24_array_funcs",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val
+FROM embeddings WHERE vec_id < 50
+""",
+    doc="Array functions: size / element_at / array_max.",
+)
+def q24(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at("embedding", -1).cast("double"), 6).alias("last_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyset pagination / as-of / range joins (reference A2/A19 rebuilt)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_keyset_page",
+    oracle="""
+SELECT event_id, epoch_us(ts) AS ts_us, event_type
+FROM events
+WHERE (ts, event_id) > (TIMESTAMP '2024-01-15 00:00:00', 0)
+ORDER BY ts, event_id
+LIMIT 100
+""",
+    doc="Keyset (search_after) pagination page: composite cursor predicate + "
+    "ordered limit (reference ElasticSearch ETL.py:220-267 rebuilt as a "
+    "cursor predicate — checkpointless incremental scan).",
+)
+def q25(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cur_ts = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    page = (
+        e.filter((F.col("ts") > cur_ts) | ((F.col("ts") == cur_ts) & (F.col("event_id") > 0)))
+        .orderBy("ts", "event_id")
+        .limit(100)
+    )
+    return page.select("event_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+
+
+@query(
+    "q26_asof_join",
+    oracle="""
+WITH purchases AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+     clicks    AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc="As-of join (latest prior click per purchase), built as a "
+    "union+window merge — one shuffle by (user, time), no join explosion.",
+)
+def q26(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    # union the two streams, sort by (user, ts), carry the last click forward
+    tagged = p.withColumn("click_id", F.lit(None).cast("long")).withColumn(
+        "is_p", F.lit(1)
+    ).unionByName(
+        c.withColumn("purchase_id", F.lit(None).cast("long")).withColumn("is_p", F.lit(0))
+    )
+    # clicks sort before purchases at identical ts (ASOF >= matches same-ts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged.select(
+        "user_id",
+        "purchase_id",
+        "ts",
+        "is_p",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return merged.filter(F.col("is_p") == 1).select(
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+@query(
+    "q27_range_join",
+    oracle="""
+SELECT o.o_orderkey, count(*) AS n_shipped_90d
+FROM orders o JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+GROUP BY o.o_orderkey
+""",
+    doc="Range join: equi-key + interval band predicate.",
+)
+def q27(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate >= o.o_orderdate)
+            & (l.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipped_90d"))
+    )
+
+
+@query(
+    "q28_exists_subquery_agg",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+GROUP BY o_orderstatus
+""",
+    doc="EXISTS-correlated subquery folded to a semi-join + agg.",
+)
+def q28(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q29_tumbling_window",
+    oracle="""
+SELECT (epoch(ts)::BIGINT // 21600) * 21600 AS bucket_s,
+       event_type,
+       count(*) AS n,
+       round(cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY bucket_s, event_type
+""",
+    doc="Tumbling 6-hour windows (batch analog of the streaming window agg; "
+    "F.window aligns to the epoch, same as the floor-div oracle).",
+)
+def q29(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("bucket_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -32,6 +32,9 @@ def get_spark(app_name: str = "etl-pipeline-spark", master: str | None = None) -
         # giving up silently and cache more generated classes.
         .config("spark.sql.codegen.cache.maxEntries", "200")
         .config("spark.sql.session.timeZone", "UTC")
+        # The events table carries TIMESTAMP(NANOS) parquet, which Spark
+        # cannot read natively; read as long and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
