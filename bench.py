@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+`flatten_1doc` / `flatten_100docs` correspond to BASELINE.md's reference
+micro-benchmarks (0.103 s / 3.43 s measured for the reference in this
+container); the relational/LLM entries cover each operator family. Query
+execution is forced with the noop sink (full pipeline runs, no collect
+overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import (  # noqa: E402
+    flatten,
+    unwrap_envelope,
+)
+from etl_pipeline_for_elasticsearch_json_document_spark.queries import all_queries  # noqa: E402
+from etl_pipeline_for_elasticsearch_json_document_spark.session import get_spark  # noqa: E402
+
+GOLDEN = "/root/reference/ElasticSearch_Document.json"
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_revenue_topn",
+    "q10_window_topk",
+    "q26_asof_join",
+    "q27_range_join",
+    "q30_dedup_exact",
+    "q32_minhash_lsh",
+    "q40_knn_bruteforce",
+    "q50_token_stats",
+    "q70_flatten_events",
+]
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_flatten(spark) -> dict[str, float]:
+    """Reference-comparable flatten benchmarks on the golden document
+    (BASELINE.md rows: ~0.103 s/1 doc, ~3.43 s/100 docs, ~2 min/1000 docs
+    for the reference, single-threaded, warm in-process).
+
+    Reports the one-time plan-generation cost separately and measures
+    steady-state execution (after one warm-up run — the generated 5k-column
+    projection needs JIT ramp, exactly like the reference numbers exclude
+    Python import/parse time). In a real pipeline the same plan runs every
+    micro-batch, so steady state is the representative regime.
+    """
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten_plan
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    src = unwrap_envelope(spark.read.option("multiLine", True).json(GOLDEN)).cache()
+    src.count()
+    out: dict[str, float] = {}
+    t0 = time.time()
+    plan = flatten_plan(src, bug_compat=False)
+    out["flatten_plan_gen"] = round(time.time() - t0, 3)
+    # Largest batch first so JIT ramp is paid once; small batches use few
+    # partitions — each task deserializes the ~7 MB 5k-expression plan, so
+    # over-splitting tiny batches is pure overhead.
+    for n in (10_000, 100, 1):
+        # replicate via crossJoin(range(n)) — no giant intermediate array —
+        # and stage as parquet (the realistic batch source; cached
+        # deserialized 5k-leaf rows are ~100× larger than their parquet form)
+        path = f"/tmp/etl_pipeline_bench_docs{n}.parquet"
+        (
+            src.crossJoin(spark.range(n).select(F.col("id").alias("__rep")))
+            .drop("__rep")
+            .repartition(min(cpus, max(1, n // 50)))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        docs = spark.read.parquet(path)
+        o = docs.selectExpr(*plan)
+        force(o)  # warm-up: codegen + JIT
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(o)
+            best = min(best, time.time() - t0)
+        out[f"flatten_{n}docs"] = round(best, 3)
+    src.unpersist()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("etl-pipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/codegen once so per-query numbers measure the plan, not
+    # first-call JIT (the driver's wall-clock still includes startup).
+    force(queries["q13_sort_limit"].fn(spark, sf_dir))
+
+    for name in HEADLINE:
+        t0 = time.time()
+        force(queries[name].fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    timings.update(bench_flatten(spark))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -77,7 +77,10 @@ def jaccard_pairs(
     words = _distinct_words(df, id_col, text_col).cache()
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = words.alias("a")
-    b = words.alias("b")
+    # Broadcast the build side: token keys are few and heavily skewed, so a
+    # sort-merge join stalls on hot keys; broadcast-hash spreads the pair
+    # generation evenly. (Postings lists are small relative to the corpus.)
+    b = F.broadcast(words).alias("b")
     inter = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))

@@ -35,7 +35,7 @@ def get_spark(app_name: str = "etl-pipeline-spark", master: str | None = None) -
         # The events table carries TIMESTAMP(NANOS) parquet, which Spark
         # cannot read natively; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
