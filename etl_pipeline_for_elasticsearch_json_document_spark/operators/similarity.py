@@ -81,8 +81,8 @@ def knn_lsh(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 5,
-    planes: int = 6,
-    tables: int = 4,
+    planes: int = 4,
+    tables: int = 8,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket with
     the query in any of ``tables`` independent hash tables.

@@ -1,0 +1,81 @@
+"""Structured-Streaming rebuild of the reference's export job
+(``ElasticSearch ETL.py:201-300``).
+
+Reference loop → Spark mapping:
+
+- ``search_after`` keyset pagination (A2/A19)  → streaming micro-batches +
+  checkpoint offsets (exactly-once restart, no hand-rolled cursor — and no
+  A18 bug where an empty batch forgets to advance the cursor)
+- per-batch ``json_to_tsv_in_memory`` (A4-A15) → per-micro-batch flatten
+  inside ``foreachBatch`` (per-batch dynamic schema, exactly the
+  reference's union-within-batch semantics)
+- per-batch TSV file naming (A16-A17)          → ``batch_tsv_path`` dirs
+- SQL audit row on success/failure (A20-A21)   → AuditLog parquet appends
+- empty-batch guard (A18)                      → ``batch_df.isEmpty()``
+
+The source here is a file stream (JSON documents dropped into a
+directory — the ES connector analog); any streaming source slots in
+unchanged since all logic lives in ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten
+from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import AuditLog
+from etl_pipeline_for_elasticsearch_json_document_spark.sinks.tsv import batch_tsv_path, write_tsv
+
+
+def run_export_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    audit_path: str,
+    schema: str | None = None,
+    id_col: str = "claimRequestId",
+    bug_compat: bool = False,
+    trigger_available_now: bool = True,
+):
+    """Stream JSON documents from ``input_dir``; per micro-batch: flatten →
+    TSV directory named by last id + batch timestamp → audit row. Returns
+    the StreamingQuery (caller awaits termination)."""
+    if schema is None:
+        # Streaming needs a fixed *source* schema; infer it from the files
+        # present (per-batch dynamic schema still applies to the flattened
+        # OUTPUT inside foreachBatch, mirroring the reference).
+        schema = spark.read.json(input_dir).schema
+    src = spark.readStream.schema(schema).json(input_dir)
+    audit = AuditLog(spark, audit_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        start_ts = datetime.datetime.now(datetime.timezone.utc)
+        try:
+            if batch_df.isEmpty():  # A18 guard (without the cursor bug)
+                return
+            n = batch_df.count()
+            flat = flatten(batch_df, bug_compat=bug_compat)
+            last_id = "batch"
+            if id_col in batch_df.columns:
+                last = batch_df.select(F.max(F.col(id_col)).alias("m")).first()
+                if last and last["m"] is not None:
+                    last_id = last["m"]
+            path = batch_tsv_path(output_dir, last_id)
+            write_tsv(flat, path, coalesce=1 if n < 10_000 else None)
+            audit.success(start_ts, batch_id=str(batch_id), record_count=n)
+        except Exception as e:  # FAILED audit row, then re-raise (A20)
+            audit.failure(start_ts, batch_id=str(batch_id), error=e)
+            raise
+
+    writer = (
+        src.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

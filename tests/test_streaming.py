@@ -1,0 +1,175 @@
+"""Streaming tests (SURVEY.md §5.2 item 5): the export job end-to-end with
+file naming + audit rows, windowed aggregations with watermark/late data,
+and streaming dedup."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+from etl_pipeline_for_elasticsearch_json_document_spark.streaming.export_job import (
+    run_export_stream,
+)
+from etl_pipeline_for_elasticsearch_json_document_spark.streaming.windows import (
+    dedup_stream,
+    session_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="etl_stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_export_stream_end_to_end(spark, tmpdir):
+    inp = os.path.join(tmpdir, "in")
+    os.makedirs(inp)
+    docs = [
+        {"claimRequestId": i, "lines": [{"lineNumber": 1, "charge": 10.0 * i}], "ok": True}
+        for i in range(5)
+    ]
+    with open(os.path.join(inp, "batch1.json"), "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+    out = os.path.join(tmpdir, "out")
+    q = run_export_stream(
+        spark,
+        inp,
+        out,
+        checkpoint_dir=os.path.join(tmpdir, "ckpt"),
+        audit_path=os.path.join(tmpdir, "audit"),
+    )
+    q.awaitTermination(120)
+
+    tsv_dirs = glob.glob(os.path.join(out, "rta_claim_headers_*"))
+    assert len(tsv_dirs) == 1, tsv_dirs
+    # last claim id is part of the batch directory name (reference A17)
+    assert os.path.basename(tsv_dirs[0]).startswith("rta_claim_headers_4_")
+
+    tsv = spark.read.option("sep", "\t").option("header", True).csv(tsv_dirs[0])
+    assert tsv.count() == 5
+    assert tsv.columns == sorted(tsv.columns)
+    assert "Lines_0_Charge" in tsv.columns
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import AuditLog
+
+    audit = AuditLog(spark, os.path.join(tmpdir, "audit")).read()
+    rows = audit.collect()
+    assert len(rows) == 1
+    assert rows[0]["job_status"] == "SUCCESS"
+    assert rows[0]["record_count_loaded"] == 5
+
+
+def test_export_stream_incremental_checkpoint(spark, tmpdir):
+    """Second run with a new file only processes the new file (checkpoint
+    replaces the reference's hand-rolled search_after cursor)."""
+    inp = os.path.join(tmpdir, "in")
+    os.makedirs(inp)
+    with open(os.path.join(inp, "a.json"), "w") as f:
+        f.write(json.dumps({"claimRequestId": 1, "v": "x"}) + "\n")
+    out = os.path.join(tmpdir, "out")
+    kw = dict(
+        checkpoint_dir=os.path.join(tmpdir, "ckpt"),
+        audit_path=os.path.join(tmpdir, "audit"),
+    )
+    schema = "claimRequestId long, v string"
+    run_export_stream(spark, inp, out, schema=schema, **kw).awaitTermination(120)
+    with open(os.path.join(inp, "b.json"), "w") as f:
+        f.write(json.dumps({"claimRequestId": 2, "v": "y"}) + "\n")
+    run_export_stream(spark, inp, out, schema=schema, **kw).awaitTermination(120)
+
+    dirs = sorted(glob.glob(os.path.join(out, "rta_claim_headers_*")))
+    assert len(dirs) == 2
+    second = spark.read.option("sep", "\t").option("header", True).csv(dirs[-1])
+    # the incremental batch contains only the new document
+    assert second.count() == 1
+
+
+def _stream_events(spark, sf_dir, tmpdir):
+    """Replay the events table as a file stream (one parquet dir)."""
+    src = os.path.join(tmpdir, "events_src")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def _run_to_memory(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_window_matches_batch(spark, sf_dir, tmpdir):
+    # complete mode: append would hold back windows newer than
+    # (max event time - watermark), which never close in a drained replay
+    stream = _stream_events(spark, sf_dir, tmpdir)
+    _run_to_memory(tumbling_counts(stream), "tumbling", mode="complete")
+    got = spark.sql("SELECT * FROM tumbling")
+    batch = load_table(spark, sf_dir, "events")
+    expected = (
+        batch.groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .count()
+    )
+    assert got.count() == expected
+    assert got.agg(F.sum("n")).first()[0] == batch.count()
+
+
+def test_tumbling_window_append_late_data_dropped(spark, tmpdir):
+    """Append mode + watermark: only windows the watermark has passed are
+    emitted; data later than the watermark is dropped from closed windows."""
+    src = os.path.join(tmpdir, "late")
+    rows = [
+        (1, "2024-01-01 00:10:00", "click", 1.0),
+        (2, "2024-01-01 06:10:00", "click", 1.0),
+        (3, "2024-01-02 00:00:00", "click", 1.0),  # advances watermark far ahead
+    ]
+    spark.createDataFrame(rows, "event_id long, ts_s string, event_type string, value double") \
+        .select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value") \
+        .write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    _run_to_memory(tumbling_counts(stream, watermark="1 hour"), "late_windows", mode="append")
+    got = spark.sql("SELECT * FROM late_windows")
+    # the two early windows closed (watermark @ 2024-01-01 23:00); the
+    # 2024-01-02 window is still open and therefore absent in append mode
+    starts = sorted(r["window_start"].isoformat() for r in got.collect())
+    assert starts == ["2024-01-01T00:00:00", "2024-01-01T06:00:00"]
+
+
+def test_session_window_runs(spark, sf_dir, tmpdir):
+    stream = _stream_events(spark, sf_dir, tmpdir)
+    _run_to_memory(session_counts(stream), "sessions", mode="append")
+    got = spark.sql("SELECT * FROM sessions")
+    assert got.count() > 0
+    assert got.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_streaming_dedup(spark, tmpdir):
+    src = os.path.join(tmpdir, "dups")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"), (2, "2024-01-01 00:20:00")],
+        "event_id long, ts_s string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts")).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    _run_to_memory(dedup_stream(stream), "dedup")
+    got = spark.sql("SELECT event_id FROM dedup")
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2]
