@@ -1,0 +1,119 @@
+"""Batch export job (reference E1) + keyset pagination + A23 column tools."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.functions.columns import (
+    columns_containing,
+    select_columns_containing,
+    transpose_preview,
+)
+from etl_pipeline_for_elasticsearch_json_document_spark.jobs import fetch_and_export_documents
+from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import AuditLog
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.keyset import Cursor, paginate
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="etl_jobs_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_keyset_pagination_covers_everything_once(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    seen = []
+    for page, cursor in paginate(events, ["ts", "event_id"], 300):
+        ids = [r["event_id"] for r in page.select("event_id").collect()]
+        seen.extend(ids)
+        assert len(ids) <= 300
+    assert len(seen) == events.count()
+    assert len(set(seen)) == len(seen)  # no page overlap
+
+
+def test_keyset_resume_from_cursor(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    pages = paginate(events, ["ts", "event_id"], 400)
+    _, c1 = next(pages)
+    resumed = list(paginate(events, ["ts", "event_id"], 400, start=c1))
+    n_after = sum(p.count() for p, _ in resumed)
+    assert n_after == events.count() - 400
+
+
+def test_batch_export_job(spark, tmpdir):
+    docs = [
+        {
+            "claimRequestId": i,
+            "auditProcessedDateTimeUtc": f"2025-06-01T11:30:{i:02d}Z",
+            "lines": [{"lineNumber": 1, "charge": float(i)}],
+        }
+        for i in range(25)
+    ]
+    src = spark.read.json(spark.sparkContext.parallelize([json.dumps(d) for d in docs]))
+    out = os.path.join(tmpdir, "out")
+    exported = fetch_and_export_documents(
+        spark,
+        src,
+        out,
+        audit_path=os.path.join(tmpdir, "audit"),
+        batch_size=10,
+    )
+    assert exported == 25
+    batches = glob.glob(os.path.join(out, "rta_claim_headers_*"))
+    assert len(batches) == 3  # 10 + 10 + 5
+    total = sum(
+        spark.read.option("sep", "\t").option("header", True).csv(b).count() for b in batches
+    )
+    assert total == 25
+    audit = AuditLog(spark, os.path.join(tmpdir, "audit")).read().collect()
+    assert [r["job_status"] for r in audit] == ["SUCCESS"]
+    assert audit[0]["record_count_loaded"] == 25
+
+
+def test_batch_export_failure_audit(spark, tmpdir):
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    with pytest.raises(Exception):
+        fetch_and_export_documents(
+            spark,
+            src,
+            os.path.join(tmpdir, "out"),
+            audit_path=os.path.join(tmpdir, "audit"),
+            sort_cols=("no_such_column", "event_id"),  # forces failure
+        )
+    audit = AuditLog(spark, os.path.join(tmpdir, "audit")).read().collect()
+    assert [r["job_status"] for r in audit] == ["FAILED"]
+    assert audit[0]["record_count_loaded"] is None  # omitted on failure (A20)
+    assert "no_such_column" in audit[0]["error_desc"]
+
+
+def test_column_search_a23(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, "x")], "Lines_0_BasePrice double, Lines_0_FinalPrice double, Name string"
+    )
+    assert columns_containing(df, "Price") == ["Lines_0_BasePrice", "Lines_0_FinalPrice"]
+    assert select_columns_containing(df, "Price").columns == [
+        "Lines_0_BasePrice",
+        "Lines_0_FinalPrice",
+    ]
+    t = transpose_preview(df, n_cols=2)
+    assert list(t.index) == ["Lines_0_BasePrice", "Lines_0_FinalPrice"]
+
+
+def test_es_source_stub_gating(spark):
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources import elasticsearch as es
+
+    assert not es.HAS_ES_CLIENT  # not installed here
+    with pytest.raises(NotImplementedError, match="not installed"):
+        next(es.scan_with_client(spark, "idx", {"query": {}}))
+    # tier 1 works everywhere: the golden envelope
+    df = es.read_search_response_json(spark, "/root/reference/ElasticSearch_Document.json")
+    assert df.count() == 1 and "claimRequestId" in df.columns

@@ -1,0 +1,91 @@
+"""Physical-plan audits (the 100 TB posture checks): predicate pushdown
+reaches the parquet scan, column pruning trims ReadSchema, small dims
+broadcast, top-N avoids full sorts, and the flatten is one shuffle-free
+projection."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten
+from etl_pipeline_for_elasticsearch_json_document_spark.queries import all_queries
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+Q = all_queries()
+
+
+def plan_text(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = Q["q02_filter_predicates"].fn(spark, SF_DIR)
+    plan = plan_text(df)
+    assert "PushedFilters:" in plan
+    # the range predicate must be pushed, not evaluated post-scan only
+    assert "GreaterThanOrEqual(p_size,10)" in plan.replace(" ", "") or "p_size" in plan.split(
+        "PushedFilters:"
+    )[1].splitlines()[0]
+
+
+def test_column_pruning(spark):
+    df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    plan = plan_text(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_extendedprice" not in read_schema  # unused columns pruned
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_text(Q["q04_join_region_rollup"].fn(spark, SF_DIR))
+    # formatted explain lists each node twice (tree + details)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+    assert "SortMergeJoin" not in plan
+
+
+def test_topn_uses_take_ordered(spark):
+    plan = plan_text(Q["q13_sort_limit"].fn(spark, SF_DIR))
+    # global top-N must not be a full Sort + collect
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_then_final(spark):
+    plan = plan_text(Q["q01_pricing_summary"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_flatten_is_single_shuffle_free_projection(spark):
+    docs = spark.createDataFrame(
+        [(1, [{"a": 1}])],
+        "id long, arr array<struct<a:long>>",
+    )
+    out = flatten(docs, array_lengths={"Arr": (1, 1)})
+    plan = plan_text(out, mode="simple")
+    assert "Exchange" not in plan  # no shuffle: pure projection
+    assert "Project" in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = plan_text(Q["q40_knn_bruteforce"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_keyset_predicate_pushdown(spark):
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.keyset import Cursor, page_after
+
+    orders = load_table(spark, SF_DIR, "orders")
+    page = page_after(
+        orders, ["o_orderdate", "o_orderkey"], Cursor(("1997-01-01 00:00:00", 42)), 100
+    )
+    plan = plan_text(page)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "o_orderdate" in pushed  # composite cursor reaches the scan
