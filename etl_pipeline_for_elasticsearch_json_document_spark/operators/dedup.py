@@ -55,7 +55,11 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _distinct_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
+    # Hash-repartition by doc id first: a single-file corpus otherwise runs
+    # the explode + hashing partial aggregation single-threaded, and the
+    # partitioning pre-aligns the later groupBy(doc_id) (no second shuffle).
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
     )
@@ -149,7 +153,9 @@ def minhash_lsh_pairs(
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
     )
     a = buckets.alias("a")
-    b = buckets.alias("b")
+    # Bucket keys (docs × bands) are small next to the corpus text:
+    # broadcast one side so candidate generation is a map-side hash join.
+    b = F.broadcast(buckets).alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
@@ -160,8 +166,10 @@ def minhash_lsh_pairs(
     matches = sum(
         F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_hashes)
     )
+    # Candidates are rarer still (only banded collisions) — broadcast them
+    # against the signature table on both sides.
     return (
-        cand.join(sa, "a_id")
+        F.broadcast(cand).join(sa, "a_id")
         .join(sb, "b_id")
         .withColumn("est_jaccard", F.round(matches / F.lit(float(num_hashes)), 6))
         .filter(F.col("est_jaccard") >= threshold)

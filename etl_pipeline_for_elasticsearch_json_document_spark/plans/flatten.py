@@ -32,6 +32,13 @@ Semantics preserved (citations into the reference):
   (``ElasticSearch ETL.py:79-129``; see ``naming.resolve_reference_path``),
   and re-spaces JSON cells to match ``json.dumps`` formatting.
 
+Known deviations (inherent to typed schema inference, pinned in tests):
+- mixed int/float JSON arrays unify to ``array<double>`` (``2`` → ``'2.0'``);
+- JSON object key order inside serialized-subtree cells follows the
+  inferred schema's (alphabetical) field order, not source document order;
+- an explicit JSON ``null`` under an array index is indistinguishable from
+  an absent key, so its column is pruned where the reference keeps ``''``.
+
 Scale notes (100 TB posture):
 
 - Array index ranges and map key sets are discovered with one aggregation
@@ -105,16 +112,29 @@ def unwrap_envelope(df: DataFrame) -> DataFrame:
 
 
 @dataclass
+class _DataShape:
+    """Result of the single-pass data discovery (bug_compat mode): the set
+    of concrete paths present in ≥1 document (to_json omits null fields, so
+    presence == non-null), and per concrete array path the (min, max)
+    observed size over documents where the array exists."""
+
+    paths: set
+    lengths: dict
+
+
+@dataclass
 class _Ctx:
     sep: str
     max_depth: int
-    # flattened-name → (min_nonnull_size, max_size) for array-of-struct paths
-    lengths: dict[str, tuple[int, int]]
+    # flattened-name → (min_nonnull_size, max_size) for array-of-struct
+    # paths; None value = array absent from the data entirely (no columns)
+    lengths: dict[str, Optional[tuple[int, int]]]
     # index-free schema signature → sorted union of observed map keys
     map_keys: dict[tuple, list[str]]
     entries: list[tuple[str, Path]] = dc_field(default_factory=list)
     pending_lengths: dict[str, Path] = dc_field(default_factory=dict)
     pending_keys: dict[tuple, Path] = dc_field(default_factory=dict)
+    data: Optional[_DataShape] = None  # set in bug_compat (data-pass) mode
 
 
 def _sig(path: Path) -> tuple:
@@ -159,10 +179,19 @@ def _dispatch(dt: DataType, path: Path, name: str, depth: int, ctx: _Ctx) -> Non
         else:
             _walk_struct(dt, path, name, depth + 1, ctx)
     elif isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType):
-        if name not in ctx.lengths:
+        if ctx.data is not None:
+            info = ctx.data.lengths.get(path)
+            if info is None:
+                return  # array never present in the data → no columns
+            min_sz, max_sz = info
+        elif name not in ctx.lengths:
             ctx.pending_lengths[name] = path
             return
-        min_sz, max_sz = ctx.lengths[name]
+        else:
+            info = ctx.lengths[name]
+            if info is None:
+                return  # absent (agg saw only NULLs)
+            min_sz, max_sz = info
         if min_sz == 0:
             # Some document had this array empty → the reference's empty-list
             # branch creates a bare column (``ElasticSearch ETL.py:58-60``);
@@ -179,16 +208,77 @@ def _dispatch(dt: DataType, path: Path, name: str, depth: int, ctx: _Ctx) -> Non
             ctx.entries.append((name, path))
             return
         sig = _sig(path)
-        if sig not in ctx.map_keys:
+        if ctx.data is not None:
+            keys = sorted(
+                {
+                    p[len(path)]
+                    for p in ctx.data.paths
+                    if len(p) > len(path) and p[: len(path)] == path
+                }
+            )
+            # record for the bug-compat resolution tree
+            ctx.map_keys[sig] = sorted(set(ctx.map_keys.get(sig, [])) | set(keys))
+        elif sig not in ctx.map_keys:
             ctx.pending_keys[sig] = path
             return
-        for key in ctx.map_keys[sig]:
+        else:
+            keys = ctx.map_keys[sig]
+        for key in keys:
             seg = to_pascal_case(key)
             _dispatch(dt.valueType, path + (key,), f"{name}{ctx.sep}{seg}", depth + 1, ctx)
     else:
         # Primitive leaf, primitive/nested array, or null-typed field:
         # always exactly one column.
         ctx.entries.append((name, path))
+
+
+# ---------------------------------------------------------------------------
+# Single-pass data discovery (bug_compat mode)
+#
+# The reference's column set is data-driven per array index, so bug_compat
+# needs per-path presence. Rather than issuing thousands of ``any(... IS
+# NOT NULL)`` aggregates, serialize each row once with ``to_json`` (which
+# omits null fields) and enumerate present paths / array sizes per
+# partition in Python, merging the per-partition summaries driver-side.
+# This is the reference's pass 1 (``ElasticSearch ETL.py:171-179``) made
+# distributed: the map side emits one bounded summary per partition
+# (schema-sized, not data-sized).
+# ---------------------------------------------------------------------------
+
+
+def _discover_data(df: DataFrame) -> _DataShape:
+    json_rows = df.select(F.to_json(F.struct(*[F.col(_qid(c)) for c in df.columns])).alias("j"))
+
+    def per_partition(rows):
+        import json as _json
+
+        paths: set = set()
+        lengths: dict = {}
+
+        def walk(obj, prefix):
+            if prefix:
+                paths.add(prefix)
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    walk(v, prefix + (k,))
+            elif isinstance(obj, list):
+                mn, mx = lengths.get(prefix, (1 << 60, -1))
+                lengths[prefix] = (min(mn, len(obj)), max(mx, len(obj)))
+                for i, v in enumerate(obj):
+                    walk(v, prefix + (i,))
+
+        for row in rows:
+            if row[0] is not None:
+                walk(_json.loads(row[0]), ())
+        yield (paths, lengths)
+
+    shape = _DataShape(set(), {})
+    for paths, lengths in json_rows.rdd.mapPartitions(per_partition).collect():
+        shape.paths |= paths
+        for p, (mn, mx) in lengths.items():
+            omn, omx = shape.lengths.get(p, (1 << 60, -1))
+            shape.lengths[p] = (min(omn, mn), max(omx, mx))
+    return shape
 
 
 # ---------------------------------------------------------------------------
@@ -350,31 +440,47 @@ def flatten_plan(
     columns are pruned where the reference would keep them holding ``''``.
     """
     schema = df.schema
-    lengths: dict[str, tuple[int, int]] = dict(array_lengths or {})
+    lengths: dict[str, Optional[tuple[int, int]]] = dict(array_lengths or {})
     map_keys: dict[tuple, list[str]] = {}
 
-    while True:
-        ctx = _Ctx(sep=sep, max_depth=max_depth, lengths=lengths, map_keys=map_keys)
+    if bug_compat:
+        # One distributed pass gives presence + array sizes + map keys all
+        # at once (see _discover_data) — no iterative aggregation levels and
+        # no per-column existence queries.
+        shape = _discover_data(df)
+        ctx = _Ctx(
+            sep=sep, max_depth=max_depth, lengths=lengths, map_keys=map_keys, data=shape
+        )
         _walk_struct(schema, (), "", 0, ctx)
-        if not ctx.pending_lengths and not ctx.pending_keys:
-            break
-        aggs = []
-        for name, path in ctx.pending_lengths.items():
-            e, _ = _sql_for_path(schema, path)
-            aggs.append(f"min(size({e})) AS {_qid('min' + name)}")
-            aggs.append(f"max(size({e})) AS {_qid('max' + name)}")
-        key_sigs = list(ctx.pending_keys)
-        for j, sig in enumerate(key_sigs):
-            e, _ = _sql_for_path(schema, ctx.pending_keys[sig])
-            aggs.append(f"array_distinct(flatten(collect_list(map_keys({e})))) AS {_qid(f'keys{j}')}")
-        row = df.selectExpr(*aggs).first()
-        for name in ctx.pending_lengths:
-            mn = row[f"min{name}"]
-            mx = row[f"max{name}"]
-            lengths[name] = (int(mn or 0), int(mx or 0))
-        for j, sig in enumerate(key_sigs):
-            ks = row[f"keys{j}"] or []
-            map_keys[sig] = sorted(ks)
+    else:
+        # Schema-driven mode: array index ranges / map key sets via one
+        # aggregation per array-nesting level. Reads only the array/map
+        # columns (column pruning), so this is the scale path.
+        while True:
+            ctx = _Ctx(sep=sep, max_depth=max_depth, lengths=lengths, map_keys=map_keys)
+            _walk_struct(schema, (), "", 0, ctx)
+            if not ctx.pending_lengths and not ctx.pending_keys:
+                break
+            aggs = []
+            for name, path in ctx.pending_lengths.items():
+                e, _ = _sql_for_path(schema, path)
+                aggs.append(f"min(size({e})) AS {_qid('min' + name)}")
+                aggs.append(f"max(size({e})) AS {_qid('max' + name)}")
+            key_sigs = list(ctx.pending_keys)
+            for j, sig in enumerate(key_sigs):
+                e, _ = _sql_for_path(schema, ctx.pending_keys[sig])
+                aggs.append(
+                    f"array_distinct(flatten(collect_list(map_keys({e})))) AS {_qid(f'keys{j}')}"
+                )
+            row = df.selectExpr(*aggs).first()
+            for name in ctx.pending_lengths:
+                mn = row[f"min{name}"]
+                mx = row[f"max{name}"]
+                # max NULL ⇒ the array is absent (only NULLs) ⇒ no columns
+                lengths[name] = None if mx is None else (int(mn or 0), int(mx))
+            for j, sig in enumerate(key_sigs):
+                ks = row[f"keys{j}"] or []
+                map_keys[sig] = sorted(ks)
 
     # First-wins on name collisions (the reference's column *set* collapses
     # them to one column; its parser then decides which value is read —
@@ -384,18 +490,13 @@ def flatten_plan(
         by_name.setdefault(name, path)
 
     if bug_compat:
-        # Per-index existence pruning, batched into ONE pass: a column under
-        # an array index exists only if some document populates it there.
-        candidates = [n for n, p in by_name.items() if any(isinstance(s, int) for s in p)]
-        if candidates:
-            checks = []
-            for i, n in enumerate(candidates):
-                e, _ = _sql_for_path(schema, by_name[n])
-                checks.append(f"any({e} IS NOT NULL) AS c{i}")
-            row = df.selectExpr(*checks).first()
-            for i, n in enumerate(candidates):
-                if not row[f"c{i}"]:
-                    del by_name[n]
+        # Per-index existence pruning: a column under an array index exists
+        # only if some document populates it there (presence known from the
+        # discovery pass; explicit JSON null under an index is
+        # indistinguishable from absence and is pruned — see docstring).
+        for n in [n for n, p in by_name.items() if any(isinstance(s, int) for s in p)]:
+            if by_name[n] not in shape.paths:
+                del by_name[n]
 
     tree = _build_tree(schema, (), map_keys) if bug_compat else None
     if bug_compat:
