@@ -398,3 +398,57 @@ def q70(spark, sf_dir):
         "event_id", "event_type", F.from_json("props", "k INT").alias("props")
     )
     return flatten(nested)
+
+
+@query(
+    "q56_tfidf",
+    oracle="""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.w,
+       round(tf.tf * ln((n.n + 1) / (df.df + 1)), 6) AS tfidf
+FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+WHERE tf.doc_id < 20
+""",
+    doc="TF-IDF scoring: per-doc term frequency × smoothed inverse document "
+    "frequency; DF computed once over the corpus and broadcast.",
+)
+def q56(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()  # scalar; at scale keep as a 1-row broadcast instead
+    return (
+        tf.filter(F.col("doc_id") < 20)
+        .join(F.broadcast(df), "w")
+        .select(
+            "doc_id",
+            "w",
+            F.round(F.col("tf") * F.log((n + 1) / (F.col("df") + 1)), 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "q57_char_ngram_profile",
+    oracle="""
+WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+           FROM documents WHERE doc_id < 50),
+g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(s) - 2, 1) + 1),
+                                           i -> substring(s, i, 3))) AS tri
+      FROM t)
+SELECT tri, count(*) AS n FROM g GROUP BY tri HAVING count(*) >= 50
+""",
+    doc="Character-trigram profile (the language-ID feature space).",
+)
+def q57(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        d.select(F.explode(text.char_ngrams(F.col("text"), 3)).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 50)
+    )

@@ -742,3 +742,196 @@ def q29(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function breadth + subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_discount - 0.05), 6) AS abs_v,
+       ceil(l_quantity / 7) AS ceil_v,
+       floor(l_quantity / 7) AS floor_v,
+       round(sqrt(l_extendedprice), 6) AS sqrt_v,
+       round(ln(l_extendedprice + 1), 6) AS ln_v,
+       round(log10(l_extendedprice + 1), 6) AS log10_v,
+       round(pow(1 + l_tax, 2), 6) AS pow_v,
+       CAST(l_partkey % 7 AS BIGINT) AS mod_v,
+       sign(l_discount - 0.05) AS sign_v
+FROM lineitem WHERE l_orderkey <= 100
+""",
+    doc="Math function surface (abs/ceil/floor/sqrt/ln/log10/pow/mod/sign).",
+)
+def q80(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_v"),
+        F.ceil(F.col("l_quantity") / 7).alias("ceil_v"),
+        F.floor(F.col("l_quantity") / 7).alias("floor_v"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_v"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_v"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("log10_v"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("pow_v"),
+        (F.col("l_partkey") % 7).alias("mod_v"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_v"),
+    )
+
+
+@query(
+    "q81_null_handling",
+    oracle="""
+SELECT s_suppkey,
+       nullif(s_nationkey, 0) AS nk_nullif,
+       coalesce(nullif(s_nationkey, 0), -1) AS nk_repaired,
+       (nullif(s_nationkey, 0) IS NOT DISTINCT FROM NULL) AS is_zero,
+       CASE WHEN s_acctbal IS NULL THEN 'missing' ELSE 'present' END AS bal_state
+FROM supplier
+""",
+    doc="NULL semantics: nullif / coalesce / null-safe comparison.",
+)
+def q81(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    nk = F.nullif(F.col("s_nationkey"), F.lit(0))
+    return s.select(
+        "s_suppkey",
+        nk.alias("nk_nullif"),
+        F.coalesce(nk, F.lit(-1)).alias("nk_repaired"),
+        nk.eqNullSafe(F.lit(None).cast("int")).alias("is_zero"),
+        F.when(F.col("s_acctbal").isNull(), "missing").otherwise("present").alias("bal_state"),
+    )
+
+
+@query(
+    "q82_string_more",
+    oracle="""
+SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS pad_l,
+       rpad(p_brand, 12, '*') AS pad_r,
+       trim(concat('  ', p_name, '  ')) AS trimmed,
+       reverse(p_brand) AS rev,
+       strpos(p_name, ' ') AS space_at,
+       split_part(p_name, ' ', 1) AS word1,
+       repeat(p_type, 2) AS doubled,
+       left(p_name, 3) AS l3,
+       right(p_name, 3) AS r3,
+       translate(p_brand, '#', '-') AS tr
+FROM part WHERE p_partkey <= 60
+""",
+    doc="Extended string surface (pad/trim/reverse/strpos/split_part/...).",
+)
+def q82(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 60)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("pad_l"),
+        F.rpad("p_brand", 12, "*").alias("pad_r"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.reverse("p_brand").alias("rev"),
+        F.instr("p_name", " ").alias("space_at"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("word1"),
+        F.repeat(F.col("p_type"), 2).alias("doubled"),
+        F.substring("p_name", 1, 3).alias("l3"),
+        F.col("p_name").substr(F.length("p_name") - 2, F.lit(3)).alias("r3"),
+        F.translate("p_brand", "#", "-").alias("tr"),
+    )
+
+
+@query(
+    "q83_date_more",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       quarter(o_orderdate) AS q,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS d,
+       datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')::BIGINT AS days_to_y2k,
+       strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d
+FROM orders WHERE o_orderkey <= 200
+""",
+    doc="Date arithmetic surface (extract fields, datediff, last_day, interval add).",
+)
+def q83(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.datediff(F.to_timestamp(F.lit("2000-01-01 00:00:00")), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd")
+        .alias("plus_30d"),
+    )
+
+
+@query(
+    "q84_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+""",
+    doc="Scalar subquery via the SQL surface.",
+)
+def q84(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q84_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM q84_orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM q84_orders)
+        """
+    )
+
+
+@query(
+    "q85_in_subquery",
+    oracle="""
+SELECT n_name FROM nation
+WHERE n_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+""",
+    doc="IN-subquery via the SQL surface (decorrelates to a semi join).",
+)
+def q85(spark, sf_dir):
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("q85_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q85_customer")
+    return spark.sql(
+        """
+        SELECT n_name FROM q85_nation
+        WHERE n_nationkey IN (SELECT c_nationkey FROM q85_customer WHERE c_acctbal > 9000)
+        """
+    )
+
+
+@query(
+    "q86_literal_dim_join",
+    oracle="""
+SELECT w.weight, count(*) AS n
+FROM orders o JOIN (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                          ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(prio, weight)
+  ON o.o_orderpriority = w.prio
+GROUP BY w.weight
+""",
+    doc="Join against an inline literal dimension (broadcast by construction).",
+)
+def q86(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [("1-URGENT", 5), ("2-HIGH", 4), ("3-MEDIUM", 3), ("4-NOT SPECIFIED", 2), ("5-LOW", 1)],
+        "prio string, weight int",
+    )
+    return (
+        o.join(F.broadcast(dim), o.o_orderpriority == dim.prio)
+        .groupBy("weight")
+        .agg(F.count("*").alias("n"))
+    )
