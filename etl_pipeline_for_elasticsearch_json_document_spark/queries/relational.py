@@ -935,3 +935,85 @@ def q86(spark, sf_dir):
         .groupBy("weight")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q87_approx_count_distinct",
+    oracle=None,  # HLL estimates are engine-specific → rows-only check;
+    # the exact/approx agreement is asserted in tests/test_queries.py
+    doc="approx_count_distinct (HyperLogLog++) next to the exact count.",
+)
+def q87(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+    )
+
+
+@query(
+    "q88_posexplode",
+    oracle="""
+SELECT doc_id,
+       CAST(unnest(range(len(ws))) AS INTEGER) AS pos,
+       unnest(ws) AS w
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 5) t
+""",
+    doc="posexplode: positional flattening of an array column.",
+)
+def q88(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+
+
+@query(
+    "q89_full_outer_join",
+    oracle="""
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+""",
+    doc="Full outer join of two aggregates with null repair.",
+)
+def q89(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "q90_map_functions",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       len(json_keys(props)) AS n_keys,
+       list_sort(json_keys(props))[1] AS first_key
+FROM events WHERE event_id < 50
+""",
+    doc="Map/JSON functions: parse the props column as a map, inspect keys "
+    "and values (map_keys / element_at).",
+)
+def q90(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_sort(F.map_keys(m)).getItem(0).alias("first_key"),
+    )
