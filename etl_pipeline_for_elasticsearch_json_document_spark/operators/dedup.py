@@ -110,12 +110,22 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: Signature components are the first PREFIX_LEN hex chars of the md5.
+#: Lexicographic min commutes with fixed-length prefixing (the full-string
+#: min always owns the min prefix), so this IS the md5 min-hash — just 4×
+#: narrower, which shrinks every downstream shuffle/join row. Equality
+#: collisions between distinct hashes are ~2^-32 per comparison.
+PREFIX_LEN = 8
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16
 ) -> DataFrame:
     words = _distinct_words(df, id_col, text_col)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(j)), F.col("w")))).alias(f"mh{j}")
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(str(j)), F.col("w"))), 1, PREFIX_LEN)
+        ).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
     return words.groupBy("doc_id").agg(*aggs)
@@ -140,40 +150,58 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes).cache()
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
-        ).alias(f"band{b}")
+        )
         for b in range(bands)
     ]
-    banded = sig.select("doc_id", *band_cols)
-    buckets = banded.select(
+    # One row per doc carrying the whole signature + every band key: the
+    # bucket self-join then yields *scored* pairs directly — no pair
+    # distinct() shuffle and no signature join-back. Everything is flat
+    # columns (not arrays), so scoring and dedup stay inside whole-stage
+    # codegen with zero per-row allocations.
+    packed = sig.select(
         "doc_id",
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+        *[F.col(f"mh{j}") for j in range(num_hashes)],
+        *[c.alias(f"bk{b}") for b, c in enumerate(band_cols)],
+    ).cache()
+    buckets = packed.select(
+        "*",
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
     )
     a = buckets.alias("a")
-    # Bucket keys (docs × bands) are small next to the corpus text:
-    # broadcast one side so candidate generation is a map-side hash join.
-    b = F.broadcast(buckets).alias("b")
-    cand = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
+    b = buckets.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    sa = sig.select(F.col("doc_id").alias("a_id"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)])
-    sb = sig.select(F.col("doc_id").alias("b_id"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)])
+    # Emit each colliding pair from its FIRST matching band only — the
+    # classic LSH dedup that replaces a 10M-row distinct() with a cheap
+    # per-row predicate (band b fires iff no earlier band also collides).
+    first_match = F.lit(False)
+    for bb in range(bands):
+        no_earlier = F.lit(True)
+        for e in range(bb):
+            no_earlier = no_earlier & (F.col(f"a.bk{e}") != F.col(f"b.bk{e}"))
+        first_match = first_match | ((F.col("a.band") == bb) & no_earlier)
     matches = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_hashes)
+        F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
     )
-    # Candidates are rarer still (only banded collisions) — broadcast them
-    # against the signature table on both sides.
     return (
-        F.broadcast(cand).join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn("est_jaccard", F.round(matches / F.lit(float(num_hashes)), 6))
+        joined.filter(first_match)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
-        .select("a_id", "b_id", "est_jaccard")
     )
 
 

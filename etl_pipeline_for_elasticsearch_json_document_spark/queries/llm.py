@@ -65,8 +65,10 @@ def q31(spark, sf_dir):
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     rows = num_hashes // bands
+    # 8-char md5 prefix: identical to operators/dedup.py PREFIX_LEN (the
+    # lexicographic min commutes with fixed-length prefixing).
     mins = ",\n  ".join(
-        f"min(md5('{j}' || w)) AS mh{j}" for j in range(num_hashes)
+        f"min(substring(md5('{j}' || w), 1, 8)) AS mh{j}" for j in range(num_hashes)
     )
     band_exprs = ",\n   ".join(
         "md5(concat_ws('|', "
