@@ -230,18 +230,69 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return votes.select("doc_id", sh.cast("long").alias("sh"))
 
 
+def _chunk_bounds(bits: int, chunks: int) -> list[tuple[int, int]]:
+    """(shift, mask) per chunk, splitting ``bits`` as evenly as possible."""
+    base, extra = divmod(bits, chunks)
+    bounds, pos = [], 0
+    for c in range(chunks):
+        width = base + (1 if c < extra else 0)
+        bounds.append((pos, (1 << width) - 1))
+        pos += width
+    return bounds
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 3
 ) -> DataFrame:
-    """Pairs with hamming(simhash) ≤ max_hamming. Columns: a_id, b_id, hamming."""
+    """Pairs with hamming(simhash) ≤ max_hamming. Columns: a_id, b_id, hamming.
+
+    Pigeonhole blocking instead of an all-pairs cross join: split the
+    signature into ``max_hamming + 1`` bit-chunks — two signatures within
+    hamming k MUST agree exactly on at least one chunk — and equi-join on
+    (chunk index, chunk value). Each pair is emitted from its first
+    matching chunk only, so no distinct() is needed. This is the scale
+    path: candidate fan-out is governed by chunk width, and the join is a
+    plain equi-join Spark can shuffle/broadcast/AQE-skew-split.
+    """
+    chunks = max_hamming + 1
+    bounds = _chunk_bounds(bits, chunks)
+
+    def chunk(col: Column, c: int) -> Column:
+        shift, mask = bounds[c]
+        return F.shiftright(col, shift).bitwiseAND(F.lit(mask))
+
     sh = simhash(df, id_col, text_col, bits).cache()
-    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"))
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
+    buckets = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(F.array(*[chunk(F.col("sh"), c) for c in range(chunks)])).alias(
+            "c", "ck"
+        ),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.c") == F.col("b.c"))
+        & (F.col("a.ck") == F.col("b.ck"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    first_match = F.lit(False)
+    for c in range(chunks):
+        no_earlier = F.lit(True)
+        for e in range(c):
+            no_earlier = no_earlier & (
+                chunk(F.col("a.sh"), e) != chunk(F.col("b.sh"), e)
+            )
+        first_match = first_match | ((F.col("a.c") == c) & no_earlier)
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        joined.filter(first_match)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
     )
 
 

@@ -1017,3 +1017,227 @@ def q90(spark, sf_dir):
         F.size(F.map_keys(m)).alias("n_keys"),
         F.array_sort(F.map_keys(m)).getItem(0).alias("first_key"),
     )
+
+
+@query(
+    "q91_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Pivot order status into columns (groupBy().pivot() with explicit "
+    "value list so no extra distinct-values job runs).",
+)
+def q91(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in "FOP"],
+    )
+
+
+@query(
+    "q92_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem WHERE l_orderkey < 100
+""",
+    doc="Unpivot measures to rows via stack() (the UNION ALL analog without "
+    "re-scanning the table per measure).",
+)
+def q92(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (measure, val)",
+    )
+
+
+@query(
+    "q93_stats_agg",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Statistical aggregates: stddev/variance/corr/covariance.",
+)
+def q93(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+    )
+
+
+@query(
+    "q94_window_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    doc="Distribution window functions: ntile / percent_rank / cume_dist "
+    "(ties broken by key so ranks are total-order deterministic).",
+)
+def q94(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "q95_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+FROM gaps GROUP BY user_id
+""",
+    doc="Batch sessionization: 30-min-gap session starts counted per user "
+    "(one window pass + one aggregation; the streaming analog is "
+    "session_window in streaming/windows.py).",
+)
+def q95(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    return (
+        e.select("user_id", new_sess.alias("ns"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("ns").alias("n_sessions"))
+    )
+
+
+@query(
+    "q96_regexp_extract_all",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '(\\w*or\\w*)')) AS n_hits,
+       coalesce(regexp_extract_all(text, '(\\w*or\\w*)')[1], '') AS first_hit
+FROM documents WHERE doc_id < 200
+""",
+    doc="regexp_extract_all: all matches of a pattern per document.",
+)
+def q96(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    hits = F.regexp_extract_all("text", F.lit(r"(\w*or\w*)"))
+    return d.select(
+        "doc_id",
+        F.size(hits).alias("n_hits"),
+        F.coalesce(F.get(hits, 0), F.lit("")).alias("first_hit"),
+    )
+
+
+@query(
+    "q97_rolling_time_window",
+    oracle="""
+SELECT event_id,
+       count(*) OVER w AS n_1h,
+       round(cast(sum(cast(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 2) AS sum_1h
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    doc="Rolling 1-hour event-time window per user (RANGE frame over "
+    "epoch-micros; peers at equal ts make it tie-deterministic).",
+)
+def q97(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 2
+        ).alias("sum_1h"),
+    )
+
+
+@query(
+    "q98_nth_value",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    doc="first/last/nth_value with an explicit full-partition ROWS frame.",
+)
+def q98(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    ).distinct()
+
+
+@query(
+    "q99_bool_bit_agg",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_discount <= 0.08) AS all_low_disc,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       bit_and(l_orderkey) AS band,
+       bit_or(l_orderkey) AS bor,
+       bit_xor(l_orderkey) AS bxor
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Boolean and bitwise aggregates.",
+)
+def q99(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") <= 0.08).alias("all_low_disc"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.bit_and("l_orderkey").alias("band"),
+        F.bit_or("l_orderkey").alias("bor"),
+        F.bit_xor("l_orderkey").alias("bxor"),
+    )
