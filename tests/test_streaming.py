@@ -173,3 +173,52 @@ def test_streaming_dedup(spark, tmpdir):
     _run_to_memory(dedup_stream(stream), "dedup")
     got = spark.sql("SELECT event_id FROM dedup")
     assert sorted(r["event_id"] for r in got.collect()) == [1, 2]
+
+
+def test_stateful_sessionize(spark, tmpdir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.stateful import sessionize_stream
+
+    inp = os.path.join(tmpdir, "in")
+    os.makedirs(inp)
+    rows = [
+        # user 1: two sessions (gap of 2h between them)
+        {"user_id": 1, "ts": "2024-01-01 10:00:00"},
+        {"user_id": 1, "ts": "2024-01-01 10:05:00"},
+        {"user_id": 1, "ts": "2024-01-01 12:00:00"},
+        {"user_id": 1, "ts": "2024-01-01 12:05:00"},
+        # user 2: one open session
+        {"user_id": 2, "ts": "2024-01-01 10:00:00"},
+        {"user_id": 2, "ts": "2024-01-01 10:10:00"},
+    ]
+    with open(os.path.join(inp, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    def run_batch():
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").json(inp)
+        sessions = sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", os.path.join(tmpdir, "out"))
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(os.path.join(tmpdir, "out"))
+
+    out1 = run_batch()
+    # user 1's first session closes on the in-batch gap; user 2's closes by
+    # event-time timeout once the watermark (max ts - 10 min) passes
+    # last + gap. Only user 1's 12:00 session is still open.
+    got = {(r.user_id, r.n_events) for r in out1.collect()}
+    assert got == {(1, 2), (2, 2)}, got
+
+    # a much-later event advances the watermark past the remaining open
+    # session's timeout → it flushes
+    with open(os.path.join(inp, "b2.json"), "w") as f:
+        f.write(json.dumps({"user_id": 3, "ts": "2024-01-02 10:00:00"}) + "\n")
+    out2 = run_batch()
+    rows = [(r.user_id, r.session_start_us, r.n_events) for r in out2.collect()]
+    assert len(rows) == 3, rows
+    assert (1, 1704103200000000, 2) in rows, rows  # 2024-01-01 12:00 UTC session
