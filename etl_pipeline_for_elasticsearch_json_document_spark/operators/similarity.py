@@ -124,3 +124,63 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Every corpus vector is assigned to its nearest centroid (one broadcast
+    cross join + a map-side ``max_by`` partial aggregation — no window
+    sort); each query probes its ``nprobe`` nearest partitions and scores
+    only the vectors assigned there. At 100 TB the corpus is written
+    partitioned by ``cid`` so a probe reads nprobe/n_centroids of the data
+    (partition pruning), and centroids come from a sampled k-means fit —
+    here they are caller-supplied, which keeps the operator deterministic
+    and oracle-checkable. Cosines are rounded *before* every argmax/rank
+    so tie-breaks (then by id) are reproducible across engines.
+
+    Columns: q_id, n_id, cos, rank.
+    """
+    cent = F.broadcast(
+        centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+    v = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    asg = (
+        v.crossJoin(cent)
+        .withColumn("ccos", F.round(cosine(F.col("nv"), F.col("cv")), 6))
+        .groupBy("n_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "nv"), F.struct(F.col("ccos"), -F.col("cid"))
+            ).alias("m")
+        )
+        .select(F.col("m.cid").alias("cid"), "n_id", F.col("m.nv").alias("nv"))
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(cent)
+        .withColumn("ccos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "qv", "cid")
+    )
+    scored = (
+        asg.join(F.broadcast(probes), "cid")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w_k = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )

@@ -194,6 +194,48 @@ def q41(spark, sf_dir):
     return similarity.knn_lsh(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+@query(
+    "q42_knn_ivf",
+    oracle="""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+asg AS (SELECT cid, vec_id AS n_id FROM (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC, c.cid) AS rn
+  FROM embeddings v CROSS JOIN cent c) WHERE rn = 1),
+probes AS (SELECT q_id, cid FROM (
+  SELECT q.vec_id AS q_id, c.cid,
+         row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC, c.cid) AS rn
+  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rn <= 4),
+scored AS (
+  SELECT p.q_id, a.n_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cos
+  FROM probes p JOIN asg a USING (cid)
+  JOIN embeddings qe ON qe.vec_id = p.q_id
+  JOIN embeddings ne ON ne.vec_id = a.n_id
+  WHERE a.n_id != p.q_id)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""",
+    doc="ANN top-5 via a deterministic IVF index: nearest-centroid "
+    "assignment (map-side max_by), nprobe=4 partition probe, in-partition "
+    "scoring — the partition-pruning scale path next to q41's LSH.",
+)
+def q42(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") < 16),
+        k=5,
+        nprobe=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
