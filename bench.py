@@ -108,8 +108,14 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # Warm the JVM/codegen once so per-query numbers measure the plan, not
-    # first-call JIT (the driver's wall-clock still includes startup).
+    # first-call JIT (the driver's wall-clock still includes startup), and
+    # prime each table's file listing/footer reads so the first timed query
+    # doesn't absorb first-touch I/O for every input it names.
     force(queries["q13_sort_limit"].fn(spark, sf_dir))
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
 
     for name in HEADLINE:
         t0 = time.time()

@@ -89,3 +89,32 @@ def test_keyset_predicate_pushdown(spark):
     assert "PushedFilters:" in plan
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "o_orderdate" in pushed  # composite cursor reaches the scan
+
+
+def test_minhash_join_is_broadcast_no_pair_distinct(spark):
+    """The LSH candidate join must be a broadcast hash join on band keys
+    and the plan must not re-shuffle pairs (no distinct(), no sort-merge):
+    the first-matching-band predicate dedups in-place."""
+    p = plan_text(Q["q32_minhash_lsh"].fn(spark, SF_DIR), mode="simple")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # exchanges: the postings repartition + at most the cache/bucket sides;
+    # a regression to pair-distinct or signature join-back adds more
+    assert p.count("Exchange") <= 3, p
+
+
+def test_simhash_join_is_blocked_not_crossed(spark):
+    p = plan_text(Q["q33_simhash_pairs"].fn(spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_ivf_assignment_and_probe_are_broadcast(spark):
+    """IVF: centroid fan-outs are broadcast nested-loop joins (tiny build
+    side), the probe→assignment join is a broadcast hash join on cid —
+    nothing shuffles the corpus except the max_by partial aggregation."""
+    p = plan_text(Q["q42_knn_ivf"].fn(spark, SF_DIR), mode="simple")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 2
+    assert "BroadcastHashJoin" in p
