@@ -95,6 +95,24 @@ def bench_flatten(spark) -> dict[str, float]:
             best = min(best, time.time() - t0)
         out[f"flatten_{n}docs"] = round(best, 3)
     src.unpersist()
+
+    # In-memory API rows — the regime BASELINE.md's reference numbers were
+    # actually measured in (its json_to_tsv_in_memory is an in-process call;
+    # a Spark job pays ~2.5 s of fixed task-broadcast overhead per action
+    # that the in-process API doesn't). Same semantics, cross-checked in
+    # tests/test_local_flatten.py.
+    import json as _json
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.local import json_to_tsv_in_memory
+
+    with open(GOLDEN) as f:
+        doc = _json.load(f)["hits"]["hits"][0]["_source"]
+    json_to_tsv_in_memory(doc)  # warm
+    for n, label in ((1, "flatten_1doc_inmem"), (100, "flatten_100docs_inmem")):
+        batch = {"hits": {"hits": [{"_source": doc}] * n}}
+        t0 = time.time()
+        json_to_tsv_in_memory(batch)
+        out[label] = round(time.time() - t0, 3)
     return out
 
 

@@ -21,9 +21,10 @@ and a full relational + LLM-data-pipeline operator surface — Spark-first:
 Everything is built on public PySpark APIs only.
 """
 
+from etl_pipeline_for_elasticsearch_json_document_spark.local import json_to_tsv_in_memory
 from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten, unwrap_envelope
 from etl_pipeline_for_elasticsearch_json_document_spark.session import get_spark
 
-__all__ = ["flatten", "unwrap_envelope", "get_spark"]
+__all__ = ["flatten", "unwrap_envelope", "get_spark", "json_to_tsv_in_memory"]
 
 __version__ = "0.1.0"
