@@ -1,0 +1,103 @@
+"""Distributed connected components — the closer for fuzzy dedup.
+
+Pair generators (MinHash-LSH, SimHash, Jaccard — ``operators/dedup.py``)
+emit *edges*; turning edges into keep/drop decisions needs the transitive
+closure: documents A-B and B-C similar ⇒ {A,B,C} are one duplicate cluster
+with one representative. This module computes per-node cluster labels with
+min-label propagation expressed as plain DataFrame joins:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+iterated to a fixed point. Each iteration is one shuffle-join + one
+aggregation, both on short (id, label) rows; ``localCheckpoint`` truncates
+the lineage so plans stay constant-size across iterations (the classic
+iterative-Spark trap).
+
+Scale notes (100 TB posture): iteration count is the graph diameter, and
+near-dup graphs are dense cliques-of-clusters with tiny diameters (2-4
+hops), so the loop converges in a handful of rounds. For adversarial
+long-chain graphs, switch to the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14), which contracts paths in O(log n) rounds using the same
+join-shape; the propagation step below IS its small-star half. The
+convergence check scans the already-materialized checkpoint of the new
+labels (``isEmpty`` over cached partitions), not a recompute.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    nodes: Optional[DataFrame] = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Per-node minimum-reachable-id labels for an undirected edge list.
+
+    Returns ``(id, cluster_id)`` where ``cluster_id`` is the smallest node
+    id in the component. ``nodes`` (single-column ``id``) optionally adds
+    isolated vertices — e.g. every document, so singletons get their own
+    cluster — otherwise only endpoint nodes are labeled.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct()
+    if nodes is not None:
+        labels = labels.union(nodes.select(F.col(nodes.columns[0]).alias("id"))).distinct()
+    labels = labels.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # min label among each node's neighbors, joined against its own
+        prop = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr"))
+        )
+        merged = (
+            labels.join(prop, labels.id == prop.u, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr"), F.col("cluster_id"))).alias(
+                    "new_cluster_id"
+                ),
+                F.col("cluster_id").alias("old"),
+            )
+            .localCheckpoint()  # materializes; truncates iteration lineage
+        )
+        changed = merged.filter(F.col("new_cluster_id") < F.col("old")).isEmpty()
+        labels = merged.select("id", F.col("new_cluster_id").alias("cluster_id"))
+        if changed:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_docs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a_id",
+    dst: str = "b_id",
+) -> DataFrame:
+    """Cluster assignment for every document given near-dup pairs: columns
+    ``(doc_id, cluster_id, is_representative)``. The representative (the
+    doc to keep) is the minimum id in the cluster; filtering on
+    ``is_representative`` yields the deduplicated corpus."""
+    cc = connected_components(
+        pairs, src=src, dst=dst, nodes=all_docs.select(F.col(id_col).alias("id"))
+    )
+    return cc.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_representative"),
+    )

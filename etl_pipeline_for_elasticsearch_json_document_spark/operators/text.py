@@ -74,6 +74,25 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     )
 
 
+#: RE2-compatible patterns (work identically in Java regex and DuckDB's RE2,
+#: so redaction queries stay oracle-checkable): no lookarounds, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{2,6}"
+
+
+def redact_pii(text: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Scrub PII-shaped spans: each pattern is replaced by its ``[TAG]``.
+
+    Pure ``regexp_replace`` chain — map-only, shuffle-free, codegen-able;
+    the patterns are deliberately RE2-safe so the same redaction is
+    expressible in other engines for verification.
+    """
+    out = text
+    for tag, pat in (patterns or {"EMAIL": EMAIL_RE, "PHONE": PHONE_RE}).items():
+        out = F.regexp_replace(out, pat, f"[{tag}]")
+    return out
+
+
 def language_id(text: Column) -> Column:
     """Heuristic language ID over character classes / frequent-word hits.
 

@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_for_elasticsearch_json_document_spark.operators import dedup, similarity, text
+from etl_pipeline_for_elasticsearch_json_document_spark.operators import (
+    dedup,
+    graph,
+    sampling,
+    similarity,
+    text,
+)
 from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten
 from etl_pipeline_for_elasticsearch_json_document_spark.queries.registry import query
 from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
@@ -495,4 +501,113 @@ def q57(spark, sf_dir):
         .groupBy("tri")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup closure, PII scrubbing, dataset splits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q35_dedup_clusters",
+    oracle="""
+WITH RECURSIVE
+words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT a_id, b_id FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE i / (sa.n + sb.n - i) >= 0.8),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+)
+SELECT id AS doc_id,
+       min(lbl) AS cluster_id,
+       (id = min(lbl)) AS is_representative
+FROM reach GROUP BY id
+""",
+    doc="Fuzzy-dedup closure: Jaccard>=0.8 pairs -> distributed connected "
+    "components (min-label propagation, localCheckpoint per round) -> one "
+    "representative per duplicate cluster. Oracle: recursive-CTE "
+    "transitive closure.",
+)
+def q35(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+    return graph.dedup_clusters(pairs, d, id_col="doc_id")
+
+
+@query(
+    "q58_pii_redaction",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@corp.example.com or ' ||
+         '555-01' || doc_id || '-9944 today' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(raw,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '[0-9]{3}[-.][0-9]{3}[-.][0-9]{2,6}', '[PHONE]', 'g') AS redacted,
+       len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(raw, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{2,6}')) AS n_phones
+FROM synth
+""",
+    doc="PII scrub: RE2-safe email/phone patterns replaced by [TAG] plus "
+    "per-doc match counts; map-only regexp chain, no shuffle. Synthetic "
+    "PII is appended deterministically since the corpus has none.",
+)
+def q58(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.example.com or 555-01"),
+        F.col("doc_id").cast("string"),
+        F.lit("-9944 today"),
+    )
+    return d.select(
+        "doc_id",
+        text.redact_pii(raw).alias("redacted"),
+        F.regexp_count(raw, F.lit(text.EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(text.PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+@query(
+    "q59_train_split",
+    oracle="""
+WITH b AS (
+  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM b GROUP BY split
+""",
+    doc="Deterministic train/val/test split by md5 hash bucket of the doc "
+    "id (75/12.5/12.5): stable across runs, engines, and partitionings — "
+    "never rand(), so no train/test leakage on reprocessing.",
+)
+def q59(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(sampling.split_label(F.col("doc_id")).alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
     )

@@ -123,3 +123,73 @@ def test_text_operator_sanity(spark):
     assert len(r["fp"]) == 32
     assert r["lang"] == "en"
     assert r["n3"] == len("the quick the lazy the end") - 2
+
+
+# ---------------------------------------------------------------------------
+# Connected components / dedup closure
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_converges(spark):
+    # A 6-node path graph needs several propagation rounds (diameter 5):
+    # exercises the iteration + convergence check, not just one hop.
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (20, 21)],
+        "a_id long, b_id long",
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.graph import connected_components
+
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_includes_singletons(spark):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id long, b_id long")
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs, docs).collect()}
+    assert rows[2]["cluster_id"] == 1 and rows[3]["cluster_id"] == 1
+    assert rows[0]["cluster_id"] == 0 and rows[4]["cluster_id"] == 4  # singletons
+    keepers = [d for d, r in rows.items() if r["is_representative"]]
+    assert sorted(keepers) == [0, 1, 4]
+
+
+# ---------------------------------------------------------------------------
+# Sampling / splits / redaction
+# ---------------------------------------------------------------------------
+
+
+def test_split_label_partitioning_invariant(spark):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import split_label
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    one = df.coalesce(1).select("k", split_label(F.col("k")).alias("s")).collect()
+    many = df.repartition(16).select("k", split_label(F.col("k")).alias("s")).collect()
+    assert {(r["k"], r["s"]) for r in one} == {(r["k"], r["s"]) for r in many}
+    counts = {r["s"]: 0 for r in one}
+    for r in one:
+        counts[r["s"]] += 1
+    # 75/12.5/12.5 within loose tolerance
+    assert 650 < counts["train"] < 850
+    assert 50 < counts["val"] < 200 and 50 < counts["test"] < 200
+
+
+def test_deterministic_sample_fraction(spark):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    kept = deterministic_sample(df, "k", per_16=4)
+    n = kept.count()
+    assert 400 < n < 600  # ≈ 4/16 of 2000
+    assert kept.count() == n  # repeatable
+
+
+def test_redact_pii_spark(spark):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-corp.io or call 555-123-4567 now",)], "t string"
+    )
+    out = df.select(redact_pii(F.col("t")).alias("r")).first()["r"]
+    assert out == "mail [EMAIL] or call [PHONE] now"
