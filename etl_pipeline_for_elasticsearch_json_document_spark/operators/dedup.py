@@ -121,14 +121,32 @@ PREFIX_LEN = 8
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    words = _distinct_words(df, id_col, text_col)
-    aggs = [
-        F.min(
-            F.substring(F.md5(F.concat(F.lit(str(j)), F.col("w"))), 1, PREFIX_LEN)
-        ).alias(f"mh{j}")
-        for j in range(num_hashes)
+    """Per-doc K-wide signature computed *row-locally*: the min-hash is an
+    ``array_min`` over the doc's (distinct) tokens, so signature generation
+    is a map-only projection — no explode, no groupBy, no shuffle. At 100 TB
+    this stage streams through the scan at full codegen speed; the only
+    shuffle in the whole LSH pipeline is the candidate join itself."""
+    ws = F.array_distinct(tokens(F.col(text_col)))
+
+    def hash_j(j: int):
+        # NB: capture j in a closure, NOT a default arg — PySpark counts
+        # default args toward higher-order-function arity, and a 2-param
+        # lambda gets (element, index) with the index shadowing the seed.
+        return lambda w: F.substring(F.md5(F.concat(F.lit(str(j)), w)), 1, PREFIX_LEN)
+
+    sig_cols = [
+        F.array_min(F.transform(ws, hash_j(j))).alias(f"mh{j}") for j in range(num_hashes)
     ]
-    return words.groupBy("doc_id").agg(*aggs)
+    # Spread a single-file corpus across cores first: the projection is
+    # map-only, so without this the whole 16×md5×tokens computation runs in
+    # as few tasks as the scan has splits. The shuffled payload is just
+    # (id, text) — far smaller than the exploded postings it replaces.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .repartition(n, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), *sig_cols)
+    )
 
 
 def minhash_lsh_pairs(
@@ -217,17 +235,32 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """Per-doc simhash as BIGINT column ``sh`` (lowest ``bits`` bits)."""
+    """Per-doc simhash as BIGINT column ``sh`` (lowest ``bits`` bits).
+
+    Row-local like ``minhash_signatures``: word hashes come from one
+    ``transform`` over the doc's distinct tokens, bit-majority votes from
+    per-bit ``aggregate`` folds — a map-only projection with no shuffle."""
     assert bits <= 16  # 4 hex chars of md5; extend by slicing more below
-    words = _distinct_words(df, id_col, text_col)
+    ws = F.array_distinct(tokens(F.col(text_col)))
     # word hash bits from the first 4 hex chars of md5(w)
-    h = F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long")
-    wb = words.select("doc_id", *[((F.shiftright(h, i) % 2) * 2 - 1).alias(f"s{i}") for i in range(bits)])
-    votes = wb.groupBy("doc_id").agg(*[F.sum(f"s{i}").alias(f"v{i}") for i in range(bits)])
+    hs = F.transform(ws, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long"))
+
+    def vote(i: int):
+        # closure capture, not a default arg (see hash_j in minhash_signatures)
+        return F.aggregate(
+            hs, F.lit(0).cast("long"), lambda acc, h: acc + (F.shiftright(h, i) % 2) * 2 - 1
+        )
+
+    votes = [vote(i) for i in range(bits)]
     sh = sum(
-        F.when(F.col(f"v{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0)) for i in range(bits)
+        F.when(v > 0, F.lit(2 ** i)).otherwise(F.lit(0)) for i, v in enumerate(votes)
     )
-    return votes.select("doc_id", sh.cast("long").alias("sh"))
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .repartition(n, F.col(id_col))  # spread single-file scans (see minhash)
+        .select(F.col(id_col).alias("doc_id"), sh.cast("long").alias("sh"))
+    )
 
 
 def _chunk_bounds(bits: int, chunks: int) -> list[tuple[int, int]]:

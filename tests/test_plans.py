@@ -20,6 +20,10 @@ Q = all_queries()
 
 
 def plan_text(df, mode="formatted") -> str:
+    # Plan-shape assertions must not depend on what earlier tests left in
+    # the block-manager cache: a matching InMemoryRelation substitutes into
+    # the plan and its *internal* exchanges show up in the rendering.
+    df.sparkSession.catalog.clearCache()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode=mode)
