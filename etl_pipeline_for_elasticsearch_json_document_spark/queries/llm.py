@@ -611,3 +611,62 @@ def q59(spark, sf_dir):
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "q36_repetition_metrics",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd FROM toks),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS b
+       FROM toks),
+bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY doc_id)
+SELECT base.doc_id,
+       round(1 - nd / n, 6) AS dup_token_ratio,
+       round(mx / tot, 6) AS top_bigram_frac
+FROM base JOIN top ON base.doc_id = top.doc_id
+""",
+    doc="Gopher-style repetition quality signals: fraction of repeated "
+    "tokens and the share of the most-frequent bigram — the standard "
+    "boilerplate/degenerate-text filters for training corpora.",
+)
+def q36(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = text.tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(ws).alias("n"),
+        F.size(F.array_distinct(ws)).alias("nd"),
+    )
+    bg = d.select("doc_id", F.explode(text.bigrams(F.col("text"))).alias("b"))
+    bgc = bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    top = bgc.groupBy("doc_id").agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        F.round(1 - F.col("nd") / F.col("n"), 6).alias("dup_token_ratio"),
+        F.round(F.col("mx") / F.col("tot"), 6).alias("top_bigram_frac"),
+    )
+
+
+@query(
+    "q62_frame_sample",
+    oracle="""
+WITH v AS (SELECT doc_id,
+                  octet_length(encode(text)) % 300 + 1 AS n_frames
+           FROM documents WHERE doc_id < 200)
+SELECT doc_id, unnest(range(0, n_frames, 30)) AS frame_idx
+FROM v
+""",
+    doc="Video frame-sampling plan shape: every-Nth-frame fan-out from "
+    "(fake) container metadata; map-only explode, no shuffle.",
+)
+def q62(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return frame_sample_plan(payload, "payload", every_n=30).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )

@@ -122,3 +122,34 @@ def test_ivf_assignment_and_probe_are_broadcast(spark):
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastNestedLoopJoin") == 2
     assert "BroadcastHashJoin" in p
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """100 TB posture: pre-bucketed fact tables co-locate their join keys,
+    so a bucketed self/fact-fact join needs NO Exchange — the scan feeds
+    SortMergeJoin directly. This is the pattern for repeated big-big joins
+    (bucket once, join cheaply forever)."""
+    oa = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    (oa.write.mode("overwrite").option("path", str(tmp_path / "ob"))
+       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b"))
+    (li.write.mode("overwrite").option("path", str(tmp_path / "lb"))
+       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b"))
+    try:
+        j = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        # disable broadcast so the join strategy is the bucketed sort-merge
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = plan_text(j, mode="simple")
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p  # co-located: no shuffle on either side
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
