@@ -670,3 +670,44 @@ def q62(spark, sf_dir):
     return frame_sample_plan(payload, "payload", every_n=30).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@query(
+    "q63_pipeline_e2e",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, n_chars FROM fp
+  WHERE doc_id = (SELECT min(doc_id) FROM fp f2 WHERE f2.f = fp.f)
+    AND n_chars >= 100
+),
+labeled AS (
+  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM kept
+)
+SELECT split, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM labeled GROUP BY split
+""",
+    doc="The whole training-data pipeline in one plan: exact dedup (keep "
+    "min-id representative) -> length quality filter -> deterministic "
+    "hash split -> per-split stats. One shuffle for the dedup window, "
+    "map-only after.",
+)
+def q63(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kept = dedup.dedup_exact(d, "doc_id", "text").filter(F.col("n_chars") >= 100)
+    return (
+        kept.select(sampling.split_label(F.col("doc_id")).alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
