@@ -254,7 +254,7 @@ SELECT lang,
        count(*) AS n_docs,
        round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
        max(len(string_split(text, ' '))) AS max_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """,
     doc="Token counting rolled up by language.",
@@ -298,7 +298,7 @@ def q51(spark, sf_dir):
 @query(
     "q52_lang_facet",
     oracle="""
-SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY lang, source
 """,
     doc="Language × source facet counts.",

@@ -519,7 +519,7 @@ SELECT l_returnflag,
        round(cast(sum(CASE WHEN l_discount > 0.05
                      THEN cast(l_extendedprice AS DECIMAL(18,4))
                      ELSE cast(0 AS DECIMAL(18,4)) END) AS DOUBLE), 2) AS discounted_rev,
-       sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS bulk_lines,
+       CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS bulk_lines,
        count(*) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -754,14 +754,14 @@ def q29(spark, sf_dir):
     oracle="""
 SELECT l_orderkey, l_linenumber,
        round(abs(l_discount - 0.05), 6) AS abs_v,
-       ceil(l_quantity / 7) AS ceil_v,
-       floor(l_quantity / 7) AS floor_v,
+       CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_v,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS floor_v,
        round(sqrt(l_extendedprice), 6) AS sqrt_v,
        round(ln(l_extendedprice + 1), 6) AS ln_v,
        round(log10(l_extendedprice + 1), 6) AS log10_v,
        round(pow(1 + l_tax, 2), 6) AS pow_v,
        CAST(l_partkey % 7 AS BIGINT) AS mod_v,
-       sign(l_discount - 0.05) AS sign_v
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_v
 FROM lineitem WHERE l_orderkey <= 100
 """,
     doc="Math function surface (abs/ceil/floor/sqrt/ln/log10/pow/mod/sign).",
@@ -1122,7 +1122,7 @@ WITH gaps AS (
   FROM events)
 SELECT user_id,
        count(*) AS n_events,
-       sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM gaps GROUP BY user_id
 """,
     doc="Batch sessionization: 30-min-gap session starts counted per user "

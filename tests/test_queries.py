@@ -33,16 +33,58 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # normalize -0.0 and floating noise already handled by query-side round
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
+        # Stay dtype-strict: the driver hashes pandas frames, where a DuckDB
+        # HUGEINT (sum over ints) arrives as float64 and mismatches a Spark
+        # bigint. Rendering 3.0 as "3" here would hide exactly that bug.
+        return repr(v + 0.0 if v == 0 else v)
     return str(v)
 
 
 def row_multiset(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+
+
+def spark_type_class(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt == "boolean":
+        return "bool"
+    if dt.startswith("array"):
+        return "array"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "ts"
+    return "str"
+
+
+def duck_type_class(dt: str) -> str:
+    """Class of a DuckDB type AS PANDAS WOULD SEE IT — the driver compares
+    pandas frames, where HUGEINT (sum over ints) silently becomes float64."""
+    dt = dt.upper()
+    if dt == "HUGEINT":
+        return "float"
+    if "INT" in dt:
+        return "int"
+    if dt in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if dt.startswith("DECIMAL"):
+        return "decimal"
+    if dt == "BOOLEAN":
+        return "bool"
+    if dt.endswith("[]"):
+        return "array"
+    if dt == "DATE":
+        return "date"
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    return "str"
 
 
 QUERIES = all_queries()
@@ -57,11 +99,16 @@ def test_query_vs_oracle(spark, duck, name):
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(q.oracle)
-    d_cols = [c[0] for c in res.description]
-    d_rows = res.fetchall()
+    rel = duck.sql(q.oracle)
+    d_cols = list(rel.columns)
+    d_types = [str(t) for t in rel.types]
+    d_rows = rel.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    s_class = {c: spark_type_class(t) for c, t in sdf.dtypes}
+    d_class = {c: duck_type_class(t) for c, t in zip(d_cols, d_types)}
+    mismatched = {c: (s_class[c], d_class[c]) for c in s_class if s_class[c] != d_class[c]}
+    assert not mismatched, f"{name}: dtype class mismatch (spark, duck-as-pandas): {mismatched}"
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     sm = row_multiset(s_cols, s_rows)
     dm = row_multiset(d_cols, d_rows)
