@@ -70,21 +70,44 @@ def _distinct_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Max postings rows we will force-broadcast in :func:`jaccard_pairs`.
+#: ~32 B/row serialized puts 2M rows around 64 MB — far below Spark's 8 GB
+#: broadcast ceiling but big enough to cover any corpus where all-pairs
+#: Jaccard is sane in the first place (pair count grows quadratically).
+BROADCAST_POSTINGS_MAX_ROWS = 2_000_000
+
+
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    broadcast_postings: bool | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard similarity for all pairs sharing ≥1 token.
 
     Inverted-index join: postings self-joined on the token, intersection
     counted per pair, sizes joined back. Columns: a_id, b_id, jaccard.
+
+    Join strategy: token keys are few and heavily skewed, so a plain
+    sort-merge self-join stalls on hot keys; broadcasting the build side
+    spreads pair generation evenly. But the build side here is the WHOLE
+    postings table (every distinct (doc_id, token) pair), so an unconditional
+    broadcast caps the operator at broadcast-size corpora. Default
+    (``broadcast_postings=None``): broadcast only when the materialized
+    postings count is ≤ :data:`BROADCAST_POSTINGS_MAX_ROWS`; above that,
+    fall back to a shuffle join and let AQE's skew-join split hot tokens.
+    At true 100 TB scale prefer :func:`minhash_lsh_pairs` — exact all-pairs
+    Jaccard is inherently quadratic regardless of join strategy.
     """
     words = _distinct_words(df, id_col, text_col).cache()
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = words.alias("a")
-    # Broadcast the build side: token keys are few and heavily skewed, so a
-    # sort-merge join stalls on hot keys; broadcast-hash spreads the pair
-    # generation evenly. (Postings lists are small relative to the corpus.)
-    b = F.broadcast(words).alias("b")
+    if broadcast_postings is None:
+        # words is cached and reused three times below, so this count just
+        # front-loads the cache materialization it pays for.
+        broadcast_postings = words.count() <= BROADCAST_POSTINGS_MAX_ROWS
+    b = (F.broadcast(words) if broadcast_postings else words).alias("b")
     inter = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import datetime
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,8 +48,24 @@ def run_export_stream(
     if schema is None:
         # Streaming needs a fixed *source* schema; infer it from the files
         # present (per-batch dynamic schema still applies to the flattened
-        # OUTPUT inside foreachBatch, mirroring the reference).
-        schema = spark.read.json(input_dir).schema
+        # OUTPUT inside foreachBatch, mirroring the reference). Inference
+        # requires at least one seed file — a continuously-fed directory is
+        # often empty at stream start, so fail with a actionable message
+        # instead of Spark's opaque "unable to infer schema" error.
+        try:
+            schema = spark.read.json(input_dir).schema
+        except AnalysisException as e:
+            raise ValueError(
+                f"run_export_stream: cannot infer a source schema from {input_dir!r} "
+                "(directory empty or unreadable at stream start). Pass an explicit "
+                "`schema=` — required for directories that are fed after the stream "
+                "starts."
+            ) from e
+        if not schema.fields:
+            raise ValueError(
+                f"run_export_stream: inferred an empty schema from {input_dir!r}; "
+                "pass an explicit `schema=`."
+            )
     src = spark.readStream.schema(schema).json(input_dir)
     audit = AuditLog(spark, audit_path)
 

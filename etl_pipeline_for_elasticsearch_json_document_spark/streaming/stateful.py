@@ -56,19 +56,31 @@ def _session_fold(
         for pdf in pdfs:
             # datetime64[ns] → micros
             ts_us.extend((pdf["ts"].astype("int64") // 1_000).tolist())
-        ts_us.sort()
 
+        # Gap-merge the batch events WITH the open session as intervals, so
+        # late events (admitted by the watermark) that precede the open
+        # session's start extend it backwards (start_us = min) when within
+        # gap, and form their own — immediately closed — session when more
+        # than gap older, instead of being silently absorbed.
+        items = [(t, t, 1) for t in ts_us]
         if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = ts_us[0], ts_us[0], 0
+            items.append(tuple(state.get))
+        if not items:
+            return iter(
+                [pd.DataFrame(closed, columns=["user_id", "session_start_us", "session_end_us", "n_events"])]
+            )
+        items.sort()
+        merged: list[list[int]] = []
+        for s, e, c in items:
+            if merged and s - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += c
+            else:
+                merged.append([s, e, c])
 
-        for t in ts_us:
-            if t - last_us > gap_us:
-                closed.append((uid, start_us, last_us, n))
-                start_us, n = t, 0
-            last_us = max(last_us, t)
-            n += 1
+        for s, e, c in merged[:-1]:
+            closed.append((uid, s, e, c))
+        start_us, last_us, n = merged[-1]
 
         state.update((start_us, last_us, n))
         # flush the open session when the watermark passes last + gap

@@ -222,3 +222,70 @@ def test_stateful_sessionize(spark, tmpdir):
     rows = [(r.user_id, r.session_start_us, r.n_events) for r in out2.collect()]
     assert len(rows) == 3, rows
     assert (1, 1704103200000000, 2) in rows, rows  # 2024-01-01 12:00 UTC session
+
+
+def test_stateful_sessionize_late_events(spark, tmpdir):
+    """Late-but-admitted events (within watermark) that precede the open
+    session's start must extend it backwards when within gap, and form their
+    own closed session when more than gap older — not be silently absorbed."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.stateful import sessionize_stream
+
+    inp = os.path.join(tmpdir, "in")
+    os.makedirs(inp)
+
+    def run_batch():
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").json(inp)
+        sessions = sessionize_stream(stream, gap_minutes=30, watermark="6 hours")
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", os.path.join(tmpdir, "out"))
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(os.path.join(tmpdir, "out"))
+
+    def write_rows(name, rows):
+        with open(os.path.join(inp, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_rows(
+        "b1.json",
+        [
+            {"user_id": 9, "ts": "2024-01-01 12:00:00"},
+            {"user_id": 9, "ts": "2024-01-01 12:05:00"},
+        ],
+    )
+    run_batch()
+
+    # 11:50 is within gap of the open session's 12:00 start -> extends it
+    # backwards; 08:00 is > gap older -> its own (immediately closed) session.
+    write_rows(
+        "b2.json",
+        [
+            {"user_id": 9, "ts": "2024-01-01 11:50:00"},
+            {"user_id": 9, "ts": "2024-01-01 08:00:00"},
+            {"user_id": 10, "ts": "2024-01-01 13:00:00"},
+        ],
+    )
+    run_batch()
+
+    # far-future event pushes the watermark past every open timeout -> flush
+    write_rows("b3.json", [{"user_id": 10, "ts": "2024-01-03 12:00:00"}])
+    out = run_batch()
+
+    def us(s):
+        import datetime as dt
+
+        return int(dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S").replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    user9 = {
+        (r.session_start_us, r.session_end_us, r.n_events)
+        for r in out.filter(F.col("user_id") == 9).collect()
+    }
+    assert user9 == {
+        (us("2024-01-01 08:00:00"), us("2024-01-01 08:00:00"), 1),
+        (us("2024-01-01 11:50:00"), us("2024-01-01 12:05:00"), 3),
+    }, user9
