@@ -54,14 +54,19 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _distinct_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _distinct_words(
+    df: DataFrame, id_col: str, text_col: str, token_expr: Column | None = None
+) -> DataFrame:
     # Hash-repartition by doc id first: a single-file corpus otherwise runs
     # the explode + hashing partial aggregation single-threaded, and the
     # partitioning pre-aligns the later groupBy(doc_id) (no second shuffle).
+    # ``token_expr`` swaps the dedup unit (words → shingles/n-grams) without
+    # touching the join topology.
     n = df.sparkSession.sparkContext.defaultParallelism
+    toks = tokens(F.col(text_col)) if token_expr is None else token_expr
     return df.repartition(n, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+        F.explode(F.array_distinct(toks)).alias("w"),
     )
 
 
@@ -83,8 +88,16 @@ def jaccard_pairs(
     text_col: str,
     threshold: float = 0.6,
     broadcast_postings: bool | None = None,
+    token_expr: Column | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard similarity for all pairs sharing ≥1 token.
+
+    ``token_expr`` overrides the dedup unit — pass
+    :func:`~.text.word_ngrams` for shingle (n-gram) Jaccard, the unit that
+    catches reordered/partially-edited near-duplicates word-set Jaccard
+    misses. Shingles are rarer than words, so the inverted index gets
+    *shorter* postings lists and the quadratic pair generation shrinks —
+    n-gram Jaccard scales strictly better than word Jaccard.
 
     Inverted-index join: postings self-joined on the token, intersection
     counted per pair, sizes joined back. Columns: a_id, b_id, jaccard.
@@ -100,7 +113,7 @@ def jaccard_pairs(
     At true 100 TB scale prefer :func:`minhash_lsh_pairs` — exact all-pairs
     Jaccard is inherently quadratic regardless of join strategy.
     """
-    words = _distinct_words(df, id_col, text_col).cache()
+    words = _distinct_words(df, id_col, text_col, token_expr).cache()
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = words.alias("a")
     if broadcast_postings is None:

@@ -68,6 +68,33 @@ def decode_images_real(df: DataFrame, payload_col: str, id_col: str = "doc_id") 
     return df.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
+def audio_chunk_plan(
+    df: DataFrame,
+    n_samples_col: str,
+    window: int = 16000,
+    hop: int = 8000,
+) -> DataFrame:
+    """Overlapping audio chunking plan: one row per (window, hop) chunk of a
+    track — the fan-out a feature extractor (fbank/wav2vec) consumes.
+
+    ``n_samples_col`` is the per-row sample count from container metadata
+    (decode stays stubbed, the plan shape is real). Pure ``sequence`` +
+    ``explode`` — map-only, no shuffle; tracks shorter than one window yield
+    no chunks. Guarded ``when`` because Spark's ``sequence`` counts DOWN
+    when start > stop — an unguarded short track would emit phantom chunks.
+    Columns: input cols + chunk_start, chunk_end (sample offsets).
+    """
+    from pyspark.sql import functions as F
+
+    n = F.col(n_samples_col)
+    starts = F.when(
+        n >= window, F.sequence(F.lit(0), n - window, F.lit(hop))
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn("chunk_start", F.explode(starts)).withColumn(
+        "chunk_end", F.col("chunk_start") + window
+    )
+
+
 def frame_sample_plan(df: DataFrame, payload_col: str, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan* shape: one row per sampled frame index.
 

@@ -126,6 +126,170 @@ def knn_lsh(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Element-wise mean vector per label — the aggregation primitive under
+    k-means / IVF codebook training and class-prototype embedding.
+
+    ``posexplode`` fans each vector out to (label, dim, x) rows and a single
+    hash aggregation computes every (label, dim) mean; Catalyst's partial
+    (map-side) aggregation means the shuffle carries one partial sum per
+    (label, dim) per task — ~labels × dim rows — not the exploded data, so
+    this holds at any corpus size. Sums run in DECIMAL(18,9) (exact,
+    associative) so the result is independent of partitioning/add order —
+    float sums are not. Columns: label, dim, c (rounded mean), n_vecs.
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("c"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+def _l2sq(a, b):
+    """Squared L2 distance of two array<double> columns (zip_with/aggregate
+    left fold — same evaluation order as the oracle's list_sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int, out_id: str) -> DataFrame:
+    """One row per (id, subspace) with the sub_dim-wide double subvector."""
+    sub = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
+                lambda x: x.cast("double"),
+            ),
+        )
+    )
+    return df.select(F.col(id_col).alias(out_id), sub.alias("s", "v"))
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k via product quantization (asymmetric distance).
+
+    The classic memory-bound ANN design (Jégou et al., PAMI 2011), built
+    entirely from relational ops so it has an exact SQL oracle:
+
+    1. Split every vector into ``m`` subvectors of ``sub_dim`` dims.
+    2. Encode the corpus: per (vector, subspace), the id of the nearest
+       codebook centroid — ``m`` small codes replace the full vector
+       (here m×1 ids ≈ 8 bytes vs 256 bytes of floats: 32× compression).
+    3. ADC scoring: per query, precompute the distance to every centroid in
+       every subspace (an m × n_centroids lookup table, broadcast), then a
+       query↔corpus distance is just the SUM of m table lookups — no float
+       vector math against the corpus at all.
+
+    At 100 TB the corpus stores only codes (re-encoded once), the lookup
+    tables are KBs per query, and scoring is an equi-join on (s, cid) + a
+    sum — embarrassingly parallel, no full-vector I/O. Distances are
+    rounded then summed as DECIMAL(18,6) so ranking is add-order-independent
+    and tie-breaks (then by id) reproduce across engines.
+
+    Codebook here = caller-supplied training vectors (deterministic,
+    oracle-checkable stand-in for sampled k-means — same protocol as
+    :func:`knn_ivf`). Columns: q_id, n_id, adist, rank.
+    """
+    cb = F.broadcast(
+        _subvectors(codebook_vectors, id_col, vec_col, m, sub_dim, "cid").select(
+            "cid", "s", F.col("v").alias("cv")
+        )
+    )
+    # encode: nearest centroid per (corpus vector, subspace); min_by on the
+    # (dist, cid) struct gives the deterministic argmin in one partial agg
+    codes = (
+        _subvectors(corpus, id_col, vec_col, m, sub_dim, "n_id")
+        .join(cb, "s")
+        .withColumn("d", F.round(_l2sq(F.col("v"), F.col("cv")), 6))
+        .groupBy("n_id", "s")
+        .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"))
+    )
+    # ADC lookup tables: distance from each query subvector to each centroid
+    qd = (
+        _subvectors(queries, id_col, vec_col, m, sub_dim, "q_id")
+        .join(cb, "s")
+        .select(
+            "q_id",
+            "s",
+            "cid",
+            F.round(_l2sq(F.col("v"), F.col("cv")), 6)
+            .cast("decimal(18,6)")
+            .alias("qdist"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qd), ["s", "cid"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.round(F.sum("qdist").cast("double"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist"), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "adist", "rank")
+    )
+
+
+def knn_pq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """PQ two-stage search: ADC shortlist (:func:`knn_pq`, code-only scan —
+    cheap) then exact cosine re-rank of the shortlist (full vectors fetched
+    for ``shortlist`` rows per query only). This is how PQ is deployed:
+    quantization error caps shortlist precision, not final precision —
+    recall is governed by the shortlist size. Columns: q_id, n_id, cos,
+    rank."""
+    short = knn_pq(
+        corpus, queries, codebook_vectors, id_col, vec_col, m, sub_dim, k=shortlist
+    ).select("q_id", "n_id")
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    nv = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        short.join(F.broadcast(qv), "q_id")
+        .join(nv, "n_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -65,6 +65,21 @@ def bigrams(text: Column) -> Column:
     )
 
 
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), the standard dedup unit for
+    near-duplicate detection at corpus scale. Map-only: a ``transform`` over
+    index positions, no explode until the caller needs rows. Documents with
+    fewer than ``n`` tokens yield an empty array (never a descending
+    ``sequence`` — Spark's sequence counts DOWN when start > stop)."""
+    ws = tokens(text)
+    cnt = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """Character n-gram shingles (for MinHash / language-ID features)."""
     t = F.regexp_replace(F.lower(text), r"\s+", " ")

@@ -69,6 +69,34 @@ def q31(spark, sf_dir):
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.6)
 
 
+@query(
+    "q37_shingle_jaccard",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS w
+       FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(i / (sa.n + sb.n - i), 6) >= 0.5
+""",
+    doc="3-word-shingle (n-gram) Jaccard near-dup pairs — same inverted-"
+    "index join as q31 with the dedup unit swapped to shingles, which "
+    "catches reordered/edited near-dups and shrinks postings lists.",
+)
+def q37(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        d, "doc_id", "text", threshold=0.5, token_expr=text.word_ngrams(F.col("text"), 3)
+    )
+
+
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     rows = num_hashes // bands
     # 8-char md5 prefix: identical to operators/dedup.py PREFIX_LEN (the
@@ -240,6 +268,80 @@ def q42(spark, sf_dir):
         k=5,
         nprobe=4,
     )
+
+
+def _pq_oracle(m: int = 8, sd: int = 8, n_cent: int = 16, n_q: int = 10, k: int = 5) -> str:
+    l2 = "round(list_sum(list_transform(range(1, {sd} + 1), i -> ({a}.v[i] - cb.cv[i]) ^ 2)), 6)"
+    return f"""
+WITH sub AS (
+  SELECT vec_id, s, list_transform(range(1, {sd + 1}), i -> embedding[s * {sd} + i]::DOUBLE) AS v
+  FROM embeddings, range(0, {m}) t(s)
+),
+cb AS (SELECT vec_id AS cid, s, v AS cv FROM sub WHERE vec_id < {n_cent}),
+codes AS (
+  SELECT n_id, s, cid FROM (
+    SELECT sub.vec_id AS n_id, sub.s, cb.cid,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+               ORDER BY {l2.format(sd=sd, a="sub")}, cb.cid) AS rn
+    FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1
+),
+qd AS (
+  SELECT q.vec_id AS q_id, q.s, cb.cid,
+         CAST({l2.format(sd=sd, a="q")} AS DECIMAL(18,6)) AS qdist
+  FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < {n_q}
+),
+scored AS (
+  SELECT qd.q_id, codes.n_id, round(CAST(sum(qd.qdist) AS DOUBLE), 6) AS adist
+  FROM codes JOIN qd ON codes.s = qd.s AND codes.cid = qd.cid
+  WHERE codes.n_id != qd.q_id
+  GROUP BY qd.q_id, codes.n_id
+)
+SELECT q_id, n_id, adist, rank FROM (
+  SELECT q_id, n_id, adist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@query(
+    "q43_knn_pq",
+    oracle=_pq_oracle(),
+    doc="ANN top-5 via product quantization (8×8-dim subspaces, 16-centroid "
+    "codebooks, asymmetric-distance scoring): corpus stored as m tiny codes, "
+    "query scoring = m lookup-table sums — the memory-bound ANN design next "
+    "to q41's LSH and q42's IVF. Fully relational, exact SQL oracle.",
+)
+def q43(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_pq(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") < 16),
+        m=8,
+        sub_dim=8,
+        k=5,
+    )
+
+
+@query(
+    "q44_label_centroids",
+    oracle="""
+WITH ex AS (
+  SELECT label, s AS dim, embedding[s + 1]::DOUBLE AS x
+  FROM embeddings, range(0, 64) t(s)
+)
+SELECT label, dim,
+       round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS c,
+       count(*) AS n_vecs
+FROM ex GROUP BY label, dim
+""",
+    doc="Element-wise centroid per label (the k-means/codebook-training "
+    "aggregation primitive): posexplode + one partial-aggregated shuffle; "
+    "decimal sums make the result add-order-independent.",
+)
+def q44(spark, sf_dir):
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -669,6 +771,73 @@ def q62(spark, sf_dir):
     payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return frame_sample_plan(payload, "payload", every_n=30).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+@query(
+    "q65_outlink_domains",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' see https://site' || (doc_id % 7) || '.example.org/p/' || doc_id ||
+         ' and http://cdn' || (doc_id % 3) || '.example.net/a' AS raw
+  FROM documents
+),
+links AS (
+  SELECT doc_id, unnest(regexp_extract_all(raw, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+  FROM synth
+)
+SELECT domain, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+FROM links GROUP BY domain
+""",
+    doc="Web-corpus outlink analysis: extract every URL's domain "
+    "(RE2-safe regexp_extract_all), explode, facet-count. Synthetic links "
+    "are appended deterministically since the corpus has none; the "
+    "extract+explode+count shape is the real web-graph pipeline stage.",
+)
+def q65(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and http://cdn"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.net/a"),
+    )
+    links = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(raw, F.lit(r"https?://([A-Za-z0-9.-]+)"), F.lit(1))
+        ).alias("domain"),
+    )
+    return links.groupBy("domain").agg(
+        F.count("*").alias("n_links"), F.countDistinct("doc_id").alias("n_docs")
+    )
+
+
+@query(
+    "q66_audio_chunks",
+    oracle="""
+WITH a AS (SELECT doc_id, n_chars * 100 AS n_samples FROM documents WHERE doc_id < 100)
+SELECT doc_id, chunk_start, chunk_start + 16000 AS chunk_end
+FROM (SELECT doc_id, unnest(range(0, greatest(n_samples - 16000 + 1, 0), 8000)) AS chunk_start
+      FROM a)
+""",
+    doc="Overlapping audio chunking (1 s window, 50% hop at 16 kHz) from "
+    "container metadata: sequence+explode fan-out, map-only — the plan "
+    "shape feeding an fbank/wav2vec feature extractor. Sample counts are "
+    "derived deterministically from doc length (codec stubbed).",
+)
+def q66(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.multimodal import audio_chunk_plan
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    meta = d.select("doc_id", (F.col("n_chars") * F.lit(100)).alias("n_samples"))
+    return audio_chunk_plan(meta, "n_samples", window=16000, hop=8000).select(
+        "doc_id", "chunk_start", "chunk_end"
     )
 
 

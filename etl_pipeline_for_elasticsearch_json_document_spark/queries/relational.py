@@ -744,6 +744,40 @@ def q29(spark, sf_dir):
     )
 
 
+@query(
+    "q64_sessionize",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 1 HOUR) AS session_end_us,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM g GROUP BY user_id, sid
+""",
+    doc="Batch sessionization via Spark's session_window (gap 1 h) — the "
+    "same operator the streaming path uses, so backfill and live stream "
+    "agree. Oracle: gaps-and-islands (lag + running sum). An event at "
+    "EXACTLY the gap boundary merges (verified against session_window in "
+    "tests) — a new session needs diff > gap, so the oracle uses strict >.",
+)
+def q64(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.windows import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap="1 hour")
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function breadth + subqueries
 # ---------------------------------------------------------------------------

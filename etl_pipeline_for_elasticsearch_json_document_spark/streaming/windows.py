@@ -74,6 +74,41 @@ def session_counts(
     )
 
 
+def sessionize_batch(
+    events: DataFrame,
+    gap: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Batch sessionization with the SAME ``session_window`` operator the
+    streaming path uses (Spark's session window is mode-agnostic), so batch
+    backfill and the live stream produce identical sessions — the property a
+    lambda-architecture pipeline needs.
+
+    Semantics: events of one key merge into a session while each is <= gap
+    after the previous (an event at EXACTLY the gap boundary still merges —
+    verified in tests); the emitted window is [min(ts), max(ts) + gap].
+    Timestamps are surfaced as unix micros for engine-portable comparison.
+    One shuffle on the key, session merging is in-partition. Columns:
+    user_id (key), session_start_us, session_end_us, n_events, total_value.
+    """
+    return (
+        events.groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     watermark: str = "1 hour",

@@ -193,3 +193,91 @@ def test_redact_pii_spark(spark):
     )
     out = df.select(redact_pii(F.col("t")).alias("r")).first()["r"]
     assert out == "mail [EMAIL] or call [PHONE] now"
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, "one two three"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["g"] for r in
+            df.select("doc_id", text.word_ngrams(F.col("text"), 3).alias("g")).collect()}
+    assert rows[0] == []  # < n tokens: empty, NOT a descending sequence
+    assert rows[1] == ["one two three"]
+    assert rows[2] == ["a b c", "b c d"]
+
+
+def test_shingle_jaccard_catches_edit(corpus):
+    pairs = {(r["a_id"], r["b_id"]) for r in
+             dedup.jaccard_pairs(
+                 corpus, "doc_id", "text", threshold=0.5,
+                 token_expr=text.word_ngrams(F.col("text"), 3)).collect()}
+    assert (0, 1) in pairs  # identical docs
+    assert (0, 2) in pairs  # one-word suffix edit still shares most shingles
+    assert not any(5 in p for p in pairs)
+
+
+def test_knn_pq_shortlist_and_rerank_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cb = emb.filter(F.col("vec_id") < 16)
+    e = {(r["q_id"], r["n_id"]) for r in similarity.knn_bruteforce(emb, q, k=5).collect()}
+    # ADC shortlist: quantization with an untrained 16-centroid codebook is
+    # coarse, so judge it as a shortlist (recall@50), the way PQ is used
+    short = {(r["q_id"], r["n_id"]) for r in
+             similarity.knn_pq(emb, q, cb, k=50).collect()}
+    short_recall = len(e & short) / len(e)
+    assert short_recall >= 0.7, f"PQ shortlist recall too low: {short_recall}"
+    # two-stage (shortlist -> exact cosine rerank) recovers nearly exact top-k
+    rer = similarity.knn_pq_rerank(emb, q, cb, k=5, shortlist=50)
+    a = {(r["q_id"], r["n_id"]) for r in rer.collect()}
+    assert len(e & a) / len(e) >= 0.7
+    assert rer.count() == 50  # full top-5 per query
+
+
+def test_label_centroids_exact(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0], 7), (1, [3.0, 5.0], 7), (2, [10.0, 20.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {(r["label"], r["dim"]): (r["c"], r["n_vecs"])
+            for r in similarity.label_centroids(df).collect()}
+    assert rows[(7, 0)] == (2.0, 2)
+    assert rows[(7, 1)] == (4.0, 2)
+    assert rows[(8, 0)] == (10.0, 1)
+
+
+def test_audio_chunk_plan_short_track_empty(spark):
+    df = spark.createDataFrame(
+        [(0, 15999), (1, 16000), (2, 40000)], "doc_id long, n_samples long"
+    )
+    out = multimodal.audio_chunk_plan(df, "n_samples").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_start"], r["chunk_end"]))
+    assert 0 not in by_doc  # shorter than one window: no chunks
+    assert by_doc[1] == [(0, 16000)]
+    assert by_doc[2] == [(0, 16000), (8000, 24000), (16000, 32000), (24000, 40000)]
+
+
+def test_sessionize_batch_gap_boundary(spark):
+    from datetime import datetime
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.windows import sessionize_batch
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (1, datetime(2024, 1, 1, 0, 30, 0), 1.0),   # < gap: same session
+        (1, datetime(2024, 1, 1, 1, 30, 0), 1.0),   # EXACTLY gap after prev: merges
+        (1, datetime(2024, 1, 1, 2, 30, 0, 1), 1.0),  # 1 us past gap: NEW session
+        (2, datetime(2024, 1, 1, 5, 0, 0), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sessionize_batch(df, gap="1 hour").collect()
+    u1 = sorted([r for r in out if r["user_id"] == 1], key=lambda r: r["session_start_us"])
+    assert len(u1) == 2, "only a gap STRICTLY greater than 1 h opens a session"
+    assert u1[0]["n_events"] == 3 and u1[1]["n_events"] == 1
+    # window is [min_ts, max_ts + gap]: 00:00 .. 01:30 + 1h = 150 min span
+    assert u1[0]["session_end_us"] - u1[0]["session_start_us"] == 150 * 60 * 1_000_000
+    assert len([r for r in out if r["user_id"] == 2]) == 1
