@@ -144,9 +144,12 @@ def main() -> None:
     for name in HEADLINE:
         df = queries[name].fn(spark, sf_dir)
         force(df)  # warm-up: codegen + JIT
-        t0 = time.time()
-        force(df)
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # C2 ramp takes ~2 runs for the widest codegen
+            t0 = time.time()
+            force(df)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     timings.update(bench_flatten(spark))
 

@@ -153,3 +153,28 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_pq_codebook_joins_broadcast(spark):
+    """PQ's codebook and ADC lookup tables are tiny by construction — both
+    joins must be broadcast; a sort-merge join would shuffle the whole
+    exploded corpus on (s, cid)."""
+    plan = plan_text(Q["q43_knn_pq"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # encode join + ADC join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_centroids_partial_agg(spark):
+    """The posexplode fan-out must be reduced map-side: partial + final
+    HashAggregate pair around one exchange, never a raw-row shuffle."""
+    plan = plan_text(Q["q44_label_centroids"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE rendering slack)
+
+
+def test_audio_chunks_map_only(spark):
+    """Chunk fan-out is generate+project over the scan — zero shuffles."""
+    plan = plan_text(Q["q66_audio_chunks"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
