@@ -94,6 +94,21 @@ def bench_flatten(spark) -> dict[str, float]:
             force(o)
             best = min(best, time.time() - t0)
         out[f"flatten_{n}docs"] = round(best, 3)
+    # The M5 column-family scale path on the same 10k-doc batch: ~10
+    # subtree tables instead of one 5k-wide row. Each family projection is
+    # narrow (codegen-friendly) and its parquet scan prunes to the subtree,
+    # so even run SEQUENTIALLY on one node this beats the wide select; on a
+    # cluster the families are independent jobs.
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten_families
+
+    docs10k = spark.read.parquet("/tmp/etl_pipeline_bench_docs10000.parquet")
+    fams = list(flatten_families(docs10k, families=10).values())
+    for d in fams:
+        force(d)  # warm-up
+    t0 = time.time()
+    for d in fams:
+        force(d)
+    out["flatten_10000docs_families"] = round(time.time() - t0, 3)
     src.unpersist()
 
     # In-memory API rows — the regime BASELINE.md's reference numbers were

@@ -204,3 +204,60 @@ def test_golden_document_parity(spark, reference_etl):
         c: (row[c], ref_row[c]) for c in ref_pdf.columns if str(row[c]) != str(ref_row[c])
     }
     assert not mismatches, f"{len(mismatches)} mismatched cells, e.g. {list(mismatches.items())[:10]}"
+
+
+# ---------------------------------------------------------------------------
+# Column-family split (the M5 scale path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_flatten_families_partition_and_values(spark):
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten_families
+
+    df = spark.read.option("multiLine", True).json(GOLDEN)
+    wide = flatten(df)
+    # alias the key to a name outside the flattened column space — the
+    # document itself flattens to a ClaimRequestId column
+    fams = flatten_families(df, families=10, key_exprs=("claimRequestId AS __key",))
+    assert len(fams) >= 5  # ~10 requested; subtree granularity may merge some
+    # the families partition the wide column set exactly (keys aside)
+    fam_cols = []
+    for d in fams.values():
+        assert d.columns[0] == "__key"
+        fam_cols.extend(d.columns[1:])
+    assert sorted(fam_cols) == sorted(wide.columns)
+    assert len(fam_cols) == len(set(fam_cols))
+    # spot-check values of one family against the wide flatten
+    name, fam = next(iter(fams.items()))
+    wide_row = wide.select(*fam.columns[1:]).collect()[0].asDict()
+    fam_row = fam.drop("__key").collect()[0].asDict()
+    assert fam_row == wide_row
+
+
+def test_flatten_families_scan_is_pruned(spark, tmp_path):
+    """A family's parquet scan must read only its subtree, not the whole
+    document — the I/O win that motivates the split. (Parquet only: JSON
+    scans are row-oriented and don't nested-prune.)"""
+    import contextlib
+    import io
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import (
+        flatten_families,
+        unwrap_envelope,
+    )
+
+    src = unwrap_envelope(spark.read.option("multiLine", True).json(GOLDEN))
+    path = str(tmp_path / "docs.parquet")
+    src.write.parquet(path)
+    docs = spark.read.parquet(path)
+    fams = flatten_families(docs, families=10)
+    # pick a family that does NOT cover the medicare subtree
+    name, fam = next(
+        (n, d) for n, d in fams.items() if not any(c.startswith("Medicare") for c in d.columns)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fam.explain(mode="formatted")
+    read_schema = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l][0]
+    assert "medicareConfig" not in read_schema, name
