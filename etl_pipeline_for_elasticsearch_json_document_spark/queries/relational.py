@@ -986,6 +986,24 @@ def q87(spark, sf_dir):
 
 
 @query(
+    "q67_hll_sketch_distinct",
+    oracle=None,  # Apache DataSketches HLL buffers are engine-specific →
+    # rows-only check; accuracy and sketch MERGEABILITY (the property that
+    # makes distinct-count pre-aggregation work at 100 TB: per-partition /
+    # per-day sketches union without re-reading raw data) are asserted in
+    # tests/test_sketches.py
+    doc="Mergeable HLL sketch per group: hll_sketch_agg buffers roll up "
+    "via hll_union_agg — the incremental-rollup path for distinct counts.",
+)
+def q67(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
     "q88_posexplode",
     oracle="""
 SELECT doc_id,
