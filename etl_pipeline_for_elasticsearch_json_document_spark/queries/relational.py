@@ -986,6 +986,56 @@ def q87(spark, sf_dir):
 
 
 @query(
+    "q68_ntile_deciles",
+    oracle="""
+WITH b AS (
+  SELECT o_orderstatus, o_totalprice,
+         ntile(10) OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT o_orderstatus, decile, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM b GROUP BY o_orderstatus, decile
+""",
+    doc="Equal-frequency decile buckets per group (ntile window; ties "
+    "broken by key for cross-engine determinism) with per-bucket ranges — "
+    "the histogram/binning primitive.",
+)
+def q68(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("o_orderstatus", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q69_group_concat",
+    oracle="""
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="Ordered group concatenation (listagg): collect_set -> sort_array "
+    "-> array_join keeps the result deterministic under any partitioning.",
+)
+def q69(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderpriority")), ","
+        ).alias("prios")
+    )
+
+
+@query(
     "q67_hll_sketch_distinct",
     oracle=None,  # Apache DataSketches HLL buffers are engine-specific →
     # rows-only check; accuracy and sketch MERGEABILITY (the property that

@@ -289,3 +289,32 @@ def test_stateful_sessionize_late_events(spark, tmpdir):
         (us("2024-01-01 08:00:00"), us("2024-01-01 08:00:00"), 1),
         (us("2024-01-01 11:50:00"), us("2024-01-01 12:05:00"), 3),
     }, user9
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmpdir):
+    """Every session the stream emits (append mode: closed sessions only)
+    must byte-match the batch sessionize_batch result — the lambda-architecture
+    guarantee that backfill and live agree."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.windows import sessionize_batch
+
+    stream = _stream_events(spark, sf_dir, tmpdir)
+    _run_to_memory(session_counts(stream, gap="30 minutes"), "sessions_parity", mode="append")
+    got = {
+        (r["user_id"], r["s_us"], r["e_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_parity")
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("s_us"),
+            F.unix_micros("session_end").alias("e_us"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert got, "stream emitted no closed sessions"
+    batch = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in sessionize_batch(
+            load_table(spark, sf_dir, "events"), gap="30 minutes"
+        ).collect()
+    }
+    assert got <= batch, f"{len(got - batch)} streamed sessions differ from batch"
