@@ -124,3 +124,57 @@ def language_id(text: Column) -> Column:
         .when(t.rlike(r"[一-鿿]"), "zh")
         .otherwise("en")
     )
+
+
+def normalized_chars(text: Column) -> Column:
+    """Case/whitespace-normalized character stream (the winnowing and
+    fingerprinting preprocessing step)."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def winnow_gram_hashes(text: Column, k: int = 5) -> Column:
+    """Hashes of all character k-grams of the normalized text — the rolling-
+    hash stream winnowing samples from. Map-only ``transform`` over substring
+    positions (no explode); each hash is an 8-hex-char md5 prefix so the
+    identical stream is expressible in any engine with md5.
+
+    Texts shorter than k yield an empty array (guarding Spark's descending
+    ``sequence`` when start > stop)."""
+    t = normalized_chars(text)
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_select(gram_hashes: Column, window: int = 4) -> Column:
+    """Winnowing (Schleimer, Wilkerson & Aiken — the MOSS fingerprint): keep
+    the minimum hash of every ``window`` consecutive k-gram hashes, then
+    distinct. Guarantees any shared substring of length >= k + window - 1
+    contributes at least one shared fingerprint, while keeping only
+    ~2/(window+1) of the grams — the sampled sketch that replaces full
+    shingle postings at corpus scale. Pure array ops, shuffle-free."""
+    m = F.size(gram_hashes)
+    wins = F.transform(
+        F.sequence(F.lit(1), m - F.lit(window - 1)),
+        lambda j: F.array_min(F.slice(gram_hashes, j, window)),
+    )
+    return F.when(m >= window, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+#: Portable GPT-2-style pre-tokenizer: runs of letters, single digits, runs
+#: of other non-space symbols. Deliberately RE2-safe (no \p classes, no
+#: lookarounds) so token counts are reproducible in any RE2/Java-regex
+#: engine for verification.
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """BPE-style pre-tokenization (the split-points a byte-pair encoder
+    merges within): array of pretoken strings. regexp_extract_all is a
+    single codegen-able JVM expression — no UDF, no explode."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)

@@ -99,10 +99,12 @@ def q37(spark, sf_dir):
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     rows = num_hashes // bands
-    # 8-char md5 prefix: identical to operators/dedup.py PREFIX_LEN (the
-    # lexicographic min commutes with fixed-length prefixing).
+    # Hash function k = 8 hex chars of md5(seed || w) at offset (k%4)*8 —
+    # identical family to operators/dedup.py (PREFIX_LEN slices, 4 per md5).
     mins = ",\n  ".join(
-        f"min(substring(md5('{j}' || w), 1, 8)) AS mh{j}" for j in range(num_hashes)
+        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
+        for k in range(num_hashes)
     )
     band_exprs = ",\n   ".join(
         "md5(concat_ws('|', "
@@ -367,7 +369,7 @@ def q50(spark, sf_dir):
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(nt), 4).alias("avg_tokens"),
-        F.max(nt).alias("max_tokens"),
+        F.max(nt).cast("long").alias("max_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
 
@@ -880,3 +882,96 @@ def q63(spark, sf_dir):
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "q71_winnowing_fingerprints",
+    oracle=r"""
+WITH t AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+           FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_transform(range(1, len(t) - 3),
+                                      i -> substring(md5(substring(t, i, 5)), 1, 8))
+                  ELSE CAST([] AS VARCHAR[]) END AS hs
+      FROM t)
+SELECT doc_id,
+       unnest(CASE WHEN len(hs) >= 4
+                   THEN list_distinct(list_transform(range(1, len(hs) - 2),
+                                                     j -> list_min(hs[j:j+3])))
+                   ELSE CAST([] AS VARCHAR[]) END) AS fp
+FROM g
+""",
+    doc="Winnowing document fingerprints (MOSS): char-5-gram md5 stream, "
+    "sliding-window-4 minimum sampling, distinct — the sampled sketch that "
+    "replaces full shingle postings for near-dup detection at corpus scale. "
+    "Map-only until the caller joins sketches.",
+)
+def q71(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    g = d.select("doc_id", text.winnow_gram_hashes(F.col("text"), k=5).alias("hs"))
+    return g.select(
+        "doc_id", F.explode(text.winnow_select(F.col("hs"), window=4)).alias("fp")
+    )
+
+
+@query(
+    "q72_bpe_token_stats",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(nb), 4) AS avg_bpe,
+       CAST(max(nb) AS BIGINT) AS max_bpe,
+       round(avg(nb / nw), 4) AS fertility
+FROM (SELECT lang,
+             len(regexp_extract_all(text, '{text.BPE_PRETOKEN_RE}')) AS nb,
+             len(string_split(text, ' ')) AS nw
+      FROM documents)
+GROUP BY lang
+""",
+    doc="BPE-style pre-tokenizer counts by language (letters runs / single "
+    "digits / symbol runs — RE2-portable), with fertility = pretokens per "
+    "whitespace word. One regexp_extract_all expression, no UDF.",
+)
+def q72(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nb = F.size(text.bpe_pretokens(F.col("text")))
+    nw = text.token_count(F.col("text"))
+    return (
+        d.select("lang", nb.alias("nb"), nw.alias("nw"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nb"), 4).alias("avg_bpe"),
+            F.max("nb").cast("long").alias("max_bpe"),
+            F.round(F.avg(F.col("nb") / F.col("nw")), 4).alias("fertility"),
+        )
+    )
+
+
+@query(
+    "q75_top_tokens_per_lang",
+    oracle="""
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT lang, w, count(*) AS n FROM tok GROUP BY lang, w)
+SELECT lang, w, n, rnk
+FROM (SELECT lang, w, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rnk
+      FROM c)
+WHERE rnk <= 10
+""",
+    doc="Top-10 frequent tokens per language — the heavy-hitter / vocab "
+    "primitive: explode -> partial-aggregated count (map-side combine "
+    "absorbs hot tokens) -> per-group window top-k on the counts relation.",
+)
+def q75(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    rnk = F.row_number().over(Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("w")))
+    return c.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= 10)

@@ -1343,3 +1343,76 @@ def q99(spark, sf_dir):
         F.bit_or("l_orderkey").alias("bor"),
         F.bit_xor("l_orderkey").alias("bxor"),
     )
+
+
+def _q73_oracle() -> str:
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(
+        "o_custkey", "(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)))"
+    )
+    return f"SELECT o_orderkey, {z} AS zkey FROM orders"
+
+
+@query(
+    "q73_zorder_key",
+    oracle=_q73_oracle(),
+    doc="Z-order (Morton) clustering key over (customer, order day) — the "
+    "multi-column file-skipping layout: writing files range-partitioned on "
+    "this key keeps BOTH columns' min/max tight per file, so parquet footer "
+    "stats prune scans filtered on either column. Pure bit arithmetic, "
+    "codegen-able; see operators/layout.py::write_zordered for the sink.",
+)
+def q73(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.layout import zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    return o.select("o_orderkey", zorder_key(F.col("o_custkey"), day).alias("zkey"))
+
+
+_Q74_LO, _Q74_HI, _Q74_BINS = 900.0, 105000.0, 256
+
+
+def _q74_oracle() -> str:
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sketches import binned_sketch_sql
+
+    lo, hi, bins = _Q74_LO, _Q74_HI, _Q74_BINS
+    width = (hi - lo) / bins
+    sk = binned_sketch_sql("lineitem", ["l_returnflag"], "l_extendedprice", lo, hi, bins)
+    # every literal cast to DOUBLE: DuckDB parses `900.0` as DECIMAL and
+    # would carry decimal arithmetic where Spark computes IEEE doubles
+    picks = ", ".join(
+        f"round({lo!r}::DOUBLE + (min(CASE WHEN cum >= {q}::DOUBLE * total THEN bin END)"
+        f" + 0.5::DOUBLE) * {width!r}::DOUBLE, 6) AS p{int(q * 100):02d}"
+        for q in (0.5, 0.9, 0.99)
+    )
+    return f"""
+WITH sk AS ({sk}),
+c AS (SELECT l_returnflag, bin,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+      FROM sk)
+SELECT l_returnflag, {picks} FROM c GROUP BY l_returnflag
+"""
+
+
+@query(
+    "q74_binned_quantile_sketch",
+    oracle=_q74_oracle(),
+    doc="Mergeable quantile sketch: equi-width histogram per group (one "
+    "partial-aggregated shuffle; bins add associatively across shards — "
+    "the t-digest/KLL rollup pattern with deterministic arithmetic), then "
+    "p50/p90/p99 extracted from the tiny sketch relation. Merge-equals-"
+    "global pinned in tests/test_sketches.py.",
+)
+def q74(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = sketches.binned_sketch(
+        li, ["l_returnflag"], "l_extendedprice", _Q74_LO, _Q74_HI, _Q74_BINS
+    )
+    return sketches.sketch_quantiles(
+        sk, ["l_returnflag"], (0.5, 0.9, 0.99), _Q74_LO, _Q74_HI, _Q74_BINS
+    )

@@ -281,3 +281,61 @@ def test_sessionize_batch_gap_boundary(spark):
     # window is [min_ts, max_ts + gap]: 00:00 .. 01:30 + 1h = 150 min span
     assert u1[0]["session_end_us"] - u1[0]["session_start_us"] == 150 * 60 * 1_000_000
     assert len([r for r in out if r["user_id"] == 2]) == 1
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints / BPE pre-tokenization
+# ---------------------------------------------------------------------------
+
+
+def _winnow_fps(spark, docs, k=5, window=4):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    g = df.select("doc_id", text.winnow_gram_hashes(F.col("text"), k=k).alias("hs"))
+    out = g.select("doc_id", F.explode(text.winnow_select(F.col("hs"), window=window)).alias("fp"))
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    return fps
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The winnowing guarantee: any shared substring of length >= k+w-1
+    (= 8 chars here) yields at least one shared fingerprint; disjoint
+    texts share none."""
+    shared = "identical stretch of text preserved verbatim in both documents"
+    fps = _winnow_fps(
+        spark,
+        [
+            (0, "intro alpha " + shared + " tail one"),
+            (1, "other beginning " + shared + " different ending"),
+            (2, "zzz qqq xxx vvv completely disjoint characters 91823"),
+        ],
+    )
+    assert fps[0] & fps[1], "shared substring must produce a shared fingerprint"
+    assert not (fps[0] & fps[2])
+    assert not (fps[1] & fps[2])
+
+
+def test_winnowing_samples_fraction_of_grams(spark):
+    """The sketch must be much smaller than the full gram stream (~2/(w+1)
+    of grams survive) and identical docs produce identical sketches."""
+    t = "a reasonably long piece of text " * 8
+    fps = _winnow_fps(spark, [(0, t), (1, t)])
+    assert fps[0] == fps[1]
+    n_grams = len(t.strip()) - 4  # k=5
+    assert len(fps[0]) < 0.6 * n_grams
+
+
+def test_winnowing_short_text_empty(spark):
+    fps = _winnow_fps(spark, [(0, "abc"), (1, "abcdefgh")])
+    assert 0 not in fps  # shorter than k -> no fingerprints
+    assert 1 in fps
+
+
+def test_bpe_pretokens_shape(spark):
+    got = (
+        spark.createDataFrame([("Hello world, 42 tokens!",)], "text string")
+        .select(text.bpe_pretokens(F.col("text")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == ["Hello", "world", ",", "4", "2", "tokens", "!"]
