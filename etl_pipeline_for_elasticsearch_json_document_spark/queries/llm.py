@@ -975,3 +975,83 @@ def q75(spark, sf_dir):
     )
     rnk = F.row_number().over(Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("w")))
     return c.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q38_sentence_dedup",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, trim(lower(unnest(string_split(text, '. ')))) AS sent
+  FROM documents),
+f AS (SELECT doc_id, md5(sent) AS fp FROM s WHERE length(sent) > 20)
+SELECT fp, count(*) AS n, min(doc_id) AS first_doc
+FROM f GROUP BY fp HAVING count(*) > 1
+""",
+    doc="Sentence-level dedup (the within-corpus boilerplate remover): "
+    "split -> explode -> normalize -> md5 -> groupBy. One shuffle, "
+    "partial-aggregated; the explode multiplies rows but each carries "
+    "only (doc_id, 16-byte fp).",
+)
+def q38(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), "\\. ")).alias("raw"))
+        .select("doc_id", F.trim(F.lower(F.col("raw"))).alias("sent"))
+        .filter(F.length("sent") > 20)
+        .select("doc_id", F.md5("sent").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _q45_oracle() -> str:
+    from etl_pipeline_for_elasticsearch_json_document_spark.queries.registry import REGISTRY
+
+    bf = REGISTRY["q40_knn_bruteforce"].oracle
+    ivf = REGISTRY["q42_knn_ivf"].oracle
+    return f"""
+WITH bf AS ({bf}),
+ivf AS ({ivf}),
+hits AS (
+  SELECT bf.q_id, count(ivf.n_id) AS n_hits
+  FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.n_id = ivf.n_id
+  GROUP BY bf.q_id)
+SELECT q_id, n_hits, round(n_hits / 5.0, 4) AS recall_at_5
+FROM hits
+"""
+
+
+@query(
+    "q45_ann_recall",
+    oracle=_q45_oracle(),
+    doc="ANN quality evaluation: recall@5 of the IVF index vs the exact "
+    "brute-force ground truth, per query. The eval harness every ANN "
+    "deployment needs; both sides reuse the q40/q42 plans so index "
+    "parameter sweeps stay one query away.",
+)
+def q45(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    cents = emb.filter(F.col("vec_id") < 16)
+    bf = similarity.knn_bruteforce(emb, qs, k=5).select("q_id", "n_id")
+    ivf = similarity.knn_ivf(emb, qs, cents, k=5, nprobe=4).select(
+        F.col("q_id").alias("iq"), F.col("n_id").alias("inid")
+    )
+    hits = (
+        bf.join(
+            ivf,
+            (F.col("q_id") == F.col("iq")) & (F.col("n_id") == F.col("inid")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("inid").alias("n_hits"))
+    )
+    return hits.select(
+        "q_id", "n_hits", F.round(F.col("n_hits") / 5.0, 4).alias("recall_at_5")
+    )

@@ -1416,3 +1416,128 @@ def q74(spark, sf_dir):
     return sketches.sketch_quantiles(
         sk, ["l_returnflag"], (0.5, 0.9, 0.99), _Q74_LO, _Q74_HI, _Q74_BINS
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions: semi-structured Variant, CDC latest-by-key, mode,
+# histogram binning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q76_variant_json",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+       count(DISTINCT CAST(props->>'$.k' AS INTEGER)) AS n_distinct_k
+FROM events
+WHERE CAST(props->>'$.k' AS INTEGER) % 2 = 0
+GROUP BY event_type
+""",
+    doc="Semi-structured JSON via Spark 4 VARIANT: parse_json once, then "
+    "typed variant_get path extraction — the columnar-binary encoding "
+    "reads the path without re-parsing the JSON text per access, the "
+    "scale answer for schema-on-read columns (reference's whole data "
+    "model, ElasticSearch ETL.py:37-76). Oracle uses DuckDB JSON ops.",
+)
+def q76(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        )
+    )
+
+
+@query(
+    "q77_latest_by_key",
+    oracle="""
+SELECT user_id,
+       arg_max(event_id, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_event_id,
+       arg_max(event_type, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_event_type,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+""",
+    doc="CDC 'latest row per key' as ONE partial-aggregated shuffle "
+    "(max_by over a sortable composite key) instead of a window sort: "
+    "map-side combine collapses each partition to one candidate per key "
+    "before the exchange, so at 100 TB the shuffle carries |keys| rows, "
+    "not |events|. Composite key = (ts, event_id) encoded sortable so the "
+    "tiebreak is deterministic cross-engine.",
+)
+def q77(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    key = F.format_string("%020d|%012d", F.unix_micros("ts"), F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("last_event_id"),
+        F.max_by("event_type", key).alias("last_event_type"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q78_mode_per_group",
+    oracle="""
+WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       arg_min(event_type, printf('%012d|%s', 999999999999 - cnt, event_type)) AS top_type,
+       max(cnt) AS top_cnt
+FROM c GROUP BY user_id
+""",
+    doc="Deterministic per-key mode: two partial-aggregated shuffles "
+    "(count, then min_by on a (-count, value) sortable key) — ties break "
+    "lexicographically, unlike engine-dependent mode(). Both shuffles "
+    "combine map-side; no window sort, no collect.",
+)
+def q78(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    key = F.format_string(
+        "%012d|%s", F.lit(999999999999) - F.col("cnt"), F.col("event_type")
+    )
+    return c.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("top_type"),
+        F.max("cnt").alias("top_cnt"),
+    )
+
+
+_Q79_LO, _Q79_HI, _Q79_BINS = 0.0, 500.0, 20
+
+
+@query(
+    "q79_histogram",
+    oracle=f"""
+SELECT CAST(CASE WHEN value < {_Q79_LO} THEN 0
+            WHEN value >= {_Q79_HI} THEN {_Q79_BINS} + 1
+            ELSE floor((value - {_Q79_LO}) / (({_Q79_HI} - {_Q79_LO}) / {_Q79_BINS})) + 1
+       END AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY bucket
+""",
+    doc="Equi-width histogram via width_bucket: single partial-aggregated "
+    "shuffle of at most bins+2 groups — the distributed histogram plan "
+    "(per-partition bin counts merge associatively). Oracle replicates "
+    "width_bucket's under/overflow buckets 0 and n+1 arithmetically.",
+)
+def q79(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.width_bucket("value", F.lit(_Q79_LO), F.lit(_Q79_HI), F.lit(_Q79_BINS))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+    )

@@ -32,12 +32,20 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long nanos → truncate to micros timestamp
-        # (the synthetic data has no sub-microsecond component).
+    if name == "events":
+        # Normalize ts to TIMESTAMP(LTZ) whatever the parquet physical type:
+        # TIMESTAMP(NANOS) reads as long nanos (truncate — the synthetic data
+        # has no sub-microsecond component); TIMESTAMP(MICROS, NTZ) reads as
+        # TIMESTAMP_NTZ (reinterpret wall time in the session's UTC, matching
+        # DuckDB's naive-timestamp semantics). Downstream operators can then
+        # rely on unix_micros()/window() without per-file type dispatch.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.to_timestamp("ts"))
     return df
 
 

@@ -1,0 +1,65 @@
+"""Stream-stream joins: watermarked interval (event-time range) joins.
+
+The streaming rebuild of the batch range join (queries/relational.py
+q27): two event streams joined on a key within an event-time interval —
+the attribution / request-response correlation primitive. Spark keeps
+both sides in versioned join state and the watermark + time-range
+condition bound how much state is retained, so the join runs indefinitely
+with finite memory; at 100 TB/day the state store is RocksDB-backed and
+partitioned by the join key (same shuffle as the batch join, amortized
+across micro-batches).
+
+The batch pagination loop of the reference
+(``ElasticSearch ETL.py:220-267``) has no join at all; this is Tier B
+surface built the Structured-Streaming-native way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """Join two watermarked streams on ``key`` where the right event falls
+    in ``(left_ts, left_ts + within]``.
+
+    Both sides MUST carry watermarks and the join condition MUST bound the
+    event-time range in both directions — that is what lets Spark evict
+    join state (unmatched left rows older than watermark+within are
+    dropped; right state likewise). ``within`` uses INTERVAL syntax.
+
+    Columns: the key, ``l_ts``/``r_ts``, every non-key/ts left column
+    prefixed ``l_``, right prefixed ``r_``.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts > lts)
+        & (rts <= lts + F.expr(f"INTERVAL {within}"))
+    )
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    out_cols = [
+        F.col(f"l.{key}").alias(key),
+        lts.alias("l_ts"),
+        rts.alias("r_ts"),
+    ]
+    for c in left.columns:
+        if c not in (key, left_ts):
+            out_cols.append(F.col(f"l.{c}").alias(f"l_{c}"))
+    for c in right.columns:
+        if c not in (key, right_ts):
+            out_cols.append(F.col(f"r.{c}").alias(f"r_{c}"))
+    return lw.join(rw, cond).select(*out_cols)

@@ -318,3 +318,48 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmpdir):
         ).collect()
     }
     assert got <= batch, f"{len(got - batch)} streamed sessions differ from batch"
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, tmpdir):
+    """Stream-stream interval join drains to the same pairs as the
+    equivalent batch range join (click→purchase attribution within 30m)."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.joins import (
+        interval_join_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    clicks_b = events.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys_b = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+
+    src = os.path.join(tmpdir, "ij_src")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    clicks_s = stream.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys_s = stream.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+
+    joined = interval_join_stream(clicks_s, buys_s, within="30 minutes")
+    _run_to_memory(joined, "ij_stream")
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ij_stream").collect()
+    }
+
+    l, r = clicks_b.alias("l"), buys_b.alias("r")
+    expected = {
+        (row.user_id, row.lid, row.rid)
+        for row in l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") > F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("lid"),
+            F.col("r.event_id").alias("rid"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
