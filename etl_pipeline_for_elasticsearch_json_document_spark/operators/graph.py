@@ -101,3 +101,63 @@ def dedup_clusters(
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping: float = 0.85,
+    digits: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank as plain DataFrame joins — the iterative-
+    algorithm pattern (link analysis over a web corpus' outlink graph).
+
+    Each iteration is one join (ranks ⋈ edges on src, shuffle on the edge
+    key) plus one partial-aggregated groupBy(dst); the rank relation stays
+    (node, rank) — tiny next to the edge set, so at 100 TB the edges are
+    bucketed/partitioned by ``src`` once and every iteration reuses that
+    layout while only the small rank table moves. Dangling-node mass is
+    dropped (standard simplification). Ranks are rounded only at the end;
+    per-node in-degrees are small so double accumulation drift stays far
+    below the rounding threshold.
+
+    Columns: node, rank (rounded), in_deg.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # contribution weight per edge is fixed across iterations: 1/outdeg
+    w = e.join(outdeg, "src").select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            w.join(ranks, w.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_deg"))
+    return (
+        ranks.join(in_deg, "node", "left")
+        .select(
+            "node",
+            F.round("rank", digits).alias("rank"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )

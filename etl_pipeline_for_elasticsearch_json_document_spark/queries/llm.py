@@ -218,12 +218,53 @@ def q40(spark, sf_dir):
     return similarity.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _q41_oracle(dim: int = 64, planes: int = 4, tables: int = 8, k: int = 5) -> str:
+    """The LSH pipeline is deterministic (md5-derived hyperplanes, fixed
+    left-fold dot products), so even the ANN index has an exact SQL oracle:
+    embed the plane components as literals and reproduce the sign-bit
+    bucketing. Sums are evaluated left-to-right by both engines, so the
+    bucket bits agree bit-for-bit unless a dot product lands within float
+    error of 0 (not the case on this corpus — pinned by the driver check)."""
+    per_table = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            h = similarity._hyperplane(dim, p, t)
+            arr = "[" + ", ".join(repr(x) for x in h) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+                f"THEN {2 ** p} ELSE 0 END)"
+            )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, " + " + ".join(bits) + " AS bucket FROM embeddings"
+        )
+    buckets = "\nUNION ALL\n".join(per_table)
+    return f"""
+WITH b AS (
+{buckets}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+scored AS (
+  SELECT cand.q_id, cand.n_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cos
+  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+            JOIN embeddings ne ON ne.vec_id = cand.n_id)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
 @query(
     "q41_knn_lsh",
-    oracle=None,  # approximate by construction → rows-only driver check;
-    # recall vs brute force asserted in tests/test_similarity.py
-    doc="ANN top-5 via random-hyperplane LSH (4 tables × 6 planes): "
-    "bucket equi-join instead of full scan.",
+    oracle=_q41_oracle(),
+    doc="ANN top-5 via random-hyperplane LSH (8 tables × 4 planes): "
+    "bucket equi-join instead of full scan. The md5-derived hyperplanes "
+    "make even this index exactly oracle-checkable.",
 )
 def q41(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1054,4 +1095,53 @@ def q45(spark, sf_dir):
     )
     return hits.select(
         "q_id", "n_hits", F.round(F.col("n_hits") / 5.0, 4).alias("recall_at_5")
+    )
+
+
+_Q48_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 40 AS src, (3 * doc_id + 1) % 40 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 40 AS src, (7 * doc_id + 2) % 40 AS dst FROM documents)),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / od.outdeg AS w
+      FROM e JOIN od ON e.src = od.src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+c1 AS (SELECT w.dst, sum(r0.rank * w.w) AS mass FROM w JOIN r0 ON w.src = r0.node
+       GROUP BY w.dst),
+r1 AS (SELECT node, 0.15 / nn.n + 0.85 * coalesce(c1.mass, 0) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.dst),
+c2 AS (SELECT w.dst, sum(r1.rank * w.w) AS mass FROM w JOIN r1 ON w.src = r1.node
+       GROUP BY w.dst),
+r2 AS (SELECT node, 0.15 / nn.n + 0.85 * coalesce(c2.mass, 0) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.dst),
+ind AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY dst)
+SELECT r2.node, round(r2.rank, 6) AS rank, coalesce(ind.in_deg, 0) AS in_deg
+FROM r2 LEFT JOIN ind ON r2.node = ind.node
+"""
+
+
+@query(
+    "q48_pagerank",
+    oracle=_Q48_ORACLE,
+    doc="Iterative link analysis: 2 fixed PageRank iterations over a "
+    "deterministic synthetic outlink graph (each doc links its residue "
+    "class). Each iteration is one rank⋈edges join + one partial-agg "
+    "groupBy; at scale the edge set is bucketed by src once and only the "
+    "small rank relation moves per iteration. Oracle = the same "
+    "iterations unrolled as CTEs.",
+)
+def q48(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 40).alias("src"), ((3 * F.col("doc_id") + 1) % 40).alias("dst")
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 40).alias("src"), ((7 * F.col("doc_id") + 2) % 40).alias("dst")
+    )
+    return graph.pagerank(e1.unionByName(e2), iterations=2).withColumnRenamed(
+        "node", "node"
     )

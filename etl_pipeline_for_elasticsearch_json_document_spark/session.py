@@ -17,6 +17,7 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "etl-pipeline-spark", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "12g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -35,7 +36,13 @@ def get_spark(app_name: str = "etl-pipeline-spark", master: str | None = None) -
         # The events table carries TIMESTAMP(NANOS) parquet, which Spark
         # cannot read natively; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", mem)
+        # Pin and pre-touch the heap: a large lazily-committed heap leaves
+        # most pages cold, and kernels running proactive reclaim (DAMON /
+        # memory compaction) evict them between stages — refault storms then
+        # show up as 70%+ system time and 10× run-to-run variance on wide
+        # projections. A right-sized, pre-touched heap stays resident.
+        .config("spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

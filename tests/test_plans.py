@@ -178,3 +178,36 @@ def test_audio_chunks_map_only(spark):
     plan = plan_text(Q["q66_audio_chunks"].fn(spark, SF_DIR))
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+def test_latest_by_key_is_partial_agg_no_window(spark):
+    """q77: CDC latest-row-per-key must be a map-side-combined aggregation,
+    never a window sort over all events."""
+    plan = plan_text(Q["q77_latest_by_key"].fn(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial_maxby" in plan.lower()
+
+
+def test_histogram_single_shuffle(spark):
+    """q79: the distributed histogram is one partial+final aggregation —
+    exactly one exchange."""
+    plan = plan_text(Q["q79_histogram"].fn(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
+
+
+def test_variant_parse_not_per_access(spark):
+    """q76: parse_json happens once in the plan; the typed path access is
+    variant_get over the parsed value, not repeated JSON text parsing."""
+    plan = plan_text(Q["q76_variant_json"].fn(spark, SF_DIR), mode="extended")
+    assert "parse_json" in plan
+    assert "get_json_object" not in plan
+
+
+def test_pagerank_rank_relation_stays_small(spark):
+    """q48: per-iteration joins must shuffle/broadcast only the rank
+    relation against the (reusable) edge layout; the physical plan should
+    contain no cartesian product and no window sort."""
+    plan = plan_text(Q["q48_pagerank"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
