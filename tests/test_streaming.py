@@ -363,3 +363,56 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, tmpdir):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_transform_with_state_sessionize_parity(spark, tmpdir):
+    """The transformWithState sessionizer must emit exactly the same
+    sessions as the applyInPandasWithState one on a replayed two-batch
+    scenario (closed-on-gap, timer-flushed, and late-event cases)."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state protocol needs protobuf"
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.tws import sessionize_tws
+
+    inp = os.path.join(tmpdir, "in")
+    os.makedirs(inp)
+    b1 = [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00"},
+        {"user_id": 1, "ts": "2024-01-01 10:05:00"},
+        {"user_id": 1, "ts": "2024-01-01 12:00:00"},
+        {"user_id": 2, "ts": "2024-01-01 10:00:00"},
+    ]
+    b2 = [
+        {"user_id": 1, "ts": "2024-01-01 11:50:00"},  # late, merges backward
+        {"user_id": 3, "ts": "2024-01-03 00:00:00"},  # advances watermark
+    ]
+
+    def run(op, name, batch, fname):
+        with open(os.path.join(inp, fname), "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").json(inp)
+        sessions = op(stream, gap_minutes=30, watermark="6 hours")
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", os.path.join(tmpdir, f"out_{name}"))
+            .option("checkpointLocation", os.path.join(tmpdir, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(os.path.join(tmpdir, f"out_{name}"))
+
+    results = {}
+    for name, op in (("apiws", sessionize_stream), ("tws", sessionize_tws)):
+        run(op, name, b1, "b1.json")
+        out = run(op, name, b2, "b2.json")
+        results[name] = {
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in out.collect()
+        }
+    assert results["apiws"] == results["tws"], results
+    assert len(results["tws"]) >= 3
