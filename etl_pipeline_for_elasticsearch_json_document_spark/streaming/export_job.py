@@ -23,7 +23,7 @@ from __future__ import annotations
 import datetime
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten
@@ -74,15 +74,25 @@ def run_export_stream(
         try:
             if batch_df.isEmpty():  # A18 guard (without the cursor bug)
                 return
-            n = batch_df.count()
-            flat = flatten(batch_df, bug_compat=bug_compat)
+            # The output directory is named by the batch's last cursor id
+            # (A17), which must be known before the write — that pre-pass
+            # stays, but it is a single-column max, not a full-row scan.
             last_id = "batch"
             if id_col in batch_df.columns:
                 last = batch_df.select(F.max(F.col(id_col)).alias("m")).first()
                 if last and last["m"] is not None:
                     last_id = last["m"]
-            path = batch_tsv_path(output_dir, last_id)
-            write_tsv(flat, path, coalesce=1 if n < 10_000 else None)
+            # The row count rides along the TSV write as an Observation —
+            # collected by the job that materializes the batch, replacing
+            # the separate count() scan per micro-batch.
+            obs = Observation(f"export_batch_{batch_id}")
+            observed = batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
+            flat = flatten(observed, bug_compat=bug_compat)
+            # small micro-batches collapse to one TSV file; wide ones keep
+            # their partitioning (decided from partition count — no scan)
+            one_file = batch_df.rdd.getNumPartitions() <= 8
+            write_tsv(flat, batch_tsv_path(output_dir, last_id), coalesce=1 if one_file else None)
+            n = obs.get["n"]  # filled: the write above materialized the batch
             audit.success(start_ts, batch_id=str(batch_id), record_count=n)
         except Exception as e:  # FAILED audit row, then re-raise (A20)
             audit.failure(start_ts, batch_id=str(batch_id), error=e)
