@@ -40,9 +40,12 @@ HEADLINE = [
     "q27_range_join",
     "q30_dedup_exact",
     "q32_minhash_lsh",
+    "q38_sentence_dedup",
     "q40_knn_bruteforce",
+    "q48_pagerank",
     "q50_token_stats",
     "q70_flatten_events",
+    "q77_latest_by_key",
 ]
 
 
