@@ -211,3 +211,60 @@ def test_pagerank_rank_relation_stays_small(spark):
     plan = plan_text(Q["q48_pagerank"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A selective dim-filtered join against a partitioned fact must inject
+    a dynamic pruning subquery on the partition column — at 100 TB this is
+    the difference between scanning one date partition and all of them."""
+    fact = str(tmp_path / "fact_part")
+    load_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    ).write.partitionBy("o_year").mode("overwrite").parquet(fact)
+    years = spark.createDataFrame([(1995, "x")], "y int, tag string")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    f = spark.read.parquet(fact)
+    joined = f.join(years.filter(F.col("tag") == "x"), f.o_year == years.y)
+    plan = plan_text(joined, mode="extended")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_join(spark, tmp_path):
+    """With runtime bloom filters on, a selective build side injects a
+    bloom_filter predicate into the probe-side scan, cutting shuffle input
+    before the join — the row-level complement to partition pruning."""
+    big = str(tmp_path / "big")
+    small = str(tmp_path / "small")
+    load_table(spark, "/root/testdata/sf0.01", "lineitem").write.mode("overwrite").parquet(big)
+    load_table(spark, "/root/testdata/sf0.01", "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).write.mode("overwrite").parquet(small)
+    conf = spark.conf
+    old = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        # force a shuffle join so the bloom filter (not a broadcast) is the win
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = spark.read.parquet(big)
+        o = spark.read.parquet(small)
+        joined = l.join(o, l.l_orderkey == o.o_orderkey).select("l_orderkey", "o_totalprice")
+        plan = plan_text(joined, mode="extended")
+        assert "bloomfilter" in plan.lower().replace("_", ""), plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
