@@ -425,3 +425,67 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    boundary_hex: str = "0",
+) -> DataFrame:
+    """Content-defined chunking: split text at positions where the hash of
+    the trailing ``window`` chars hits a boundary pattern, then fingerprint
+    each chunk. Because boundaries depend only on local content, an
+    insertion early in a document shifts chunk *offsets* but not chunk
+    *contents* — downstream dedup still matches the unshifted chunks,
+    which fixed-size blocking cannot do (the rsync/LBFS trick applied to
+    corpus boilerplate extraction).
+
+    Boundary = md5 of the trailing window ending at position i has final
+    hex digit in ``boundary_hex`` (1 char → p=1/16 → ~16-char mean chunks;
+    tune with more/fewer accepted digits). Engine-portable by construction
+    (md5 + substring only), so the whole operator has an exact SQL oracle.
+    Map-only: transform/filter/zip_with per row, explode at the end — no
+    shuffle until the caller aggregates fingerprints. At 100 TB swap the
+    per-position md5 for a gear rolling hash in an Arrow-batched
+    ``mapInPandas`` (same chunk semantics, one pass per row).
+
+    Columns: <id_col>, chunk_idx, chunk_fp, chunk_len.
+    """
+    t = F.col(text_col)
+    accepted = [F.lit(c) for c in boundary_hex]
+    idx = F.sequence(F.lit(window), F.length(t))
+
+    def is_boundary(i: Column) -> Column:
+        h = F.md5(t.substr(i - F.lit(window - 1), F.lit(window)))
+        tail = F.substring(h, 32, 1)
+        cond = F.lit(False)
+        for a in accepted:
+            cond = cond | (tail == a)
+        return cond
+
+    bnd = F.filter(
+        F.transform(idx, lambda i: F.when(is_boundary(i), i)), lambda x: x.isNotNull()
+    )
+    starts = F.concat(F.array(F.lit(0)), bnd)
+    ends = F.concat(bnd, F.array(F.length(t)))
+    chunks = F.filter(
+        F.zip_with(starts, ends, lambda s, e: t.substr(s + 1, e - s)),
+        lambda c: F.length(c) > 0,
+    )
+    return (
+        df.where(t.isNotNull())
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.md5("chunk").alias("chunk_fp"),
+            F.length("chunk").alias("chunk_len"),
+        )
+    )

@@ -1145,3 +1145,50 @@ def q48(spark, sf_dir):
     return graph.pagerank(e1.unionByName(e2), iterations=2).withColumnRenamed(
         "node", "node"
     )
+
+
+@query(
+    "q46_cdc_chunk_dedup",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         list_filter(list_transform(range(8, length(text) + 1),
+             i -> CASE WHEN substring(md5(substring(text, i - 7, 8)), 32, 1) = '0'
+                       THEN i END),
+             x -> x IS NOT NULL) AS bnd
+  FROM documents WHERE text IS NOT NULL),
+se AS (
+  SELECT doc_id, text,
+         list_prepend(0, bnd) AS starts,
+         list_append(bnd, n) AS ends
+  FROM b),
+c AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(range(1, len(starts) + 1),
+                          j -> substring(text, starts[j] + 1, ends[j] - starts[j])),
+           s -> length(s) > 0)) AS chunk
+  FROM se)
+SELECT md5(chunk) AS chunk_fp,
+       count(*) AS n,
+       count(DISTINCT doc_id) AS n_docs,
+       min(length(chunk)) AS chunk_len
+FROM c GROUP BY chunk_fp HAVING count(*) > 1
+""",
+    doc="Content-defined chunk dedup: CDC boundaries (trailing-window md5, "
+    "shift-tolerant) -> chunk fingerprints -> shared-chunk groups. The "
+    "boilerplate detector for long documents; insertions shift offsets "
+    "but not chunk identity.",
+)
+def q46(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ch = dedup.cdc_chunks(d, "doc_id", "text", window=8, boundary_hex="0")
+    return (
+        ch.groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.min("chunk_len").alias("chunk_len"),
+        )
+        .filter(F.col("n") > 1)
+    )
