@@ -1142,9 +1142,7 @@ def q48(spark, sf_dir):
     e2 = d.select(
         (F.col("doc_id") % 40).alias("src"), ((7 * F.col("doc_id") + 2) % 40).alias("dst")
     )
-    return graph.pagerank(e1.unionByName(e2), iterations=2).withColumnRenamed(
-        "node", "node"
-    )
+    return graph.pagerank(e1.unionByName(e2), iterations=2)
 
 
 @query(
