@@ -460,7 +460,13 @@ def cdc_chunks(
     """
     t = F.col(text_col)
     accepted = [F.lit(c) for c in boundary_hex]
-    idx = F.sequence(F.lit(window), F.length(t))
+    # Guard: for length(t) < window Spark's sequence(window, length) counts
+    # DOWN (step -1) — phantom boundaries with negative-start substrings
+    # (which count from the string END). Short texts are one whole chunk,
+    # matching the oracle's empty range(window, n+1).
+    idx = F.when(F.length(t) >= window, F.sequence(F.lit(window), F.length(t))).otherwise(
+        F.array().cast("array<int>")
+    )
 
     def is_boundary(i: Column) -> Column:
         h = F.md5(t.substr(i - F.lit(window - 1), F.lit(window)))

@@ -53,17 +53,55 @@ def decode_images(df: DataFrame, payload_col: str, id_col: str = "doc_id") -> Da
     return df.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
-def decode_images_real(df: DataFrame, payload_col: str, id_col: str = "doc_id") -> DataFrame:
-    """Real-decoder variant. Plug PIL/pyvips here; everything around the
-    codec call (schema, batching, partitioning) is identical to
-    ``decode_images``."""
+def real_codec_available() -> bool:
+    """True when a real image codec (PIL) is importable in this process."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return True
+    except ImportError:
+        return False
+
+
+def _real_decode(payload: bytes) -> tuple[int, int]:
+    """Decode ``payload`` with PIL and return (width, height).
+
+    Raises :class:`NotImplementedError` when no codec library is present —
+    the exact plug-in point for PIL/libvips/ffmpeg. Module-level (not a
+    closure) so tests can assert the stub behavior WITHOUT running a Spark
+    action (a raising mapInPandas poisons the reused Python worker for the
+    next test)."""
+    try:
+        import io
+
+        import PIL.Image
+    except ImportError as e:
         raise NotImplementedError(
             "image codec not available in this environment; "
-            "install PIL/pyvips and decode pdf[payload_col] here"
-        )
-        yield  # pragma: no cover
+            "install PIL/pyvips and decode the payload here"
+        ) from e
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height
+
+
+def decode_images_real(df: DataFrame, payload_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Real-decoder variant of :func:`decode_images`: identical plumbing
+    (schema, Arrow batching, map-only partitioning), with the codec step
+    delegated to :func:`_real_decode` (PIL when installed, else a clear
+    NotImplementedError)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf[payload_col].map(lambda p: _real_decode(bytes(p)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                }
+            )
+            out["n_pixels"] = out["width"].astype("int64") * out["height"].astype("int64")
+            yield out
 
     return df.mapInPandas(decode, schema=DECODE_SCHEMA)
 

@@ -596,6 +596,39 @@ def q70(spark, sf_dir):
 
 
 @query(
+    "q47_flatten_families",
+    oracle="""
+SELECT CAST(event_id AS VARCHAR) AS Event_id,
+       coalesce(event_type, '') AS Event_type,
+       coalesce(CAST(props->>'$.k' AS VARCHAR), '') AS Props_K,
+       coalesce(CAST(user_id AS VARCHAR), '') AS User_id
+FROM events
+""",
+    doc="The M5 column-family scale path under the oracle gate: flatten "
+    "events into per-subtree family tables sharing a key, then join the "
+    "families back on the key — proving the split column set concatenates "
+    "to exactly the wide flatten (plans/flatten.py::flatten_families). In "
+    "production the join-back never happens (consumers read one narrow "
+    "family); here it IS the verification.",
+)
+def q47(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten_families
+
+    e = _t(spark, sf_dir, "events")
+    nested = e.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.from_json("props", "k INT").alias("props"),
+    )
+    fams = flatten_families(nested, families=3, key_exprs=("event_id AS __key",))
+    out = None
+    for d in fams.values():
+        out = d if out is None else out.join(d, "__key")
+    return out.select(*sorted(c for c in out.columns if c != "__key"))
+
+
+@query(
     "q56_tfidf",
     oracle="""
 WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -615,14 +648,19 @@ def q56(spark, sf_dir):
     words = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.count()  # scalar; at scale keep as a 1-row broadcast instead
+    # Corpus size as a broadcast 1-row aggregate joined into the plan — no
+    # driver-side action, so the whole query stays one lazy plan at scale.
+    n1 = F.broadcast(d.agg(F.count("*").alias("__n")))
     return (
         tf.filter(F.col("doc_id") < 20)
         .join(F.broadcast(df), "w")
+        .crossJoin(n1)
         .select(
             "doc_id",
             "w",
-            F.round(F.col("tf") * F.log((n + 1) / (F.col("df") + 1)), 6).alias("tfidf"),
+            F.round(
+                F.col("tf") * F.log((F.col("__n") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf"),
         )
     )
 
@@ -1026,22 +1064,32 @@ def q75(spark, sf_dir):
 @query(
     "q38_sentence_dedup",
     oracle="""
-WITH s AS (
-  SELECT doc_id, trim(lower(unnest(string_split(text, '. ')))) AS sent
-  FROM documents),
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id,
+         trim(lower(array_to_string(ws[i*12+1:i*12+12], ' '))) AS sent
+  FROM w, unnest(range(0, CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS t(i)),
 f AS (SELECT doc_id, md5(sent) AS fp FROM s WHERE length(sent) > 20)
 SELECT fp, count(*) AS n, min(doc_id) AS first_doc
 FROM f GROUP BY fp HAVING count(*) > 1
 """,
     doc="Sentence-level dedup (the within-corpus boilerplate remover): "
-    "split -> explode -> normalize -> md5 -> groupBy. One shuffle, "
-    "partial-aggregated; the explode multiplies rows but each carries "
-    "only (doc_id, 16-byte fp).",
+    "segment -> explode -> normalize -> md5 -> groupBy. The corpus has no "
+    "punctuation, so the sentence unit is a non-overlapping 12-word "
+    "segment (the standard fallback for punctuation-less text). One "
+    "shuffle, partial-aggregated; the explode multiplies rows but each "
+    "carries only (doc_id, 16-byte fp).",
 )
 def q38(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(ws) / F.lit(12.0)).cast("long")
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0).cast("long"), n_seg - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    segs = F.transform(idx, lambda i: F.array_join(F.slice(ws, i * 12 + 1, 12), " "))
     return (
-        d.select("doc_id", F.explode(F.split(F.col("text"), "\\. ")).alias("raw"))
+        d.select("doc_id", F.explode(segs).alias("raw"))
         .select("doc_id", F.trim(F.lower(F.col("raw"))).alias("sent"))
         .filter(F.length("sent") > 20)
         .select("doc_id", F.md5("sent").alias("fp"))

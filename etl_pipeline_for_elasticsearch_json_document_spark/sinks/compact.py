@@ -50,19 +50,36 @@ def compact_dir(
     The swap is staged: write to ``path + '.__compact__'``, then replace the
     original — readers never see a half-written directory (on a real object
     store, write to a versioned prefix and flip a manifest/table pointer
-    instead; the job shape is identical).
+    instead; the job shape is identical). Nested per-batch subdirectories
+    (the streaming export layout) are read via ``recursiveFileLookup`` with
+    schema merge, so compaction flattens them into one leaf directory.
+
+    Re-runnable after a crash: stale staging/backup dirs from a previous
+    attempt are removed up front (they are by-products, never the only
+    copy: staging is incomplete by definition, and the backup is deleted
+    only after the new data is live at ``path``). A crash between the two
+    renames leaves the compacted data at staging and the original at
+    backup — the next run restores from backup and retries.
     """
-    options = options or {}
-    reader = spark.read.options(**options)
+    options = dict(options or {})
+    staging = path.rstrip("/") + ".__compact__"
+    backup = path.rstrip("/") + ".__old__"
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)  # crashed mid-swap last run: restore
+    for stale in (staging, backup):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    read_opts = {"recursiveFileLookup": "true", **options}
+    if fmt == "parquet":
+        read_opts.setdefault("mergeSchema", "true")
+    reader = spark.read.options(**read_opts)
     df: DataFrame = getattr(reader, fmt)(path)
     n_files = max(1, math.ceil(dir_bytes(path) / (target_mb * 1024 * 1024)))
     if order_by:
         df = df.repartitionByRange(n_files, *order_by).sortWithinPartitions(*order_by)
     else:
         df = df.repartition(n_files)
-    staging = path.rstrip("/") + ".__compact__"
     getattr(df.write.options(**options).mode("overwrite"), fmt)(staging)
-    backup = path.rstrip("/") + ".__old__"
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

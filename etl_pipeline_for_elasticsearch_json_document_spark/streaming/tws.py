@@ -60,8 +60,11 @@ class SessionProcessor(StatefulProcessor):
         # than the open session extends it backwards when within gap,
         # else closes as its own session)
         items = [(t, t, 1) for t in ts_us]
+        prev_expiry_ms: int | None = None
         if self.session.exists():
-            items.append(tuple(self.session.get()))
+            prev = tuple(self.session.get())
+            items.append(prev)
+            prev_expiry_ms = (prev[1] + self.gap_us) // 1_000
         if not items:
             return iter([])
         items.sort()
@@ -75,7 +78,13 @@ class SessionProcessor(StatefulProcessor):
         closed = [(uid, s, e, c) for s, e, c in merged[:-1]]
         start_us, last_us, n = merged[-1]
         self.session.update((start_us, last_us, n))
-        self.handle.registerTimer((last_us + self.gap_us) // 1_000)
+        # One live timer per key: extending a session would otherwise leave
+        # the old (earlier) timer registered, and when the watermark passed
+        # it, handleExpiredTimer would close the still-open session early.
+        new_expiry_ms = (last_us + self.gap_us) // 1_000
+        if prev_expiry_ms is not None and prev_expiry_ms != new_expiry_ms:
+            self.handle.deleteTimer(prev_expiry_ms)
+        self.handle.registerTimer(new_expiry_ms)
         if closed:
             yield pd.DataFrame(closed, columns=_COLS)
 
@@ -85,6 +94,11 @@ class SessionProcessor(StatefulProcessor):
         (uid,) = key
         if self.session.exists():
             start_us, last_us, n = self.session.get()
+            # Belt-and-braces vs the deleteTimer in handleInputRows: a timer
+            # older than the open session's true expiry is stale — emitting
+            # on it would split the session.
+            if expiredTimerInfo.getExpiryTimeInMs() < (last_us + self.gap_us) // 1_000:
+                return
             self.session.clear()
             yield pd.DataFrame([(uid, start_us, last_us, n)], columns=_COLS)
 

@@ -36,6 +36,40 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     assert after.agg(F.sum("id")).first()[0] == 20_000 * 19_999 // 2
 
 
+def test_compact_recovers_from_stale_dirs_and_nested_batches(spark, tmp_path):
+    """Crash-safety + layout: leftover .__compact__/.__old__ dirs from a
+    crashed run must not break a retry, and nested per-batch subdirs (the
+    streaming export layout) must be read recursively."""
+    path = str(tmp_path / "frag3")
+    for b in ("batch=0", "batch=1"):  # nested leaf dirs, 1000 rows each
+        (
+            spark.range(1000)
+            .select(F.col("id"), F.sha1(F.col("id").cast("string")).alias("payload"))
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, b))
+        )
+    # simulate debris from a previous crashed attempt
+    os.makedirs(path + ".__compact__/junk", exist_ok=True)
+    os.makedirs(path + ".__old__", exist_ok=True)
+    compact_dir(spark, path, target_mb=128)
+    assert not os.path.exists(path + ".__compact__")
+    assert not os.path.exists(path + ".__old__")
+    after = spark.read.parquet(path)
+    assert after.count() == 2000
+    assert all(not f.startswith("batch=") for f in os.listdir(path))
+
+
+def test_compact_restores_backup_when_crash_left_no_live_dir(spark, tmp_path):
+    """A crash between the two renames leaves data only at .__old__; the
+    next run must restore it and complete."""
+    path = str(tmp_path / "frag4")
+    _write_fragmented(spark, path, n_rows=500, n_files=4)
+    os.rename(path, path + ".__old__")  # mid-swap crash state
+    compact_dir(spark, path, target_mb=128)
+    assert spark.read.parquet(path).count() == 500
+
+
 def test_compact_ordered_keeps_clustering(spark, tmp_path):
     path = str(tmp_path / "frag2")
     _write_fragmented(spark, path)

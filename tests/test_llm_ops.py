@@ -96,10 +96,22 @@ def test_multimodal_fake_decode(spark):
     assert out["n_pixels"] == out["width"] * out["height"]
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
-    with pytest.raises(Exception, match="NotImplementedError|image codec"):
-        multimodal.decode_images_real(df, "payload").collect()
+def test_multimodal_real_decode_codec():
+    """Codec behavior, asserted WITHOUT a Spark action: a raising
+    mapInPandas poisons the reused Python worker for the next test (the
+    r2 order-dependent flake). With PIL absent the codec raises a clear
+    NotImplementedError; with PIL present it decodes a real PNG."""
+    if multimodal.real_codec_available():
+        import io
+
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.new("RGB", (7, 5)).save(buf, format="PNG")
+        assert multimodal._real_decode(buf.getvalue()) == (7, 5)
+    else:
+        with pytest.raises(NotImplementedError, match="image codec"):
+            multimodal._real_decode(b"x")
 
 
 def test_frame_sample_plan(spark):
@@ -258,6 +270,22 @@ def test_audio_chunk_plan_short_track_empty(spark):
     assert 0 not in by_doc  # shorter than one window: no chunks
     assert by_doc[1] == [(0, 16000)]
     assert by_doc[2] == [(0, 16000), (8000, 24000), (16000, 32000), (24000, 40000)]
+
+
+def test_cdc_chunks_short_text_single_chunk(spark):
+    """Texts shorter than the hash window must yield exactly one whole-text
+    chunk — not the phantom chunks a descending sequence(window, length)
+    would produce (negative substr starts count from the string END)."""
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, "exactly8"), (2, "a bit longer than the window " * 4)],
+        "doc_id long, text string",
+    )
+    rows = {}
+    for r in dedup.cdc_chunks(df, "doc_id", "text", window=8).collect():
+        rows.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_len"]))
+    assert rows[0] == [(0, 3)]  # < window: one chunk, the whole text
+    total = sum(n for _, n in rows[2])
+    assert total == len("a bit longer than the window " * 4)  # chunks cover the text
 
 
 def test_sessionize_batch_gap_boundary(spark):

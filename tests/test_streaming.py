@@ -377,20 +377,37 @@ def test_transform_with_state_sessionize_parity(spark, tmpdir):
     )
     from etl_pipeline_for_elasticsearch_json_document_spark.streaming.tws import sessionize_tws
 
-    inp = os.path.join(tmpdir, "in")
-    os.makedirs(inp)
+    # Batch sequence exercises: closed-on-gap, late merge-backward, and —
+    # critically — a session EXTENDED across batches so the old and new
+    # timer expiries differ (b2..b4 for user 1). A sessionizer that leaks
+    # the superseded timer prematurely closes user 1's session when the
+    # watermark passes the stale expiry (10:35) in b3, then splits the
+    # b4 event into a second session — caught by the n_events==5 assert.
     b1 = [
         {"user_id": 1, "ts": "2024-01-01 10:00:00"},
         {"user_id": 1, "ts": "2024-01-01 10:05:00"},
-        {"user_id": 1, "ts": "2024-01-01 12:00:00"},
         {"user_id": 2, "ts": "2024-01-01 10:00:00"},
+        {"user_id": 2, "ts": "2024-01-01 12:00:00"},  # closes u2's first session
     ]
     b2 = [
-        {"user_id": 1, "ts": "2024-01-01 11:50:00"},  # late, merges backward
-        {"user_id": 3, "ts": "2024-01-03 00:00:00"},  # advances watermark
+        {"user_id": 1, "ts": "2024-01-01 10:30:00"},  # extends: expiry 10:35→11:00
+        {"user_id": 2, "ts": "2024-01-01 11:50:00"},  # late, merges backward
+        {"user_id": 5, "ts": "2024-01-01 16:40:00"},  # watermark → 10:40 (> stale 10:35)
+    ]
+    b3 = [
+        {"user_id": 1, "ts": "2024-01-01 10:55:00"},  # extends again: expiry → 11:25
+    ]
+    b4 = [
+        {"user_id": 1, "ts": "2024-01-01 11:10:00"},  # merges ONLY if session still open
+        {"user_id": 6, "ts": "2024-01-03 00:00:00"},  # advances watermark, flushes all
     ]
 
     def run(op, name, batch, fname):
+        # Per-operator input dir: a shared dir would hand the second
+        # operator every batch file in ONE availableNow run, collapsing
+        # the per-batch watermark/timer progression under test.
+        inp = os.path.join(tmpdir, f"in_{name}")
+        os.makedirs(inp, exist_ok=True)
         with open(os.path.join(inp, fname), "w") as f:
             for r in batch:
                 f.write(json.dumps(r) + "\n")
@@ -408,11 +425,14 @@ def test_transform_with_state_sessionize_parity(spark, tmpdir):
 
     results = {}
     for name, op in (("apiws", sessionize_stream), ("tws", sessionize_tws)):
-        run(op, name, b1, "b1.json")
-        out = run(op, name, b2, "b2.json")
+        out = None
+        for i, batch in enumerate((b1, b2, b3, b4)):
+            out = run(op, name, batch, f"b{i}.json")
         results[name] = {
             (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
             for r in out.collect()
         }
     assert results["apiws"] == results["tws"], results
-    assert len(results["tws"]) >= 3
+    u1 = [s for s in results["tws"] if s[0] == 1]
+    assert len(u1) == 1 and u1[0][3] == 5, u1  # one unsplit 5-event session
+    assert len(results["tws"]) >= 4
