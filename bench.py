@@ -4,31 +4,35 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-`flatten_1doc` / `flatten_100docs` correspond to BASELINE.md's reference
+Measurement policy (r3, after r2's two published artifacts):
+  * Every Spark query: one un-timed warm-up run (Catalyst analysis +
+    whole-stage codegen + C2 JIT), then the MEDIAN of 3 timed runs —
+    best-of-2 let one lucky/unlucky run speak for the entry.
+  * The in-memory pandas flatten rows (``*_inmem`` — BASELINE.md's actual
+    measurement regime for the reference) run in a CLEAN SUBPROCESS before
+    any JVM exists: in r2 they ran last inside the Spark driver process and
+    recorded 6× their isolated cost. Median of 5 in-process repeats.
+  * ``dedup_close_e2e`` is a single COLD run by design: it is a multi-action
+    pipeline (LSH pairs → connected-components closure → representative
+    filter), not a reusable plan, so steady-state timing has no meaning.
+
+`flatten_1doc*` / `flatten_100docs*` correspond to BASELINE.md's reference
 micro-benchmarks (0.103 s / 3.43 s measured for the reference in this
-container); the relational/LLM entries cover each operator family. Query
-execution is forced with the noop sink (full pipeline runs, no collect
-overhead).
+container). Query execution is forced with the noop sink (full pipeline
+runs, no collect overhead).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
-
-from pyspark.sql import functions as F  # noqa: E402
-
-from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import (  # noqa: E402
-    flatten,
-    unwrap_envelope,
-)
-from etl_pipeline_for_elasticsearch_json_document_spark.queries import all_queries  # noqa: E402
-from etl_pipeline_for_elasticsearch_json_document_spark.session import get_spark  # noqa: E402
 
 GOLDEN = "/root/reference/ElasticSearch_Document.json"
 
@@ -46,11 +50,52 @@ HEADLINE = [
     "q50_token_stats",
     "q70_flatten_events",
     "q77_latest_by_key",
+    "q100_decontaminate",
 ]
+
+_INMEM_SCRIPT = r"""
+import json, statistics, sys, time
+sys.path.insert(0, {repo!r})
+from etl_pipeline_for_elasticsearch_json_document_spark.local import json_to_tsv_in_memory
+with open({golden!r}) as f:
+    doc = json.load(f)["hits"]["hits"][0]["_source"]
+json_to_tsv_in_memory(doc)  # warm: parse caches, allocator ramp
+out = {{}}
+for n, label in ((1, "flatten_1doc_inmem"), (100, "flatten_100docs_inmem")):
+    batch = {{"hits": {{"hits": [{{"_source": doc}}] * n}}}}
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        json_to_tsv_in_memory(batch)
+        ts.append(time.time() - t0)
+    out[label] = round(statistics.median(ts), 3)
+print(json.dumps(out))
+"""
+
+
+def bench_inmem() -> dict[str, float]:
+    """BASELINE.md rows 8-9 twin: the reference's `json_to_tsv_in_memory`
+    is an in-process pandas call, so its engine-parity benchmark must run
+    the same way — a bare Python process, no JVM sharing the driver, no
+    Spark session allocating while pandas runs."""
+    script = _INMEM_SCRIPT.format(repo=str(Path(__file__).resolve().parent), golden=GOLDEN)
+    res = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, check=True
+    )
+    return json.loads(res.stdout.strip().splitlines()[-1])
 
 
 def force(df):
     df.write.format("noop").mode("overwrite").save()
+
+
+def timed_median(run, n: int = 3) -> float:
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    return round(statistics.median(ts), 3)
 
 
 def bench_flatten(spark) -> dict[str, float]:
@@ -64,7 +109,13 @@ def bench_flatten(spark) -> dict[str, float]:
     Python import/parse time). In a real pipeline the same plan runs every
     micro-batch, so steady state is the representative regime.
     """
-    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten_plan
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import (
+        flatten_families,
+        flatten_plan,
+        unwrap_envelope,
+    )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     src = unwrap_envelope(spark.read.option("multiLine", True).json(GOLDEN)).cache()
@@ -91,85 +142,81 @@ def bench_flatten(spark) -> dict[str, float]:
         docs = spark.read.parquet(path)
         o = docs.selectExpr(*plan)
         force(o)  # warm-up: codegen + JIT
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            force(o)
-            best = min(best, time.time() - t0)
-        out[f"flatten_{n}docs"] = round(best, 3)
+        out[f"flatten_{n}docs"] = timed_median(lambda: force(o))
     # The M5 column-family scale path on the same 10k-doc batch: ~10
     # subtree tables instead of one 5k-wide row. Each family projection is
     # narrow (codegen-friendly) and its parquet scan prunes to the subtree,
     # so even run SEQUENTIALLY on one node this beats the wide select; on a
     # cluster the families are independent jobs.
-    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten_families
-
     docs10k = spark.read.parquet("/tmp/etl_pipeline_bench_docs10000.parquet")
     fams = list(flatten_families(docs10k, families=10).values())
     for d in fams:
         force(d)  # warm-up
-    t0 = time.time()
-    for d in fams:
-        force(d)
-    out["flatten_10000docs_families"] = round(time.time() - t0, 3)
+
+    def run_families():
+        for d in fams:
+            force(d)
+
+    out["flatten_10000docs_families"] = timed_median(run_families)
     src.unpersist()
-
-    # In-memory API rows — the regime BASELINE.md's reference numbers were
-    # actually measured in (its json_to_tsv_in_memory is an in-process call;
-    # a Spark job pays ~2.5 s of fixed task-broadcast overhead per action
-    # that the in-process API doesn't). Same semantics, cross-checked in
-    # tests/test_local_flatten.py.
-    import json as _json
-
-    from etl_pipeline_for_elasticsearch_json_document_spark.local import json_to_tsv_in_memory
-
-    with open(GOLDEN) as f:
-        doc = _json.load(f)["hits"]["hits"][0]["_source"]
-    json_to_tsv_in_memory(doc)  # warm
-    for n, label in ((1, "flatten_1doc_inmem"), (100, "flatten_100docs_inmem")):
-        batch = {"hits": {"hits": [{"_source": doc}] * n}}
-        t0 = time.time()
-        json_to_tsv_in_memory(batch)
-        out[label] = round(time.time() - t0, 3)
     return out
+
+
+def bench_dedup_close(spark, sf_dir: str) -> dict[str, float]:
+    """VERDICT r2 item 4: the fuzzy-dedup closer end-to-end at scale —
+    minhash_lsh_pairs → connected_components → representative filter on the
+    full documents table. At sf0.1 this corpus is an adversarial closure
+    workload: ~6M candidate pairs over 5k docs (≈1200 edges/node; template
+    clusters), collapsing to ~16 clusters in ≤4 label-propagation rounds
+    (pointer jumping). Timed COLD, one run — it is a multi-action pipeline,
+    not a reusable plan."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+    labels = dedup_clusters(pairs, docs)
+    labels.filter("is_representative").count()
+    return {"dedup_close_e2e": round(time.time() - t0, 3)}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # In-process pandas rows FIRST, in a subprocess untouched by the JVM.
+    timings: dict[str, float] = dict(bench_inmem())
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.queries import all_queries
+    from etl_pipeline_for_elasticsearch_json_document_spark.session import get_spark
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+
     spark = get_spark("etl-pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
-    timings: dict[str, float] = {}
 
     # Warm the JVM/codegen once so per-query numbers measure the plan, not
     # first-call JIT (the driver's wall-clock still includes startup), and
     # prime each table's file listing/footer reads so the first timed query
     # doesn't absorb first-touch I/O for every input it names.
     force(queries["q13_sort_limit"].fn(spark, sf_dir))
-    from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
-
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
 
-    # Steady-state per query: one un-timed warm-up run (pays Catalyst
-    # analysis + whole-stage codegen + C2 JIT of the generated methods),
-    # then time the run that every subsequent micro-batch / scheduled job
-    # would see. Same policy as bench_flatten below; the cold-start delta
-    # is a per-process constant (~6 s for the widest join condition, q32),
-    # not a per-query-at-scale cost.
+    # Steady-state per query: one un-timed warm-up run, then median-of-3.
     for name in HEADLINE:
         df = queries[name].fn(spark, sf_dir)
         force(df)  # warm-up: codegen + JIT
-        best = float("inf")
-        for _ in range(2):  # C2 ramp takes ~2 runs for the widest codegen
-            t0 = time.time()
-            force(df)
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = timed_median(lambda: force(df))
 
     timings.update(bench_flatten(spark))
+    timings.update(bench_dedup_close(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

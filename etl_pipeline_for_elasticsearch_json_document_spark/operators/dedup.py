@@ -495,3 +495,49 @@ def cdc_chunks(
             F.length("chunk").alias("chunk_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination sweep: for each *test* document, count the
+    distinct *train* documents sharing at least one word ``n``-gram — the
+    GPT-3-style contamination check (there 13-grams; ``n`` is a knob).
+
+    Shape (100 TB posture): both sides reduce to ``(doc_id, md5(ngram))``
+    postings — 16-byte keys, never raw text — and meet in ONE equi-join on
+    the gram hash. The test side is the small one (a benchmark suite, not
+    the corpus), so Spark broadcasts it and the train corpus streams
+    map-side; output cardinality is bounded by matches, not the corpus.
+    Skewed grams (boilerplate phrases) are exactly the contamination signal,
+    so they are kept, and AQE splits any oversized reducer.
+
+    Columns: ``test_id, n_train_docs, n_shared_grams``.
+    """
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.text import word_ngrams
+
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+        ).select(out, F.md5("g").alias("gh"))
+
+    tr = grams(train, "train_id")
+    te = grams(test, "test_id")
+    return (
+        tr.join(F.broadcast(te), "gh")
+        .groupBy("test_id")
+        .agg(
+            F.countDistinct("train_id").alias("n_train_docs"),
+            F.countDistinct("gh").alias("n_shared_grams"),
+        )
+    )

@@ -44,3 +44,63 @@ def deterministic_sample(df: DataFrame, key_col: str, per_16: int) -> DataFrame:
     assert 0 < per_16 <= 16
     threshold = format(per_16, "x")  # e.g. 4 -> '4': buckets 0..3 pass
     return df.filter(hash_bucket(F.col(key_col)) < F.lit(threshold))
+
+
+def per_key_quota(
+    df: DataFrame, key_col: str, order_col: str, quota: int
+) -> DataFrame:
+    """Cap rows per key at ``quota``, keeping the first ``quota`` in
+    ``order_col`` order — the Common-Crawl-style per-domain cap that stops
+    one mega-site from dominating a training mix. One window (a single
+    shuffle on the key); deterministic because the order column is a key,
+    not rand(). At 100 TB prefer a two-level variant (per-partition
+    pre-trim to ``quota`` rows per key via the same window over
+    ``(key, partition)`` first) when single keys exceed executor memory —
+    semantics identical, bounded state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def sequence_packing(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Assign documents to fixed-capacity training packs: within each group
+    (e.g. language), documents are laid out in ``order_col`` order and a
+    document starts in pack ``floor(exclusive_running_tokens / capacity)``
+    — contiguous start-offset packing, the deterministic streaming form of
+    sequence packing (a doc may straddle its pack boundary; the trainer's
+    loader splits it, as with GPT-style contiguous token streams).
+
+    One window cumsum per group — a single shuffle on the group key; the
+    pack id is a pure function of (order, token counts), so re-runs and
+    repartitioning cannot move a document between packs.
+
+    Columns: ``group, pack_id, n_docs, pack_tokens``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.floor(start / capacity).cast("bigint").alias("pack_id"),
+            F.col(tokens_col).alias("__t"),
+        )
+        .groupBy("group", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("__t").alias("pack_tokens"))
+    )

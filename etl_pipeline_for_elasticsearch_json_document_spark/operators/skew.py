@@ -107,3 +107,30 @@ def top_keys(df: DataFrame, key: Column | str, n: int = 20) -> DataFrame:
         .orderBy(F.col("n_rows").desc())
         .limit(n)
     )
+
+
+def partition_balance(df: DataFrame) -> dict:
+    """Per-partition row counts of ``df`` as materialized — the cheap local
+    proxy for task balance (row-count skew ≈ task-time skew for codegen
+    stages). Returns ``{"counts", "max", "median", "ratio"}`` where
+    ``ratio = max / median`` over non-empty partitions; a healthy shuffle
+    stays well under 10. One pass, one long per partition to the driver —
+    counting rides ``spark_partition_id`` so rows never leave the JVM."""
+    import statistics
+
+    counts = [
+        r["cnt"]
+        for r in df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    ]
+    nonempty = sorted(c for c in counts if c > 0) or [0]
+    med = statistics.median(nonempty)
+    mx = max(nonempty)
+    return {
+        "counts": counts,
+        "max": mx,
+        "median": med,
+        "ratio": (mx / med) if med else float("inf"),
+    }

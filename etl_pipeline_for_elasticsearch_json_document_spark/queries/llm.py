@@ -1238,3 +1238,73 @@ def q46(spark, sf_dir):
         )
         .filter(F.col("n") > 1)
     )
+
+
+@query(
+    "q100_decontaminate",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+      FROM toks),
+tr AS (SELECT doc_id AS train_id, md5(g) AS gh FROM g WHERE doc_id % 10 <> 0),
+te AS (SELECT doc_id AS test_id, md5(g) AS gh FROM g WHERE doc_id % 10 = 0)
+SELECT test_id,
+       count(DISTINCT train_id) AS n_train_docs,
+       count(DISTINCT gh) AS n_shared_grams
+FROM tr JOIN te USING (gh)
+GROUP BY test_id
+""",
+    doc="Benchmark decontamination (GPT-3 style): per held-out test doc, "
+    "the distinct train docs sharing >=1 word 5-gram. Both sides reduce "
+    "to (id, md5(gram)) postings meeting in one equi-join; the small test "
+    "side is broadcast, so the train corpus never shuffles.",
+)
+def q100(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return dedup.ngram_contamination(train, test, "doc_id", "text", n=5)
+
+
+@query(
+    "q101_domain_quota",
+    oracle="""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+""",
+    doc="Per-domain quota sampling (Common-Crawl style): cap each source "
+    "at its first 10 docs by id — one window, deterministic (ordered by a "
+    "key, never rand), so no source dominates the training mix.",
+)
+def q101(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return sampling.per_key_quota(d, "source", "doc_id", quota=10).select("doc_id", "source")
+
+
+@query(
+    "q102_sequence_packing",
+    oracle="""
+WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+c AS (SELECT lang, nt,
+             coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM t)
+SELECT lang, CAST(floor(st / 512) AS BIGINT) AS pack_id,
+       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS pack_tokens
+FROM c GROUP BY lang, pack_id
+""",
+    doc="Deterministic sequence packing: per language, docs laid out in id "
+    "order start in pack floor(running_tokens / 512) — the contiguous "
+    "token-stream layout trainers consume; one window cumsum, pack id a "
+    "pure function of (order, lengths), stable under repartitioning.",
+)
+def q102(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "nt", text.token_count(F.col("text"))
+    )
+    packs = sampling.sequence_packing(d, "lang", "doc_id", "nt", capacity=512)
+    return packs.withColumnRenamed("group", "lang")
