@@ -541,3 +541,51 @@ def ngram_contamination(
             F.countDistinct("gh").alias("n_shared_grams"),
         )
     )
+
+
+def lsh_bucket_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Closure edges for *threshold-free* LSH dedup without pair explosion:
+    every band bucket contributes a STAR to its minimum doc id instead of
+    its full clique. Columns: ``a_id`` (bucket min), ``b_id``.
+
+    A star spans exactly the same connected component as the bucket's
+    clique, so feeding these edges to :func:`~.graph.dedup_clusters` yields
+    IDENTICAL clusters to closing over all candidate pairs (pinned in
+    tests/test_scale_shakeout.py) — but the edge count is O(docs × bands),
+    not O(Σ bucket²). At 100 TB this is the difference between a linear
+    edge relation and quadratic blowup on boilerplate-heavy buckets: a
+    1M-doc bucket emits 1M edges, not 5·10¹¹ pairs. Use when band collision
+    alone defines duplication (no est-Jaccard cut on candidates); keep
+    :func:`minhash_lsh_pairs` when pairs must be scored and thresholded.
+
+    Bucket minima come from a partial-aggregated ``groupBy`` + join-back
+    (not a window), so hot buckets map-side combine and AQE can split the
+    skewed join. The same (a_id, b_id) edge may repeat across bands —
+    harmless for min-label closure (idempotent) and cheaper than a
+    distinct shuffle.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+    mins = buckets.groupBy("band", "bucket").agg(F.min("doc_id").alias("a_id"))
+    return (
+        buckets.join(mins, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("a_id"))
+        .select("a_id", F.col("doc_id").alias("b_id"))
+    )

@@ -13,13 +13,15 @@ aggregation, both on short (id, label) rows; ``localCheckpoint`` truncates
 the lineage so plans stay constant-size across iterations (the classic
 iterative-Spark trap).
 
-Scale notes (100 TB posture): iteration count is the graph diameter, and
-near-dup graphs are dense cliques-of-clusters with tiny diameters (2-4
-hops), so the loop converges in a handful of rounds. For adversarial
-long-chain graphs, switch to the alternating large-star/small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14), which contracts paths in O(log n) rounds using the same
-join-shape; the propagation step below IS its small-star half. The
+Scale notes (100 TB posture): each round combines one neighbor-min hop
+with pointer jumping (label ← label(label)), so rounds scale with
+O(log diameter), not diameter — a 128-node path closes in ≤10 rounds
+(tests/test_llm_ops.py), and near-dup graphs (dense cliques-of-clusters,
+2-4 hop diameters) close in ≤4. This matches the round complexity of the
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — the propagation step IS
+its small-star half, and the pointer jump plays large-star's
+path-contraction role while keeping the per-round shape two joins. The
 convergence check scans the already-materialized checkpoint of the new
 labels (``isEmpty`` over cached partitions), not a recompute.
 """
@@ -39,6 +41,8 @@ def connected_components(
     nodes: Optional[DataFrame] = None,
     max_iter: int = 25,
     iteration_log: Optional[list] = None,
+    edges_distinct: bool = False,
+    nodes_cover_edges: bool = False,
 ) -> DataFrame:
     """Per-node minimum-reachable-id labels for an undirected edge list.
 
@@ -51,16 +55,32 @@ def connected_components(
     propagation round — near-dup graphs should converge in ≤4 (clusters are
     near-cliques); more indicates a pathological chain graph where the
     large-star/small-star variant (module docstring) should take over.
+
+    Min-label propagation is idempotent over duplicate edges (min over a
+    multiset equals min over its support), so the edge/node dedup shuffles
+    exist only to shrink the iterated relations — callers that already
+    guarantee uniqueness should skip them:
+
+    * ``edges_distinct=True``: skip the ``distinct`` on the symmetrized
+      edge list (a full extra shuffle of the biggest relation in the job).
+      Safe when the pair generator emits each undirected pair once, as
+      LSH first-match-band / SimHash first-chunk emission do.
+    * ``nodes_cover_edges=True``: ``nodes`` is a superset of every edge
+      endpoint (e.g. the full corpus), so seed labels directly from it
+      instead of union+distinct against the endpoint projection.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint()
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    labels = sym.select(F.col("u").alias("id")).distinct()
-    if nodes is not None:
-        labels = labels.union(nodes.select(F.col(nodes.columns[0]).alias("id"))).distinct()
+    if not edges_distinct:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint()
+    if nodes is not None and nodes_cover_edges:
+        labels = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    else:
+        labels = sym.select(F.col("u").alias("id")).distinct()
+        if nodes is not None:
+            labels = labels.union(nodes.select(F.col(nodes.columns[0]).alias("id"))).distinct()
     labels = labels.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
 
     for _ in range(max_iter):
@@ -115,13 +135,21 @@ def dedup_clusters(
     """Cluster assignment for every document given near-dup pairs: columns
     ``(doc_id, cluster_id, is_representative)``. The representative (the
     doc to keep) is the minimum id in the cluster; filtering on
-    ``is_representative`` yields the deduplicated corpus."""
+    ``is_representative`` yields the deduplicated corpus.
+
+    Skips both closure dedup shuffles (see :func:`connected_components`):
+    the pair generators emit each undirected pair once, and ``all_docs``
+    covers every endpoint by definition. Even if a caller hands in
+    duplicated pairs the result is unchanged — min-label propagation is
+    idempotent — only the per-round join does redundant work."""
     cc = connected_components(
         pairs,
         src=src,
         dst=dst,
         nodes=all_docs.select(F.col(id_col).alias("id")),
         iteration_log=iteration_log,
+        edges_distinct=True,
+        nodes_cover_edges=True,
     )
     return cc.select(
         F.col("id").alias(id_col),

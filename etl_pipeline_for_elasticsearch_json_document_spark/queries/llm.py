@@ -1308,3 +1308,54 @@ def q102(spark, sf_dir):
     )
     packs = sampling.sequence_packing(d, "lang", "doc_id", "nt", capacity=512)
     return packs.withColumnRenamed("group", "lang")
+
+
+def _lsh_star_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n  ".join(
+        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
+        for k in range(num_hashes)
+    )
+    band_exprs = ",\n   ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + "))"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE
+words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sig AS (SELECT doc_id,
+  {mins}
+  FROM words GROUP BY doc_id),
+banded AS (SELECT doc_id, unnest(list_value(
+   {band_exprs})) AS bucket FROM sig),
+star AS (SELECT doc_id AS b_id, min(doc_id) OVER (PARTITION BY bucket) AS a_id FROM banded),
+edges AS (SELECT a_id AS u, b_id AS v FROM star WHERE a_id <> b_id
+          UNION ALL SELECT b_id, a_id FROM star WHERE a_id <> b_id),
+reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+)
+SELECT id AS doc_id,
+       min(lbl) AS cluster_id,
+       (id = min(lbl)) AS is_representative
+FROM reach GROUP BY id
+"""
+
+
+@query(
+    "q103_lsh_star_dedup",
+    oracle=_lsh_star_oracle(),
+    doc="Threshold-free LSH dedup at linear edge cost: every band bucket "
+    "emits a star to its min doc id (O(docs x bands) edges, identical "
+    "components to the bucket cliques), closed by min-label propagation. "
+    "The 100 TB candidate-dedup path — no quadratic pair blowup on "
+    "boilerplate buckets.",
+)
+def q103(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.lsh_bucket_edges(d, "doc_id", "text", num_hashes=16, bands=4)
+    return graph.dedup_clusters(edges, d, id_col="doc_id")

@@ -155,6 +155,26 @@ def test_connected_components_chain_converges(spark):
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    # Worst case for plain min-label propagation: a 128-node path graph
+    # (diameter 127 would need 127 rounds). Pointer jumping halves the
+    # remaining distance every round, so convergence must take O(log n)
+    # rounds — ceil(log2(128)) + slack for the no-change confirmation.
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 128
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    iters: list = []
+    got = connected_components(edges, iteration_log=iters)
+    assert got.filter("cluster_id <> 0").count() == 0
+    assert got.count() == n
+    assert len(iters) <= 10, iters
+
+
 def test_dedup_clusters_includes_singletons(spark):
     from etl_pipeline_for_elasticsearch_json_document_spark.operators.graph import dedup_clusters
 

@@ -268,3 +268,30 @@ def test_runtime_bloom_filter_join(spark, tmp_path):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_decontaminate_broadcasts_test_side(spark):
+    # q100: the test-suite postings are the small side and must broadcast —
+    # the train corpus streams map-side, no shuffle of the big relation.
+    plan = plan_text(Q["q100_decontaminate"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_quota_single_shuffle(spark):
+    # q101: one window = one Exchange on the key; better, Spark pushes the
+    # quota below the shuffle as a WindowGroupLimit (per-partition top-k
+    # pre-trim), so each mapper ships at most `quota` rows per key — the
+    # map-side-combine analog for rank filters.
+    plan = plan_text(Q["q101_domain_quota"].fn(spark, SF_DIR))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_sequence_packing_partial_agg(spark):
+    # q102: window cumsum then partial+final aggregate — the groupBy must
+    # map-side combine (HashAggregate appears before its Exchange).
+    plan = plan_text(Q["q102_sequence_packing"].fn(spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "Window" in plan

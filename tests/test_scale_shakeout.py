@@ -69,3 +69,18 @@ def test_band_join_output_balance(corpus):
     bal = partition_balance(pairs)
     # uniform md5 band keys → no reducer holds a hot bucket
     assert bal["ratio"] <= 10, bal
+
+
+def test_bucket_star_components_equal_pair_components(spark, sf_dir):
+    # A star to the bucket min spans exactly the bucket clique's component,
+    # so closing over star edges (O(n·bands)) must produce the same
+    # clusters as closing over ALL candidate pairs (threshold=0, quadratic)
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.dedup import (
+        lsh_bucket_edges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    star = dedup_clusters(lsh_bucket_edges(docs, "doc_id", "text"), docs)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.0)
+    clique = dedup_clusters(pairs, docs)
+    assert star.exceptAll(clique).isEmpty() and clique.exceptAll(star).isEmpty()
