@@ -63,3 +63,29 @@ def interval_join_stream(
         if c not in (key, right_ts):
             out_cols.append(F.col(f"r.{c}").alias(f"r_{c}"))
     return lw.join(rw, cond).select(*out_cols)
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a micro-batched stream to a
+    static (or slowly-refreshed) dimension table — the streaming analog of
+    the broadcast dimension joins in the batch surface (q04 etc.).
+
+    Stream-static joins are STATELESS on the stream side: each micro-batch
+    joins against the dimension as of that batch, nothing is retained, no
+    watermark is needed. Spark broadcasts the dimension when it fits
+    (hinted here), so at 100 TB/day the event stream never shuffles — each
+    executor enriches its partitions map-side; a dimension too big to
+    broadcast falls back to a shuffled join per micro-batch, at which point
+    pre-bucketing the dimension on the key is the right layout.
+
+    Inner and left joins are the supported shapes (right/full with a
+    streaming left are not meaningful batch-at-a-time and Spark rejects
+    them for good reason).
+    """
+    assert how in ("inner", "left"), "stream-static supports inner/left"
+    return stream.join(F.broadcast(dim), on=key, how=how)

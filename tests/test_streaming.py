@@ -436,3 +436,26 @@ def test_transform_with_state_sessionize_parity(spark, tmpdir):
     u1 = [s for s in results["tws"] if s[0] == 1]
     assert len(u1) == 1 and u1[0][3] == 5, u1  # one unsplit 5-event session
     assert len(results["tws"]) >= 4
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmpdir):
+    # stream-static join: per-micro-batch broadcast enrichment, stateless;
+    # result must equal the same join run in batch.
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.joins import enrich_stream
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % 15).alias("user_id"), "c_mktsegment")
+        .dropDuplicates(["user_id"])
+    )
+    stream = _stream_events(spark, sf_dir, tmpdir)
+    enriched = enrich_stream(
+        stream.select("event_id", "user_id"), dim, key="user_id", how="left"
+    )
+    _run_to_memory(enriched, "enriched", mode="append")
+    got = spark.sql("SELECT * FROM enriched")
+    batch = load_table(spark, sf_dir, "events").select("event_id", "user_id").join(
+        dim, "user_id", "left"
+    )
+    assert got.count() == batch.count() == 1000
+    assert got.exceptAll(batch).isEmpty()
