@@ -36,10 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Names with a green CORRECTNESS row in rounds 1-2 whose semantics are
 # unchanged since. The driver verifies a bounded number of queries per round
-# in dict order, so never-yet-checked queries (and ones edited this round:
-# q38 resegmented, q46 short-text guard, q56 broadcast-N) are emitted FIRST;
-# the already-verified remainder keeps regression coverage via
-# tests/test_queries.py.
+# in dict order, so never-yet-checked queries (q54-q99 block; r3 additions
+# q47, q100-q103; r3-edited q38/q46/q56; q35 whose closure now skips
+# redundant dedup shuffles) are emitted FIRST; the already-verified
+# remainder keeps regression coverage via tests/test_queries.py.
 _DRIVER_VERIFIED = {
     "q01_pricing_summary", "q02_filter_predicates", "q03_revenue_topn",
     "q04_join_region_rollup", "q05_count_distinct", "q06_rollup", "q07_cube",
@@ -51,7 +51,7 @@ _DRIVER_VERIFIED = {
     "q26_asof_join", "q27_range_join", "q28_exists_subquery_agg",
     "q29_tumbling_window", "q30_dedup_exact", "q31_jaccard_pairs",
     "q32_minhash_lsh", "q33_simhash_pairs", "q34_embedding_neardup",
-    "q35_dedup_clusters", "q36_repetition_metrics", "q37_shingle_jaccard",
+    "q36_repetition_metrics", "q37_shingle_jaccard",
     "q40_knn_bruteforce", "q41_knn_lsh", "q42_knn_ivf", "q43_knn_pq",
     "q44_label_centroids", "q45_ann_recall", "q48_pagerank",
     "q50_token_stats", "q51_quality_metrics", "q52_lang_facet",

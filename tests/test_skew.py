@@ -82,3 +82,58 @@ def test_top_keys_reports_hot_key(skewed):
     top = skew.top_keys(skewed, "k", n=3).collect()
     assert top[0]["k"] == "hot"
     assert top[0]["share"] > 0.9
+
+
+def test_aqe_skew_join_split_triggers(spark):
+    """Direct evidence for the AQE-first skew policy: a sort-merge join
+    with one hot key must come out of AQE with the skewed partition SPLIT
+    (``skew=true`` on the SMJ node of the final adaptive plan). Thresholds
+    are lowered to test scale; at production scale the defaults (256 MB)
+    play the same role."""
+    import contextlib
+    import io
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(400_000).select(
+            F.lit("hot").alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(1000).select(
+                (F.col("id") % 50).cast("string").alias("k"), F.col("id").alias("v")
+            )
+        )
+        right = spark.range(50).select(
+            F.when(F.col("id") == 0, "hot").otherwise(F.col("id").cast("string")).alias("k"),
+            F.col("id").alias("w"),
+        )
+        j = big.join(right, "k")
+        # right covers "hot" and "1".."49" (id 0 became "hot"), so big's
+        # key "0" rows (1000/50 = 20) drop out of the inner join. Execute
+        # THIS DataFrame's own plan (collect, not count — count wraps it in
+        # a different query) so its AdaptiveSparkPlan finalizes and
+        # explain() shows the post-execution physical plan.
+        assert len(j.collect()) == 400_000 + 1000 - 20
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain()  # post-action: prints the FINAL adaptive plan
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
