@@ -40,6 +40,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # q47, q100-q103; r3-edited q38/q46/q56; q35 whose closure now skips
 # redundant dedup shuffles) are emitted FIRST; the already-verified
 # remainder keeps regression coverage via tests/test_queries.py.
+#: Queries first registered late in r3 — ordered AFTER the long-unverified
+#: q61-q99 block so the driver's ~50-query budget closes out every query
+#: registered in rounds 1-2 first (VERDICT r2 item 3); these are locally
+#: oracle-verified (scripts/compare_oracle.py at sf0.01) and unit-tested,
+#: and take driver slots next round.
+_NEW_IN_R3 = {
+    "q104_text_chunks", "q105_bigram_lift", "q106_count_min",
+    "q107_vector_quantize", "q108_scd2", "q109_dedup_weights",
+}
+
 _DRIVER_VERIFIED = {
     "q01_pricing_summary", "q02_filter_predicates", "q03_revenue_topn",
     "q04_join_region_rollup", "q05_count_distinct", "q06_rollup", "q07_cube",
@@ -63,9 +73,14 @@ _DRIVER_VERIFIED = {
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
-    return [n for n in names if n not in _DRIVER_VERIFIED] + [
-        n for n in names if n in _DRIVER_VERIFIED
+    never_checked = [
+        n for n in names if n not in _DRIVER_VERIFIED and n not in _NEW_IN_R3
     ]
+    return (
+        never_checked
+        + [n for n in names if n in _NEW_IN_R3]
+        + [n for n in names if n in _DRIVER_VERIFIED]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

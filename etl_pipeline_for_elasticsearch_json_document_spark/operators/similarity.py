@@ -348,3 +348,70 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+def scalar_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", levels: int = 255
+) -> DataFrame:
+    """Int8-style scalar quantization of an embedding column — the vector-DB
+    compression step (4 bytes/dim float -> 1 byte/dim code, 4× smaller
+    shuffles and scans for every downstream ANN pass).
+
+    Two stages, both scale-clean:
+      1. per-dimension (min, max) calibration: posexplode -> one partial-
+         aggregated groupBy(dim) -> collapse to a SINGLE row holding the
+         mins/maxs arrays (dim entries), crossJoin-broadcast back — the
+         same broadcast-1-row-aggregate shape as q56's TF-IDF corpus size,
+         so no driver-side action materializes the stats;
+      2. map-only encode: codes[i] = round((x[i]-min[i]) / (max[i]-min[i])
+         * levels), plus the reconstruction the decoder would see and the
+         per-vector max absolute error. DECIMAL error sums keep the result
+         independent of partitioning/add order.
+
+    Columns: id, codes (array<int>), max_abs_err, sum_abs_err (decimal).
+    """
+    # float32 inputs are cast to double up front so every engine runs the
+    # identical IEEE-double arithmetic (float32 values are exact in double)
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "x0")).select(
+        "dim", F.col("x0").cast("double").alias("x")
+    )
+    stats = (
+        ex.groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "lo"))).alias("los"),
+            F.array_sort(F.collect_list(F.struct("dim", "hi"))).alias("his"),
+        )
+        .select(
+            F.transform("los", lambda s: s["lo"]).alias("los"),
+            F.transform("his", lambda s: s["hi"]).alias("his"),
+        )
+    )
+    q = df.crossJoin(F.broadcast(stats))
+    vec = F.col(vec_col)
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    x = lambda i: F.element_at(vec, i + 1).cast("double")  # noqa: E731
+    lo = lambda i: F.element_at("los", i + 1)  # noqa: E731
+    span = lambda i: F.element_at("his", i + 1) - F.element_at("los", i + 1)  # noqa: E731
+    code = lambda i: F.round((x(i) - lo(i)) / span(i) * levels, 0).cast("int")  # noqa: E731
+    recon = lambda i: lo(i) + code(i) * span(i) / levels  # noqa: E731
+    err = F.transform(idx, lambda i: F.abs(x(i) - recon(i)))
+    return q.select(
+        F.col(id_col),
+        F.transform(idx, code).alias("codes"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        # decimal accumulation (exact, add-order-independent), emitted as a
+        # rounded double — raw decimals render with trailing zeros that
+        # differ across client libraries
+        F.round(
+            F.aggregate(
+                err,
+                F.lit(0).cast("decimal(18,9)"),
+                # decimal + decimal widens the type; cast back each step to
+                # keep the accumulator type stable (aggregate requires it)
+                lambda acc, e: (acc + e.cast("decimal(18,9)")).cast("decimal(18,9)"),
+            ).cast("double"),
+            6,
+        ).alias("sum_abs_err"),
+    )

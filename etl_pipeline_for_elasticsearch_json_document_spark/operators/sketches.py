@@ -82,3 +82,71 @@ def binned_sketch_sql(
         f"floor(({value_col} - {lo!r}::DOUBLE) / {width!r}::DOUBLE))) AS INT) AS bin, "
         f"count(*) AS cnt FROM {table} GROUP BY ALL"
     )
+
+
+def _cms_bucket(item, d: int, width: int):
+    """Row ``d``'s bucket for ``item``: 24 bits of md5(d|item) mod width.
+    Engine-portable (md5 + base conversion only) so the identical sketch is
+    expressible in ANSI SQL for verification."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{d}|"), item)), 1, 6), 16, 10)
+    return (h.cast("long") % width).cast("int")
+
+
+def count_min_build(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch build: one row per (d, bucket) with the collision
+    count — depth × width rows total regardless of corpus size.
+
+    The explode multiplies items by ``depth``, but partial (map-side)
+    aggregation collapses every task to ≤ depth × width rows before the
+    shuffle, so the shuffle volume is the sketch size, not the data size.
+    Sketches merge by summing bucket counts (associative), giving the
+    shard/day/source rollup story without re-reading raw data.
+    """
+    item = F.col(item_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _cms_bucket(item, d, width).alias("bucket"))
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.d", "c.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, items: DataFrame, item_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-frequency estimates: min over the sketch rows each item hashes
+    into (the classic CMS upper bound — overestimates only, never under).
+    The sketch side is depth × width rows, so the join broadcasts."""
+    item = F.col(item_col)
+    probes = items.select(
+        item.alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), _cms_bucket(item, d, width).alias("bucket"))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("item", "c.d", "c.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def cms_bucket_sql(item: str, d: int, width: int) -> str:
+    """The identical bucket hash as ANSI SQL (DuckDB oracle)."""
+    return (
+        f"CAST(CAST(('0x' || substring(md5('{d}|' || {item}), 1, 6)) AS BIGINT) "
+        f"% {width} AS INT)"
+    )

@@ -178,3 +178,36 @@ def bpe_pretokens(text: Column) -> Column:
     merges within): array of pretoken strings. regexp_extract_all is a
     single codegen-able JVM expression — no UDF, no explode."""
     return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def overlapping_chunks(text: Column, window: int = 64, stride: int = 48) -> Column:
+    """RAG/context-window chunking: overlapping word-window chunks as an
+    array of structs (chunk_idx, start_word, n_words, chunk) — the unit a
+    retrieval or packing pipeline embeds/indexes instead of whole documents.
+
+    Chunk i covers words [1 + i*stride, 1 + i*stride + window); the number
+    of chunks is 1 for docs of <= ``window`` words, else
+    ceil((n - window) / stride) + 1, so the final chunk always reaches the
+    document tail and every word is covered. Map-only ``transform`` over
+    chunk indices (no explode until the caller needs rows), so at 100 TB
+    this is an embarrassingly parallel projection with zero shuffle.
+    """
+    ws = tokens(text)
+    n = F.size(ws)
+    n_chunks = F.when(
+        n <= window, F.lit(1).cast("long")
+    ).otherwise(F.ceil((n - F.lit(window)) / F.lit(float(stride))).cast("long") + 1)
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                (i * stride + 1).alias("start_word"),
+                F.least(F.lit(window).cast("long"), n - i * stride).alias("n_words"),
+                F.array_join(F.slice(ws, i * stride + 1, window), " ").alias("chunk"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_idx:long,start_word:long,n_words:long,chunk:string>>"
+    ))

@@ -1359,3 +1359,250 @@ def q103(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     edges = dedup.lsh_bucket_edges(d, "doc_id", "text", num_hashes=16, bands=4)
     return graph.dedup_clusters(edges, d, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions, batch 2: chunking, co-occurrence, CMS, quantization,
+# dedup-aware sampling weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q104_text_chunks",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT doc_id, ws, len(ws) AS n,
+             CASE WHEN len(ws) <= 64 THEN 1
+                  ELSE CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT) + 1 END AS nc
+      FROM w WHERE len(ws) > 0)
+SELECT doc_id,
+       i AS chunk_idx,
+       i * 48 + 1 AS start_word,
+       least(64, n - i * 48) AS n_words,
+       md5(array_to_string(ws[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_fp
+FROM k, unnest(range(0, nc)) AS t(i)
+""",
+    doc="RAG/context chunking: overlapping 64-word windows at stride 48 "
+    "(final chunk reaches the tail, every word covered). Map-only "
+    "transform over chunk indices -> explode; the chunk unit an embedding "
+    "or packing pipeline consumes. operators/text.py::overlapping_chunks.",
+)
+def q104(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        F.explode(text.overlapping_chunks(F.col("text"), window=64, stride=48)).alias("c"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_word").alias("start_word"),
+        F.col("c.n_words").alias("n_words"),
+        F.md5(F.col("c.chunk")).alias("chunk_fp"),
+    )
+
+
+@query(
+    "q105_bigram_lift",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+uni AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM tok),
+toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+bg AS (SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+       FROM toks, unnest(range(1, len(ws))) AS t(i)),
+bcnt AS (SELECT bigram, count(*) AS n_ab FROM bg GROUP BY bigram),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_big FROM bg),
+top AS (SELECT bigram, n_ab,
+               row_number() OVER (ORDER BY n_ab DESC, bigram) AS rn
+        FROM bcnt)
+SELECT t.bigram, t.n_ab,
+       a.n AS n_a, b.n AS n_b,
+       round(t.n_ab * nt.n_tok * nt.n_tok / (a.n * b.n * nb.n_big), 4) AS lift
+FROM top t
+JOIN uni a ON a.w = string_split(t.bigram, ' ')[1]
+JOIN uni b ON b.w = string_split(t.bigram, ' ')[2]
+CROSS JOIN nt CROSS JOIN nb
+WHERE t.rn <= 20
+""",
+    doc="Collocation mining: association lift of the 20 most frequent word "
+    "bigrams — lift = P(ab) / (P(a)P(b)), the exp(PMI) co-occurrence "
+    "signal (pure rational arithmetic, no log, so it is bit-reproducible "
+    "across engines). Unigram/bigram counts are partial-aggregated "
+    "shuffles; the corpus totals ride along as broadcast 1-row aggregates "
+    "(no driver-side action).",
+)
+def q105(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("n"))
+    nt = tok.groupBy().agg(F.count("*").cast("double").alias("n_tok"))
+    bg = d.select(F.explode(text.bigrams(F.col("text"))).alias("bigram"))
+    bcnt = bg.groupBy("bigram").agg(F.count("*").alias("n_ab"))
+    nb = bg.groupBy().agg(F.count("*").cast("double").alias("n_big"))
+    top = (
+        bcnt.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("n_ab"), F.asc("bigram")))
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    a = uni.select(F.col("w").alias("wa"), F.col("n").alias("n_a"))
+    b = uni.select(F.col("w").alias("wb"), F.col("n").alias("n_b"))
+    parts = F.split(F.col("bigram"), " ")
+    return (
+        top.withColumn("wa", parts[0])
+        .withColumn("wb", parts[1])
+        .join(a, "wa")
+        .join(b, "wb")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bigram",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab")
+                * F.col("n_tok")
+                * F.col("n_tok")
+                / (F.col("n_a") * F.col("n_b") * F.col("n_big")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+def _cms_oracle(depth: int = 4, width: int = 256) -> str:
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sketches import cms_bucket_sql
+
+    cells = "\nUNION ALL ".join(
+        f"SELECT {d} AS d, {cms_bucket_sql('w', d, width)} AS bucket FROM tok"
+        for d in range(depth)
+    )
+    probes = "\nUNION ALL ".join(
+        f"SELECT w, n_exact, {d} AS d, {cms_bucket_sql('w', d, width)} AS bucket FROM top"
+        for d in range(depth)
+    )
+    return f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+cells AS ({cells}),
+sk AS (SELECT d, bucket, count(*) AS cnt FROM cells GROUP BY d, bucket),
+exact AS (SELECT w, count(*) AS n_exact FROM tok GROUP BY w),
+top AS (SELECT w, n_exact FROM (
+          SELECT w, n_exact, row_number() OVER (ORDER BY n_exact DESC, w) AS rn
+          FROM exact) WHERE rn <= 20),
+probes AS ({probes})
+SELECT p.w, p.n_exact, min(sk.cnt) AS est,
+       min(sk.cnt) - p.n_exact AS overcount
+FROM probes p JOIN sk ON sk.d = p.d AND sk.bucket = p.bucket
+GROUP BY p.w, p.n_exact
+"""
+
+
+@query(
+    "q106_count_min",
+    oracle=_cms_oracle(),
+    doc="Count-min sketch: 4x256 mergeable frequency summary of the token "
+    "stream (partial agg collapses each task to <= depth x width rows "
+    "before the shuffle — shuffle volume is the sketch, not the data), "
+    "probed for the top-20 tokens vs exact counts. est >= exact always; "
+    "sketches merge by summing buckets, the shard/day rollup story. "
+    "operators/sketches.py::count_min_build.",
+)
+def q106(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import sketches
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+    sk = sketches.count_min_build(tok, "w", depth=4, width=256)
+    exact = tok.groupBy("w").agg(F.count("*").alias("n_exact"))
+    top = (
+        exact.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("n_exact"), F.asc("w")))
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    est = sketches.count_min_estimate(sk, top.select("w"), "w", depth=4, width=256)
+    return top.join(est, top["w"] == est["item"]).select(
+        top["w"], "n_exact", "est", (F.col("est") - F.col("n_exact")).alias("overcount")
+    )
+
+
+@query(
+    "q107_vector_quantize",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, s AS dim, embedding[s + 1]::DOUBLE AS x
+  FROM embeddings, range(0, 64) t(s)),
+st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim),
+enc AS (
+  SELECT e.vec_id, e.dim, e.x,
+         CAST(round((e.x - st.lo) / (st.hi - st.lo) * 255, 0) AS INT) AS code,
+         st.lo, st.hi
+  FROM ex e JOIN st ON e.dim = st.dim),
+err AS (
+  SELECT vec_id, dim, code,
+         abs(x - (lo + code * (hi - lo) / 255)) AS e
+  FROM enc)
+SELECT vec_id,
+       string_agg(code, ',' ORDER BY dim) AS codes_csv,
+       round(max(e), 6) AS max_abs_err,
+       round(CAST(sum(CAST(e AS DECIMAL(18,9))) AS DOUBLE), 6) AS sum_abs_err
+FROM err GROUP BY vec_id
+""",
+    doc="Scalar (int8) quantization of the embedding column — the vector-DB "
+    "compression pass (float32 -> 1 byte/dim = 4x smaller ANN scans). "
+    "Per-dim calibration is one partial-aggregated groupBy collapsed to a "
+    "single broadcast row (no driver action); encoding is map-only; "
+    "DECIMAL error sums are add-order-independent. "
+    "operators/similarity.py::scalar_quantize.",
+)
+def q107(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.scalar_quantize(emb, "vec_id", "embedding", levels=255)
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes")).alias("codes_csv"),
+        "max_abs_err",
+        "sum_abs_err",
+    )
+
+
+@query(
+    "q109_dedup_weights",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+g AS (SELECT fp, min(doc_id) AS keep_id, count(*) AS dup_count
+      FROM fp GROUP BY fp)
+SELECT f.doc_id, g.dup_count,
+       round(1.0 / g.dup_count, 6) AS weight,
+       f.doc_id = g.keep_id AS is_keeper
+FROM fp f JOIN g ON f.fp = g.fp
+""",
+    doc="Duplication-aware sampling weights: instead of dropping exact "
+    "duplicates, every copy gets weight 1/cluster_size so the cluster "
+    "contributes one document's worth of probability mass to training "
+    "(the soft-dedup used when provenance must be preserved). One "
+    "16-byte-key groupBy + one equi-join back; text never shuffles.",
+)
+def q109(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+    g = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count")
+    )
+    return fp.join(g, "fp").select(
+        "doc_id",
+        "dup_count",
+        F.round(F.lit(1.0) / F.col("dup_count"), 6).alias("weight"),
+        (F.col("doc_id") == F.col("keep_id")).alias("is_keeper"),
+    )

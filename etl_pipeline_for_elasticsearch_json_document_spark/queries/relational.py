@@ -1541,3 +1541,40 @@ def q79(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q108_scd2",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       epoch_us(o_orderdate) AS valid_from_us,
+       epoch_us(lead(o_orderdate) OVER w) AS valid_to_us,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="SCD type-2 history build (the warehouse change-tracking pattern): "
+    "each change record's validity interval is [its ts, next change ts) "
+    "via one lead() window — a single shuffle on the business key, no "
+    "self-join. Deterministic tiebreak on the order key; timestamps "
+    "compared as unix micros per the cross-engine rules.",
+)
+def q108(spark, sf_dir):
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        # NTZ parquet timestamps -> LTZ in the UTC session, matching the
+        # oracle's naive epoch_us (same normalization as events.ts)
+        .withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_micros("o_orderdate").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
