@@ -16,6 +16,11 @@ Measurement policy (r3, after r2's two published artifacts):
     pipeline (LSH pairs → connected-components closure → representative
     filter), not a reusable plan, so steady-state timing has no meaning.
 
+Cross-round comparability note: q38_sentence_dedup changed SEMANTICS in r3
+(short-segment guard + the oracle check became non-vacuous), so its r3
+number measures more work than its r2 number — not a regression of an
+unchanged plan.
+
 `flatten_1doc*` / `flatten_100docs*` correspond to BASELINE.md's reference
 micro-benchmarks (0.103 s / 3.43 s measured for the reference in this
 container). Query execution is forced with the noop sink (full pipeline

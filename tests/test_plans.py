@@ -295,3 +295,36 @@ def test_sequence_packing_partial_agg(spark):
     plan = plan_text(Q["q102_sequence_packing"].fn(spark, SF_DIR))
     assert "HashAggregate" in plan
     assert "Window" in plan
+
+
+def test_text_chunks_map_only(spark):
+    # chunking must be a shuffle-free projection: transform + explode only
+    plan = plan_text(Q["q104_text_chunks"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_count_min_probe_broadcasts_sketch(spark):
+    # the probe joins a depth x width relation — must broadcast, never SMJ
+    plan = plan_text(Q["q106_count_min"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scalar_quantize_calibration_is_broadcast_single_row(spark):
+    # per-dim stats collapse to one row broadcast back over the corpus: the
+    # encode side must see a BroadcastNestedLoopJoin/BroadcastExchange of
+    # the 1-row stats, and no driver-side action happens at plan time
+    plan = plan_text(Q["q107_vector_quantize"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats side
+    # corpus + calibration pass only (formatted mode lists each node twice)
+    assert plan.count("Scan parquet") == 4
+
+
+def test_scd2_single_window_shuffle(spark):
+    # one hashpartitioning exchange on the business key, one window node,
+    # and the custkey filter reaches the parquet scan
+    plan = plan_text(Q["q108_scd2"].fn(spark, SF_DIR))
+    # exactly one exchange node (tree + detail renderings), hash on the key
+    assert plan.count("Exchange") == 2 and "hashpartitioning(o_custkey" in plan
+    assert "Window" in plan
+    assert "PushedFilters:" in plan and "o_custkey" in plan.split("PushedFilters:")[1].splitlines()[0]
