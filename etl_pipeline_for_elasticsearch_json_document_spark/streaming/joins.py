@@ -29,6 +29,7 @@ def interval_join_stream(
     within: str = "30 minutes",
     watermark: str = "1 hour",
     extra_condition: Column | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Join two watermarked streams on ``key`` where the right event falls
     in ``(left_ts, left_ts + within]``.
@@ -37,6 +38,12 @@ def interval_join_stream(
     event-time range in both directions — that is what lets Spark evict
     join state (unmatched left rows older than watermark+within are
     dropped; right state likewise). ``within`` uses INTERVAL syntax.
+
+    ``how='leftOuter'`` additionally emits null-padded rows for left events
+    that found no match — but only once the watermark proves no future
+    match is possible (watermark past left_ts + within), i.e. outer results
+    are delayed by the watermark, never speculative. Same state-eviction
+    bounds as inner.
 
     Columns: the key, ``l_ts``/``r_ts``, every non-key/ts left column
     prefixed ``l_``, right prefixed ``r_``.
@@ -62,7 +69,7 @@ def interval_join_stream(
     for c in right.columns:
         if c not in (key, right_ts):
             out_cols.append(F.col(f"r.{c}").alias(f"r_{c}"))
-    return lw.join(rw, cond).select(*out_cols)
+    return lw.join(rw, cond, how).select(*out_cols)
 
 
 def enrich_stream(

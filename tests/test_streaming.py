@@ -459,3 +459,75 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmpdir):
     )
     assert got.count() == batch.count() == 1000
     assert got.exceptAll(batch).isEmpty()
+
+
+def test_interval_join_stream_left_outer(spark, sf_dir, tmpdir):
+    """leftOuter stream-stream join: inner pairs match the batch join
+    exactly, and unmatched clicks surface as null-padded rows once the
+    watermark proves no purchase can still arrive. Outer emission needs the
+    watermark to ADVANCE BETWEEN micro-batches, so the replay is split into
+    time-ordered files consumed one per trigger."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.joins import (
+        interval_join_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    clicks_b = events.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys_b = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+
+    src = os.path.join(tmpdir, "loj_src")
+    # One file per time slice, WRITTEN SEQUENTIALLY in ts order: the file
+    # source consumes files in modification-time order, and a parallel
+    # range-partitioned write finishes its tasks out of order — a later
+    # slice consumed first would jump the watermark and drop earlier
+    # events as late. Sequential appends make mod-order == event-time
+    # order, so the per-batch watermark ratchets forward monotonically.
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    bounds = [lo + (hi - lo) * i / 8 for i in range(9)]
+    for i in range(8):
+        sl = events.filter(
+            (F.col("ts") >= bounds[i])
+            & ((F.col("ts") < bounds[i + 1]) if i < 7 else (F.col("ts") <= bounds[8]))
+        )
+        sl.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    clicks_s = stream.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys_s = stream.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+
+    joined = interval_join_stream(
+        clicks_s, buys_s, within="30 minutes", watermark="10 minutes", how="leftOuter"
+    )
+    _run_to_memory(joined, "loj_stream")
+    rows = spark.sql("SELECT * FROM loj_stream").collect()
+    got_inner = {(r.user_id, r.l_event_id, r.r_event_id) for r in rows if r.r_event_id is not None}
+    got_outer = {(r.user_id, r.l_event_id) for r in rows if r.r_event_id is None}
+
+    l, r = clicks_b.alias("l"), buys_b.alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 minutes"))
+    )
+    expected_inner = {
+        (row.user_id, row.lid, row.rid)
+        for row in l.join(r, cond)
+        .select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("lid"),
+            F.col("r.event_id").alias("rid"),
+        )
+        .collect()
+    }
+    unmatched = {
+        (row.user_id, row.lid)
+        for row in l.join(r, cond, "left_anti")
+        .select(F.col("l.user_id").alias("user_id"), F.col("l.event_id").alias("lid"))
+        .collect()
+    }
+    # every inner pair is emitted; no outer row is ever emitted twice or
+    # for a click that actually has a match; trailing clicks younger than
+    # the final watermark may legitimately still sit in state
+    assert got_inner == expected_inner
+    assert got_outer <= unmatched
+    assert len(got_outer) > 0, "watermark never flushed any outer rows"
