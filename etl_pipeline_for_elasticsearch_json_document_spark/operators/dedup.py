@@ -280,6 +280,81 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_cross_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FUZZY cross-corpus contamination: (corpus doc, probe doc) pairs whose
+    estimated Jaccard >= threshold — the near-duplicate complement of
+    :func:`ngram_contamination` (which needs an exact shared n-gram and
+    misses lightly edited benchmark leaks).
+
+    Same banded-LSH shape as :func:`minhash_lsh_pairs`, but a TWO-CORPUS
+    equi-join on band keys with the small probe side (a benchmark suite)
+    broadcast — the huge corpus streams map-side, nothing shuffles. Each
+    colliding pair is emitted from its first matching band only (cheap
+    predicate, no pair distinct()).
+
+    Columns: corpus_id, probe_id, est_jaccard.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    def packed(df: DataFrame, prefix: str) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes)
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias(f"{prefix}bk{b}")
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.col("doc_id").alias(f"{prefix}id"),
+            *[F.col(f"mh{j}").alias(f"{prefix}mh{j}") for j in range(num_hashes)],
+            *band_cols,
+        )
+
+    c = packed(corpus, "c_").select(
+        "*",
+        F.posexplode(F.array(*[F.col(f"c_bk{b}") for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+    p = packed(probes, "p_").select(
+        "*",
+        F.posexplode(F.array(*[F.col(f"p_bk{b}") for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+    joined = c.join(F.broadcast(p), ["band", "bucket"])
+    first_match = F.lit(False)
+    for bb in range(bands):
+        no_earlier = F.lit(True)
+        for e in range(bb):
+            no_earlier = no_earlier & (F.col(f"c_bk{e}") != F.col(f"p_bk{e}"))
+        first_match = first_match | ((F.col("band") == bb) & no_earlier)
+    matches = sum(
+        F.when(F.col(f"c_mh{j}") == F.col(f"p_mh{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return (
+        joined.filter(first_match)
+        .select(
+            F.col("c_id").alias("corpus_id"),
+            F.col("p_id").alias("probe_id"),
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 #

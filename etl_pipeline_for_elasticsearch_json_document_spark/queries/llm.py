@@ -1606,3 +1606,54 @@ def q109(spark, sf_dir):
         F.round(F.lit(1.0) / F.col("dup_count"), 6).alias("weight"),
         (F.col("doc_id") == F.col("keep_id")).alias("is_keeper"),
     )
+
+
+def _minhash_cross_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n  ".join(
+        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
+        for k in range(num_hashes)
+    )
+    band_exprs = ",\n   ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + "))"
+        for b in range(bands)
+    )
+    matches = " + ".join(f"(sc.mh{j} = sp.mh{j})::INT" for j in range(num_hashes))
+    return f"""
+WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sig AS (SELECT doc_id,
+  {mins}
+  FROM words GROUP BY doc_id),
+banded AS (SELECT doc_id, unnest(list_value(
+   {band_exprs})) AS bucket FROM sig),
+cand AS (SELECT DISTINCT c.doc_id AS corpus_id, p.doc_id AS probe_id
+         FROM banded c JOIN banded p ON c.bucket = p.bucket
+         WHERE c.doc_id % 10 <> 0 AND p.doc_id % 10 = 0)
+SELECT corpus_id, probe_id,
+       round(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
+FROM cand
+JOIN sig sc ON sc.doc_id = corpus_id
+JOIN sig sp ON sp.doc_id = probe_id
+WHERE round(({matches}) / {float(num_hashes)}, 6) >= {threshold}
+"""
+
+
+@query(
+    "q110_fuzzy_decontaminate",
+    oracle=_minhash_cross_oracle(),
+    doc="Fuzzy benchmark decontamination: MinHash-banded cross-corpus join "
+    "flags train docs NEAR-duplicating a held-out test doc (est Jaccard "
+    ">= 0.4) — catches lightly edited leaks q100's exact n-gram check "
+    "misses. The small test side is broadcast; the corpus streams "
+    "map-side. operators/dedup.py::minhash_cross_pairs.",
+)
+def q110(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return dedup.minhash_cross_pairs(
+        train, test, "doc_id", "text", num_hashes=16, bands=4, threshold=0.4
+    )

@@ -387,3 +387,29 @@ def test_bpe_pretokens_shape(spark):
         .collect()[0]["t"]
     )
     assert got == ["Hello", "world", ",", "4", "2", "tokens", "!"]
+
+
+def test_minhash_cross_pairs_finds_edited_leak(spark):
+    """A probe doc that is a light edit of a corpus doc must be flagged by
+    the fuzzy cross-corpus check even though no long exact n-gram survives
+    frequent word substitutions."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+    edited = list(base)
+    for i in range(3, len(edited), 4):  # every 4th word changed: max run = 3
+        edited[i] = f"X{i}"
+    corpus = spark.createDataFrame(
+        [(1, " ".join(base)), (2, "totally unrelated words " + " ".join(f"z{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(100, " ".join(edited))], "doc_id long, text string")
+    # J(base, edited) = 15/25 = 0.6: 2-row bands make a collision near-
+    # certain (1-(1-0.6^2)^8 ≈ 0.98) where 4-row bands would likely miss
+    fuzzy = dedup.minhash_cross_pairs(
+        corpus, probes, "doc_id", "text", num_hashes=16, bands=8, threshold=0.3
+    )
+    got = {(r["corpus_id"], r["probe_id"]) for r in fuzzy.collect()}
+    assert (1, 100) in got and (2, 100) not in got
+    # the exact 5-gram check misses this leak (no 5 consecutive words survive)
+    exact = dedup.ngram_contamination(corpus, probes, "doc_id", "text", n=5)
+    assert exact.count() == 0

@@ -328,3 +328,11 @@ def test_scd2_single_window_shuffle(spark):
     assert plan.count("Exchange") == 2 and "hashpartitioning(o_custkey" in plan
     assert "Window" in plan
     assert "PushedFilters:" in plan and "o_custkey" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_fuzzy_decontaminate_broadcasts_probe_side(spark):
+    # the test-benchmark side is broadcast; the corpus must never shuffle
+    # (map-only signatures + broadcast hash join on band keys)
+    plan = plan_text(Q["q110_fuzzy_decontaminate"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
