@@ -531,3 +531,43 @@ def test_interval_join_stream_left_outer(spark, sf_dir, tmpdir):
     assert got_inner == expected_inner
     assert got_outer <= unmatched
     assert len(got_outer) > 0, "watermark never flushed any outer rows"
+
+
+def test_cms_stream_equals_batch_sketch(spark, sf_dir, tmpdir):
+    """The streamed (foreachBatch-merged) count-min sketch after a drain is
+    IDENTICAL to the batch sketch over all data — the mergeable-summary
+    guarantee that makes restarts/backfills order-independent."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sketches import (
+        count_min_build,
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.sketch_job import (
+        read_sketch,
+        run_cms_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = os.path.join(tmpdir, "cms_src")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    # several micro-batches so the merge path actually runs
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+
+    state = os.path.join(tmpdir, "cms_state")
+    q = run_cms_stream(
+        stream.select("event_type"),
+        "event_type",
+        state_path=state,
+        checkpoint_dir=os.path.join(tmpdir, "cms_ckpt"),
+        depth=4,
+        width=32,
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["d"], r["bucket"]): r["cnt"] for r in read_sketch(spark, state).collect()
+    }
+    batch = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in count_min_build(events.select("event_type"), "event_type", 4, 32).collect()
+    }
+    assert streamed == batch and sum(streamed.values()) == 4 * events.count()
