@@ -1657,3 +1657,145 @@ def q110(spark, sf_dir):
     return dedup.minhash_cross_pairs(
         train, test, "doc_id", "text", num_hashes=16, bands=4, threshold=0.4
     )
+
+
+@query(
+    "q111_weighted_sample",
+    oracle="""
+SELECT doc_id, lang,
+       round(least(len(string_split(text, ' ')) / 100.0, 1.0) *
+             (1.0 - abs(len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','an','and','or','of','to','in','is'], w)))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.1)), 6) AS keep_p,
+       CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|ws'), 1, 8)) AS BIGINT)
+            AS DOUBLE) / 4294967296.0 < round(least(len(string_split(text, ' ')) / 100.0, 1.0) *
+             (1.0 - abs(len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','an','and','or','of','to','in','is'], w)))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.1)), 6) AS kept
+FROM documents
+""",
+    doc="Quality-weighted subsampling (the CCNet-style keep-probability "
+    "pass): each doc is kept with probability equal to its quality score, "
+    "decided by a DETERMINISTIC per-doc hash coin (md5 bits as a uniform "
+    "in [0,1)) — reproducible across runs, engines, and partitionings, "
+    "unlike rand(). Map-only, shuffle-free.",
+)
+def q111(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    keep_p = F.round(text.quality_score(F.col("text")), 6)
+    coin = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ws"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    return d.select("doc_id", "lang", keep_p.alias("keep_p"), (coin < keep_p).alias("kept"))
+
+
+@query(
+    "q112_facets",
+    oracle="""
+SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang' ELSE 'source' END AS facet,
+       coalesce(lang, source) AS value,
+       count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE n_chars >= 200
+GROUP BY GROUPING SETS ((lang), (source))
+""",
+    doc="Elasticsearch-style faceted aggregation: one filtered pass over "
+    "the corpus produces every facet's value counts via GROUPING SETS — "
+    "the engine-side analog of the reference's ES aggregations, N facets "
+    "for one scan + one partial-aggregated shuffle instead of N queries.",
+)
+def q112(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    return (
+        d.groupingSets([[F.col("lang")], [F.col("source")]], F.col("lang"), F.col("source"))
+        .agg(
+            # grouping() is only resolvable inside the aggregate
+            F.grouping("lang").alias("__g_lang"),
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            F.when(F.col("__g_lang") == 0, F.lit("lang")).otherwise(F.lit("source")).alias("facet"),
+            F.coalesce("lang", "source").alias("value"),
+            "n",
+            "sum_chars",
+        )
+    )
+
+
+_BM25_TERMS = ("join", "hash", "scan")
+
+
+def _bm25_oracle(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, unnest(ws) AS w FROM docs)
+       WHERE w IN ({terms}) GROUP BY doc_id, w),
+df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+             tf.tf * ({k1} + 1) /
+             (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN df ON tf.w = df.w
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, score, rnk FROM (
+  SELECT doc_id, round(s, 6) AS score,
+         row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rnk
+  FROM scored)
+WHERE rnk <= {k}
+"""
+
+
+@query(
+    "q113_bm25_topk",
+    oracle=_bm25_oracle(),
+    doc="Full-text match-query scoring (the reference's ES BASE_QUERY "
+    "analog executed engine-side): Okapi BM25 over a fixed term set — "
+    "tf for the query terms only (filter pushed before the count), df and "
+    "corpus stats as broadcast 1-row aggregates, top-k ordered by the "
+    "ROUNDED score with doc-id tiebreak per the cross-engine rules.",
+)
+def q113(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    k1, b = 1.2, 0.75
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", text.tokens(F.col("text")).alias("ws"))
+    dl = docs.select("doc_id", F.size("ws").cast("double").alias("dl"))
+    stats = dl.groupBy().agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    tf = (
+        docs.select("doc_id", F.explode(F.filter("ws", lambda w: F.array_contains(terms, w))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    part = (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(part).alias("s"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select("doc_id", F.round("s", 6).alias("score"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
