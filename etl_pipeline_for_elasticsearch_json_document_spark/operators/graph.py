@@ -216,3 +216,61 @@ def pagerank(
             F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
         )
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    Uses the degree-ordered orientation (node iterator of Schank & Wagner /
+    the MapReduce formulation of Suri & Vassilvitskii, WWW'11): orient each
+    edge from the (degree, id)-smaller endpoint to the larger, enumerate
+    wedges only at each edge's SMALLER endpoint, and close them against the
+    oriented edge set. Every triangle is counted exactly once, and — the
+    100 TB point — wedge fan-out is bounded by out-degrees under the
+    orientation, which are O(sqrt(m)) even for power-law hubs: a celebrity
+    node of degree 10M generates no wedges because nearly all its edges
+    point INTO it. Total work O(m^1.5) instead of sum(deg^2).
+
+    All stages are equi-joins/aggregations on (int, int) rows.
+    Columns: node, n_triangles.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n")).unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): a -> b iff (d_a, a) < (d_b, b)
+    withdeg = (
+        und.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = withdeg.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    # wedges at the common smaller endpoint; b<c dedups the wedge pair
+    o1 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
+    o2 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_c"))
+    wedges = o1.join(o2, "w_a").filter(F.col("w_b") < F.col("w_c"))
+    closing = oriented.select(
+        F.least("a", "b").alias("w_b"), F.greatest("a", "b").alias("w_c")
+    )
+    tris = wedges.join(closing, ["w_b", "w_c"])
+    nodes = (
+        tris.select(F.col("w_a").alias("node"))
+        .unionAll(tris.select(F.col("w_b").alias("node")))
+        .unionAll(tris.select(F.col("w_c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

@@ -1799,3 +1799,43 @@ def q113(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+@query(
+    "q114_triangle_counts",
+    oracle="""
+WITH raw AS (
+    SELECT doc_id % 40 AS s, (3 * doc_id + 1) % 40 AS t FROM documents
+    UNION ALL
+    SELECT doc_id % 40, (7 * doc_id + 2) % 40 FROM documents),
+und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM raw WHERE s <> t),
+deg AS (SELECT n, count(*) AS d FROM (
+          SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY n),
+ori AS (SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+               CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b
+        FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+wedges AS (SELECT o1.a AS w_a, o1.b AS w_b, o2.b AS w_c
+           FROM ori o1 JOIN ori o2 ON o1.a = o2.a AND o1.b < o2.b),
+closing AS (SELECT least(a, b) AS w_b, greatest(a, b) AS w_c FROM ori),
+tris AS (SELECT w_a, w_b, w_c FROM wedges JOIN closing USING (w_b, w_c))
+SELECT node, count(*) AS n_triangles FROM (
+  SELECT w_a AS node FROM tris
+  UNION ALL SELECT w_b FROM tris
+  UNION ALL SELECT w_c FROM tris) GROUP BY node
+""",
+    doc="Per-node triangle counts (degree-ordered orientation, Suri & "
+    "Vassilvitskii WWW'11): wedges enumerate only at each edge's smaller "
+    "endpoint so fan-out is bounded O(sqrt(m)) even at power-law hubs — "
+    "total work O(m^1.5), all equi-joins on int pairs. The clustering-"
+    "coefficient / community-structure primitive. "
+    "operators/graph.py::triangle_counts.",
+)
+def q114(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 40).alias("src"), ((3 * F.col("doc_id") + 1) % 40).alias("dst")
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 40).alias("src"), ((7 * F.col("doc_id") + 2) % 40).alias("dst")
+    )
+    return graph.triangle_counts(e1.unionByName(e2))

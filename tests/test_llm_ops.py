@@ -413,3 +413,14 @@ def test_minhash_cross_pairs_finds_edited_leak(spark):
     # the exact 5-gram check misses this leak (no 5 consecutive words survive)
     exact = dedup.ngram_contamination(corpus, probes, "doc_id", "text", n=5)
     assert exact.count() == 0
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    """K4 has 4 triangles, every node in exactly 3; a pendant edge joins
+    none. Duplicate/reversed input edges must not change counts."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import graph
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]  # both directions
+    edges = spark.createDataFrame(k4 + [(4, 9), (9, 4)], "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in graph.triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
