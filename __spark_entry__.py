@@ -49,7 +49,7 @@ _NEW_IN_R3 = {
     "q104_text_chunks", "q105_bigram_lift", "q106_count_min",
     "q107_vector_quantize", "q108_scd2", "q109_dedup_weights",
     "q110_fuzzy_decontaminate", "q111_weighted_sample", "q112_facets",
-    "q113_bm25_topk", "q114_triangle_counts",
+    "q113_bm25_topk", "q114_triangle_counts", "q115_source_mix",
 }
 
 _DRIVER_VERIFIED = {

@@ -104,3 +104,51 @@ def sequence_packing(
         .groupBy("group", "pack_id")
         .agg(F.count("*").alias("n_docs"), F.sum("__t").alias("pack_tokens"))
     )
+
+
+def target_mix_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weight_col: Column,
+    budget: int,
+) -> DataFrame:
+    """Mixture-weighted subsampling: keep each source at the rate that hits
+    a target corpus mix — the data-mixing pass of LLM training pipelines
+    (upweight curated sources, downweight bulk crawl, fixed token budget).
+
+    ``weight_col`` gives each row its source's RELATIVE target weight; the
+    per-source keep rate is ``min(1, budget * (w_s / sum w) / n_s)``. Rates
+    come from one per-source aggregate (tiny, broadcast back) and a 1-row
+    total — no driver-side action — and the keep decision is the same
+    deterministic md5 coin as :func:`deterministic_sample`, so the sample
+    is reproducible across runs, engines, and partitionings.
+
+    Columns: the input's, plus ``mix_rate`` and ``kept``.
+    """
+    src = F.col(source_col)
+    per = (
+        df.select(src.alias("__s"), weight_col.alias("__w"))
+        .groupBy("__s")
+        .agg(F.count("*").alias("__n"), F.first("__w").alias("__w"))
+    )
+    tot = per.groupBy().agg(F.sum("__w").alias("__tw"))
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "__s",
+        F.least(
+            F.lit(1.0), F.lit(float(budget)) * (F.col("__w") / F.col("__tw")) / F.col("__n")
+        ).alias("mix_rate"),
+    )
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|mix"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    return (
+        df.join(F.broadcast(rates), src == F.col("__s"))
+        .drop("__s")
+        .select("*", (coin < F.col("mix_rate")).alias("kept"))
+    )

@@ -1839,3 +1839,44 @@ def q114(spark, sf_dir):
         (F.col("doc_id") % 40).alias("src"), ((7 * F.col("doc_id") + 2) % 40).alias("dst")
     )
     return graph.triangle_counts(e1.unionByName(e2))
+
+
+@query(
+    "q115_source_mix",
+    oracle="""
+WITH w AS (SELECT doc_id, source,
+                  CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 2 = 0
+                       THEN 4.0 ELSE 1.0 END AS wt
+           FROM documents),
+per AS (SELECT source, count(*) AS n_s, min(wt) AS wt FROM w GROUP BY source),
+tot AS (SELECT sum(wt) AS tw FROM per),
+rates AS (SELECT source, least(1.0, 200.0 * (wt / tot.tw) / n_s) AS mix_rate
+          FROM per CROSS JOIN tot),
+kept AS (
+  SELECT w.source, r.mix_rate,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 8)) AS BIGINT)
+              AS DOUBLE) / 4294967296.0 < r.mix_rate AS kept
+  FROM w JOIN rates r ON w.source = r.source)
+SELECT source,
+       round(mix_rate, 6) AS mix_rate,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM kept GROUP BY source, mix_rate
+""",
+    doc="Training-mixture sampling: per-source keep rates derived from "
+    "target weights and a fixed budget (upweight curated sources 4x), "
+    "decided by the deterministic md5 coin — reproducible across engines "
+    "and partitionings. Rates come from a broadcast per-source aggregate; "
+    "no driver action. operators/sampling.py::target_mix_sample.",
+)
+def q115(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    wt = F.when(
+        F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("bigint") % 2 == 0,
+        F.lit(4.0),
+    ).otherwise(F.lit(1.0))
+    out = sampling.target_mix_sample(d, "source", "doc_id", wt, budget=200)
+    return out.groupBy("source", F.round("mix_rate", 6).alias("mix_rate")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+    )
