@@ -1880,3 +1880,63 @@ def q115(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+@query(
+    "q116_decontaminated_stats",
+    oracle="""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS gr
+      FROM toks),
+te AS (SELECT DISTINCT md5(gr) AS gh FROM g WHERE doc_id % 10 = 0),
+bad AS (SELECT DISTINCT doc_id FROM g
+        WHERE doc_id % 10 <> 0 AND md5(gr) IN (SELECT gh FROM te)),
+train AS (SELECT doc_id, lang, len(ws) AS n_tok FROM toks WHERE doc_id % 10 <> 0)
+SELECT lang,
+       count(*) AS n_train,
+       CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN bad.doc_id IS NULL THEN n_tok ELSE 0 END) AS BIGINT) AS clean_tokens,
+       round(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS contamination_rate
+FROM train LEFT JOIN bad USING (doc_id)
+GROUP BY lang
+""",
+    doc="Decontamination as a curation pass, not just a report: train docs "
+    "sharing any 5-gram with the held-out test split are anti-joined out "
+    "(the q100 postings meet, test side broadcast), and the output is the "
+    "per-language curation ledger — surviving docs, clean token budget, "
+    "contamination rate. One plan: grams -> broadcast semi/anti join -> "
+    "partial-aggregated rollup.",
+)
+def q116(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+
+    def grams(df):
+        return df.select(
+            "doc_id",
+            F.explode(F.array_distinct(text.word_ngrams(F.col("text"), 5))).alias("g"),
+        ).select("doc_id", F.md5("g").alias("gh"))
+
+    te = grams(test).select("gh").distinct()
+    bad = (
+        grams(train)
+        .join(F.broadcast(te), "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__bad", F.lit(1))
+    )
+    t = train.select("doc_id", "lang", text.token_count(F.col("text")).alias("n_tok"))
+    joined = t.join(bad, "doc_id", "left")
+    is_bad = F.col("__bad").isNotNull()
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_train"),
+        F.sum(F.when(is_bad, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(is_bad, 0).otherwise(F.col("n_tok"))).cast("bigint").alias("clean_tokens"),
+        F.round(
+            F.sum(F.when(is_bad, 1).otherwise(0)) / F.count("*").cast("double"), 6
+        ).alias("contamination_rate"),
+    )
