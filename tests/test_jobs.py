@@ -117,3 +117,23 @@ def test_es_source_stub_gating(spark):
     # tier 1 works everywhere: the golden envelope
     df = es.read_search_response_json(spark, "/root/reference/ElasticSearch_Document.json")
     assert df.count() == 1 and "claimRequestId" in df.columns
+
+
+def test_cli_main_exports_golden_doc(tmp_path, capsys):
+    """`python -m etl_pipeline_for_elasticsearch_json_document_spark IN OUT`
+    — the reference's script entry point (E1): envelope in, per-batch TSV +
+    audit out."""
+    import glob
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.__main__ import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main(["/root/reference/ElasticSearch_Document.json", out, "--bug-compat"])
+    assert rc == 0
+    assert "exported 1 documents" in capsys.readouterr().out
+    tsvs = glob.glob(f"{out}/rta_claim_headers_*/*.csv")
+    assert len(tsvs) == 1
+    import pandas as pd
+
+    df = pd.read_csv(tsvs[0], sep="\t")
+    assert df.shape == (1, 5028)
