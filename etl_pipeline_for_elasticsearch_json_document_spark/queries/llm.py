@@ -1940,3 +1940,47 @@ def q116(spark, sf_dir):
             F.sum(F.when(is_bad, 1).otherwise(0)) / F.count("*").cast("double"), 6
         ).alias("contamination_rate"),
     )
+
+
+@query(
+    "q117_novelty_scores",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gr
+      FROM toks),
+h AS (SELECT doc_id, md5(gr) AS gh FROM g),
+first_seen AS (SELECT gh, min(doc_id) AS first_doc FROM h GROUP BY gh)
+SELECT h.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM h JOIN first_seen f USING (gh)
+GROUP BY h.doc_id
+""",
+    doc="Per-document novelty scoring (the anti-boilerplate curation "
+    "signal): the fraction of a doc's distinct word 3-grams whose FIRST "
+    "corpus occurrence (min doc id — at scale, min ingest timestamp) is "
+    "this doc. Boilerplate-heavy docs score near 0, fresh content near 1. "
+    "One groupBy over 16-byte gram hashes + one equi-join back; text "
+    "never shuffles.",
+)
+def q117(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(text.word_ngrams(F.col("text"), 3))).alias("g"),
+    ).select("doc_id", F.md5("g").alias("gh"))
+    first_seen = h.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        h.join(first_seen, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) / F.count("*").cast("double"), 6).alias("novelty"),
+        )
+    )
