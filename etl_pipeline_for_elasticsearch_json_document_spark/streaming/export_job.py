@@ -41,10 +41,19 @@ def run_export_stream(
     id_col: str = "claimRequestId",
     bug_compat: bool = False,
     trigger_available_now: bool = True,
+    exactly_once: bool = False,
 ):
     """Stream JSON documents from ``input_dir``; per micro-batch: flatten →
     TSV directory named by last id + batch timestamp → audit row. Returns
-    the StreamingQuery (caller awaits termination)."""
+    the StreamingQuery (caller awaits termination).
+
+    ``exactly_once=True`` swaps the reference's timestamped directory name
+    (A17 — NOT retry-safe: a micro-batch replayed after a crash between
+    write and checkpoint commit writes a SECOND timestamped directory) for
+    a deterministic per-epoch name, so the overwrite write makes replays
+    idempotent — foreachBatch's at-least-once delivery becomes
+    exactly-once at the storage level.
+    """
     if schema is None:
         # Streaming needs a fixed *source* schema; infer it from the files
         # present (per-batch dynamic schema still applies to the flattened
@@ -91,7 +100,13 @@ def run_export_stream(
             # small micro-batches collapse to one TSV file; wide ones keep
             # their partitioning (decided from partition count — no scan)
             one_file = batch_df.rdd.getNumPartitions() <= 8
-            write_tsv(flat, batch_tsv_path(output_dir, last_id), coalesce=1 if one_file else None)
+            if exactly_once:
+                import os
+
+                path = os.path.join(output_dir, f"rta_claim_headers_epoch{batch_id:06d}.tsv")
+            else:
+                path = batch_tsv_path(output_dir, last_id)
+            write_tsv(flat, path, coalesce=1 if one_file else None)
             n = obs.get["n"]  # filled: the write above materialized the batch
             audit.success(start_ts, batch_id=str(batch_id), record_count=n)
         except Exception as e:  # FAILED audit row, then re-raise (A20)

@@ -571,3 +571,30 @@ def test_cms_stream_equals_batch_sketch(spark, sf_dir, tmpdir):
         for r in count_min_build(events.select("event_type"), "event_type", 4, 32).collect()
     }
     assert streamed == batch and sum(streamed.values()) == 4 * events.count()
+
+
+def test_export_stream_exactly_once_replay_idempotent(spark, tmpdir):
+    """exactly_once mode: a replayed micro-batch (fresh checkpoint over the
+    same input — the crash-before-commit worst case) overwrites its own
+    deterministic epoch directory instead of minting a second timestamped
+    one, so the output converges instead of duplicating."""
+    import json as _json
+
+    inp = os.path.join(tmpdir, "in")
+    os.makedirs(inp)
+    with open(os.path.join(inp, "a.json"), "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"claimRequestId": i, "v": "x"}) + "\n")
+    out = os.path.join(tmpdir, "out")
+    schema = "claimRequestId long, v string"
+    for attempt in ("ckpt1", "ckpt2"):  # second run replays batch 0
+        run_export_stream(
+            spark, inp, out,
+            checkpoint_dir=os.path.join(tmpdir, attempt),
+            audit_path=os.path.join(tmpdir, "audit"),
+            schema=schema, exactly_once=True,
+        ).awaitTermination(120)
+    dirs = glob.glob(os.path.join(out, "rta_claim_headers_*"))
+    assert len(dirs) == 1 and dirs[0].endswith("epoch000000.tsv")
+    got = spark.read.option("sep", "\t").option("header", True).csv(dirs[0])
+    assert got.count() == 5  # overwritten, not doubled
