@@ -132,3 +132,35 @@ def test_scd2_intervals_are_contiguous_per_key(spark, sf_dir):
         assert rs[-1]["is_current"] and rs[-1]["valid_to_us"] is None
         for a, b in zip(rs, rs[1:]):
             assert a["valid_to_us"] == b["valid_from_us"]
+
+
+def test_overlapping_chunks_properties(spark):
+    """Property check across lengths 1..300: full coverage (every word in
+    >=1 chunk), correct chunk count, exact overlap of window-stride words
+    between consecutive chunks, and tail chunk reaching the last word."""
+    window, stride = 64, 48
+    rows = [(n, _words(n)) for n in list(range(1, 70)) + [95, 111, 112, 113, 160, 300]]
+    df = spark.createDataFrame(rows, "n long, text string")
+    out = (
+        df.select(
+            "n",
+            F.explode(text.overlapping_chunks(F.col("text"), window, stride)).alias("c"),
+        )
+        .select("n", "c.*")
+        .collect()
+    )
+    by_n = {}
+    for r in out:
+        by_n.setdefault(r["n"], []).append(r)
+    for n, rs in by_n.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        expected = 1 if n <= window else -(-(n - window) // stride) + 1
+        assert len(rs) == expected, (n, len(rs), expected)
+        assert rs[0]["start_word"] == 1
+        assert rs[-1]["start_word"] + rs[-1]["n_words"] - 1 == n  # tail covered
+        for a, b in zip(rs, rs[1:]):
+            assert b["start_word"] - a["start_word"] == stride
+            # every non-final chunk is full-width, so consecutive chunks
+            # always overlap by exactly window - stride words
+            assert a["n_words"] == window
+            assert a["start_word"] + a["n_words"] - b["start_word"] == window - stride
