@@ -234,36 +234,9 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     All stages are equi-joins/aggregations on (int, int) rows.
     Columns: node, n_triangles.
     """
-    und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(
-            F.least("u", "v").alias("u"),
-            F.greatest("u", "v").alias("v"),
-        )
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("u").alias("n")).unionAll(und.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
-    # orient by (degree, id): a -> b iff (d_a, a) < (d_b, b)
-    withdeg = (
-        und.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
-    )
-    lt = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = withdeg.select(
-        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+    oriented = orient_edges(edges, src, dst)
     # wedges at the common smaller endpoint; b<c dedups the wedge pair
-    o1 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
-    o2 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_c"))
-    wedges = o1.join(o2, "w_a").filter(F.col("w_b") < F.col("w_c"))
+    wedges = oriented_wedges(oriented)
     closing = oriented.select(
         F.least("a", "b").alias("w_b"), F.greatest("a", "b").alias("w_c")
     )
@@ -274,3 +247,41 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .unionAll(tris.select(F.col("w_c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def oriented_wedges(oriented: DataFrame) -> DataFrame:
+    """Wedge enumeration under the degree orientation — exposed separately
+    so the skew guarantee is testable: a star hub of any size generates
+    ZERO wedges (all its edges point INTO it), where naive per-node wedge
+    counting would do sum(deg^2) work. Columns: w_a, w_b, w_c."""
+    o1 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
+    o2 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_c"))
+    return o1.join(o2, "w_a").filter(F.col("w_b") < F.col("w_c"))
+
+
+def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree-ordered orientation of an undirected edge set (the first two
+    stages of :func:`triangle_counts`, reusable for any wedge-bounded
+    algorithm). Columns: a -> b with (deg(a), a) < (deg(b), b)."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n")).unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    withdeg = (
+        und.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return withdeg.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )

@@ -424,3 +424,19 @@ def test_triangle_counts_k4_plus_pendant(spark):
     edges = spark.createDataFrame(k4 + [(4, 9), (9, 4)], "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in graph.triangle_counts(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_orientation_kills_hub_wedges(spark):
+    """The skew guarantee behind triangle_counts: a 2,000-leaf star hub
+    produces ZERO wedges under degree-ordered orientation (every edge
+    points INTO the hub), where naive per-node wedge counting would
+    enumerate ~2M pairs at the hub. K4's wedge count is exactly 4."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import graph
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 2001)], "src long, dst long")
+    assert graph.oriented_wedges(graph.orient_edges(star)).count() == 0
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)], "src long, dst long"
+    )
+    assert graph.oriented_wedges(graph.orient_edges(k4)).count() == 4
