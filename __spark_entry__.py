@@ -50,7 +50,8 @@ _NEW_IN_R3 = {
     "q107_vector_quantize", "q108_scd2", "q109_dedup_weights",
     "q110_fuzzy_decontaminate", "q111_weighted_sample", "q112_facets",
     "q113_bm25_topk", "q114_triangle_counts", "q115_source_mix",
-    "q116_decontaminated_stats", "q117_novelty_scores",
+    "q116_decontaminated_stats", "q117_novelty_scores", "q118_profile",
+    "q119_gap_fill",
 }
 
 _DRIVER_VERIFIED = {

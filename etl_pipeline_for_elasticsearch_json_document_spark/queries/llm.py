@@ -1984,3 +1984,85 @@ def q117(spark, sf_dir):
             F.round(F.sum(novel) / F.count("*").cast("double"), 6).alias("novelty"),
         )
     )
+
+
+@query(
+    "q118_profile",
+    oracle="""
+SELECT 'doc_id' AS col, count(*) AS n,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v
+FROM documents
+UNION ALL
+SELECT 'lang', count(*),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT lang), min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', count(*),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT source), min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM documents
+""",
+    doc="Dataset profiling (the ingest QA report): per column — row count, "
+    "null count, exact distinct, min/max as strings. One aggregate per "
+    "column over a single scan (Catalyst collapses the UNION of "
+    "same-source aggregates into shared scans); at 100 TB swap exact "
+    "distinct for the HLL sketch (q67) column by column.",
+)
+def q118(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    parts = []
+    for c in ("doc_id", "lang", "source", "n_chars"):
+        parts.append(
+            d.agg(
+                F.lit(c).alias("col"),
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_v"),
+                F.max(F.col(c)).cast("string").alias("max_v"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "q119_gap_fill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events WHERE user_id < 20 GROUP BY user_id, day),
+bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id),
+cal AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds)
+SELECT cal.user_id, CAST(cal.day AS VARCHAR) AS day,
+       coalesce(daily.n, 0) AS n
+FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
+""",
+    doc="Time-series gap filling (resample-to-daily with zero-fill): per "
+    "user, a generated calendar spine (sequence + explode — map-only over "
+    "the tiny per-user bounds) left-joined to the daily counts. The "
+    "missing-data normalization every downstream window/forecast job "
+    "assumes; no driver-side calendar materialization.",
+)
+def q119(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select("user_id", F.col("day").cast("string").alias("day"),
+                F.coalesce("n", F.lit(0)).alias("n"))
+    )
