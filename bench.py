@@ -176,14 +176,11 @@ def bench_dedup_close(spark, sf_dir: str) -> dict[str, float]:
     (pointer jumping). Timed COLD, one run — it is a multi-action pipeline,
     not a reusable plan."""
     from etl_pipeline_for_elasticsearch_json_document_spark.operators.dedup import (
+        lsh_bucket_edges,
         minhash_lsh_pairs,
     )
     from etl_pipeline_for_elasticsearch_json_document_spark.operators.graph import (
         dedup_clusters,
-    )
-
-    from etl_pipeline_for_elasticsearch_json_document_spark.operators.dedup import (
-        lsh_bucket_edges,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")

@@ -37,10 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     from etl_pipeline_for_elasticsearch_json_document_spark.session import get_spark
 
     spark = get_spark("etl-pipeline-export")
-    src = spark.read.option("multiLine", True).json(args.input)
-    if not src.columns or src.columns == ["_corrupt_record"]:
-        # multiLine mode can't read JSONL; retry line-delimited
-        src = spark.read.json(args.input)
+    # Try line-delimited FIRST: JSONL read in multiLine mode silently
+    # parses only the first object (no error — data loss), while a
+    # pretty-printed envelope read line-delimited fails LOUDLY with a
+    # _corrupt_record column — so this order detects both formats safely.
+    src = spark.read.json(args.input)
+    if not src.columns or set(src.columns) == {"_corrupt_record"}:
+        src = spark.read.option("multiLine", True).json(args.input)
     n = fetch_and_export_documents(
         spark,
         src,

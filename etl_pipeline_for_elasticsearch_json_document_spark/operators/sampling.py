@@ -117,7 +117,9 @@ def target_mix_sample(
     a target corpus mix — the data-mixing pass of LLM training pipelines
     (upweight curated sources, downweight bulk crawl, fixed token budget).
 
-    ``weight_col`` gives each row its source's RELATIVE target weight; the
+    ``weight_col`` gives each row its source's RELATIVE target weight
+    (reduced per source with MIN, so a row-varying weight column stays
+    deterministic — first() would depend on scan order); the
     per-source keep rate is ``min(1, budget * (w_s / sum w) / n_s)``. Rates
     come from one per-source aggregate (tiny, broadcast back) and a 1-row
     total — no driver-side action — and the keep decision is the same
@@ -130,7 +132,7 @@ def target_mix_sample(
     per = (
         df.select(src.alias("__s"), weight_col.alias("__w"))
         .groupBy("__s")
-        .agg(F.count("*").alias("__n"), F.first("__w").alias("__w"))
+        .agg(F.count("*").alias("__n"), F.min("__w").alias("__w"))
     )
     tot = per.groupBy().agg(F.sum("__w").alias("__tw"))
     rates = per.crossJoin(F.broadcast(tot)).select(

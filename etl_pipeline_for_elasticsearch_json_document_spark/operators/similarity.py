@@ -394,7 +394,12 @@ def scalar_quantize(
     x = lambda i: F.element_at(vec, i + 1).cast("double")  # noqa: E731
     lo = lambda i: F.element_at("los", i + 1)  # noqa: E731
     span = lambda i: F.element_at("his", i + 1) - F.element_at("los", i + 1)  # noqa: E731
-    code = lambda i: F.round((x(i) - lo(i)) / span(i) * levels, 0).cast("int")  # noqa: E731
+    # constant dimensions (span 0 — common with zero-padded embeddings)
+    # quantize to code 0 / zero error instead of dividing by zero (which
+    # ANSI mode turns into a job-killing exception)
+    code = lambda i: F.when(span(i) == 0, F.lit(0)).otherwise(  # noqa: E731
+        F.round((x(i) - lo(i)) / span(i) * levels, 0).cast("int")
+    )
     recon = lambda i: lo(i) + code(i) * span(i) / levels  # noqa: E731
     err = F.transform(idx, lambda i: F.abs(x(i) - recon(i)))
     return q.select(

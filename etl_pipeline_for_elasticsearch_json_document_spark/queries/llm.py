@@ -1543,7 +1543,9 @@ WITH ex AS (
 st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim),
 enc AS (
   SELECT e.vec_id, e.dim, e.x,
-         CAST(round((e.x - st.lo) / (st.hi - st.lo) * 255, 0) AS INT) AS code,
+         CASE WHEN st.hi = st.lo THEN 0
+              ELSE CAST(round((e.x - st.lo) / (st.hi - st.lo) * 255, 0) AS INT)
+         END AS code,
          st.lo, st.hi
   FROM ex e JOIN st ON e.dim = st.dim),
 err AS (
@@ -2009,29 +2011,34 @@ SELECT 'n_chars', count(*),
 FROM documents
 """,
     doc="Dataset profiling (the ingest QA report): per column — row count, "
-    "null count, exact distinct, min/max as strings. One aggregate per "
-    "column over a single scan (Catalyst collapses the UNION of "
-    "same-source aggregates into shared scans); at 100 TB swap exact "
-    "distinct for the HLL sketch (q67) column by column.",
+    "null count, exact distinct, min/max as strings. ALL columns' stats "
+    "come from ONE aggregate over ONE scan (a per-column UNION would "
+    "rescan the table N times — Catalyst does not merge sibling global "
+    "aggregates), then stack() pivots the single stats row into the "
+    "per-column report. At 100 TB swap exact distinct for the HLL "
+    "sketch (q67) column by column.",
 )
 def q118(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    parts = []
-    for c in ("doc_id", "lang", "source", "n_chars"):
-        parts.append(
-            d.agg(
-                F.lit(c).alias("col"),
-                F.count("*").alias("n"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
-                F.count_distinct(F.col(c)).alias("n_distinct"),
-                F.min(F.col(c)).cast("string").alias("min_v"),
-                F.max(F.col(c)).cast("string").alias("max_v"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    cols = ("doc_id", "lang", "source", "n_chars")
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+        ]
+    stats = d.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return stats.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS (col, n_null, n_distinct, min_v, max_v)"
+        ),
+        "n",
+    ).select("col", "n", "n_null", "n_distinct", "min_v", "max_v")
 
 
 @query(

@@ -83,6 +83,25 @@ def run_export_stream(
         try:
             if batch_df.isEmpty():  # A18 guard (without the cursor bug)
                 return
+            if exactly_once:
+                # foreachBatch is at-least-once: a batch replayed after a
+                # crash between write and checkpoint commit must not write
+                # again NOR append a second SUCCESS audit row. The audit
+                # table doubles as the processed-batch ledger (tiny scan).
+                try:
+                    already = (
+                        audit.read()
+                        .filter(
+                            (F.col("job_status") == "SUCCESS")
+                            & (F.col("batch_id") == str(batch_id))
+                        )
+                        .limit(1)
+                        .count()
+                    )
+                except Exception:
+                    already = 0  # audit table does not exist yet
+                if already:
+                    return
             # The output directory is named by the batch's last cursor id
             # (A17), which must be known before the write — that pre-pass
             # stays, but it is a single-column max, not a full-row scan.

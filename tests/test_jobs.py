@@ -137,3 +137,19 @@ def test_cli_main_exports_golden_doc(tmp_path, capsys):
 
     df = pd.read_csv(tsvs[0], sep="\t")
     assert df.shape == (1, 5028)
+
+
+def test_cli_main_reads_jsonl_fully(tmp_path, capsys):
+    """JSONL input must export EVERY record — multiLine-first reading
+    silently parsed only the first object of a JSONL file."""
+    import json as _json
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.__main__ import main
+
+    src = tmp_path / "docs.jsonl"
+    with open(src, "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"claimRequestId": i, "v": f"x{i}"}) + "\n")
+    rc = main([str(src), str(tmp_path / "out")])
+    assert rc == 0
+    assert "exported 5 documents" in capsys.readouterr().out

@@ -164,3 +164,16 @@ def test_overlapping_chunks_properties(spark):
             # always overlap by exactly window - stride words
             assert a["n_words"] == window
             assert a["start_word"] + a["n_words"] - b["start_word"] == window - stride
+
+
+def test_scalar_quantize_constant_dimension_no_crash(spark):
+    """Zero-span (constant) dimensions — e.g. zero-padded embeddings —
+    must quantize to code 0 with zero error, not divide by zero (a
+    job-killing exception under ANSI mode)."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in similarity.scalar_quantize(df, levels=255).collect()}
+    assert out[0]["codes"][0] == 0 and out[1]["codes"][0] == 0  # constant dim
+    assert out[0]["codes"][1] == 0 and out[1]["codes"][1] == 255
+    assert out[0]["max_abs_err"] == 0.0

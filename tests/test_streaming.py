@@ -598,3 +598,56 @@ def test_export_stream_exactly_once_replay_idempotent(spark, tmpdir):
     assert len(dirs) == 1 and dirs[0].endswith("epoch000000.tsv")
     got = spark.read.option("sep", "\t").option("header", True).csv(dirs[0])
     assert got.count() == 5  # overwritten, not doubled
+
+
+def test_cms_stream_replay_is_idempotent(spark, sf_dir, tmpdir):
+    """at-least-once safety: replaying the same batches (fresh checkpoint,
+    same input, same state) must NOT double-count — the state's last_batch
+    ledger detects and skips already-merged batches."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.sketch_job import (
+        read_sketch,
+        run_cms_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(200)
+    src = os.path.join(tmpdir, "cms2_src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    state = os.path.join(tmpdir, "cms2_state")
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_cms_stream(
+            stream.select("event_type"), "event_type",
+            state_path=state, checkpoint_dir=os.path.join(tmpdir, ckpt), width=32,
+        ).awaitTermination(120)
+
+    drain("ck_a")
+    first = {(r["d"], r["bucket"]): r["cnt"] for r in read_sketch(spark, state).collect()}
+    drain("ck_b")  # fresh checkpoint: batch 0 replays against existing state
+    second = {(r["d"], r["bucket"]): r["cnt"] for r in read_sketch(spark, state).collect()}
+    assert first == second
+
+
+def test_export_stream_exactly_once_single_audit_row(spark, tmpdir):
+    """A replayed batch in exactly_once mode must not append a second
+    SUCCESS audit row (the audit table is the processed-batch ledger)."""
+    import json as _json
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import AuditLog
+
+    inp = os.path.join(tmpdir, "in")
+    os.makedirs(inp)
+    with open(os.path.join(inp, "a.json"), "w") as f:
+        f.write(_json.dumps({"claimRequestId": 1, "v": "x"}) + "\n")
+    out = os.path.join(tmpdir, "out")
+    audit_path = os.path.join(tmpdir, "audit")
+    schema = "claimRequestId long, v string"
+    for attempt in ("ck1", "ck2"):  # second run replays batch 0
+        run_export_stream(
+            spark, inp, out,
+            checkpoint_dir=os.path.join(tmpdir, attempt),
+            audit_path=audit_path, schema=schema, exactly_once=True,
+        ).awaitTermination(120)
+    rows = AuditLog(spark, audit_path).read().collect()
+    assert len(rows) == 1 and rows[0]["job_status"] == "SUCCESS"
