@@ -1,0 +1,129 @@
+"""Elasticsearch sink: DataFrame → index (the north-star "DataFrame ETL to
+Elasticsearch sink" direction — the reference only READS from ES,
+``ElasticSearch ETL.py:220-232``; this closes the round trip).
+
+Three tiers, mirroring the source-side design (sources/elasticsearch.py):
+
+1. :func:`bulk_payload` / :func:`write_bulk_files` — render rows as the ES
+   ``_bulk`` NDJSON protocol (action line + source line) with built-in
+   ``to_json`` and write them as partitioned text files. This is the
+   testable-everywhere tier AND the 100 TB shape: payload generation is a
+   map-only projection, each executor's files are independent, and any
+   ingestion fleet (Logstash, curl loops, a queue) can replay them —
+   decoupling Spark's write throughput from the cluster's indexing
+   throughput. Idempotent by construction when ``id_col`` is set: replayed
+   ``index`` actions with explicit ``_id`` overwrite, never duplicate.
+2. :func:`write_es_connector` — the official connector
+   (``org.elasticsearch.spark.sql``), when its jar is on the cluster.
+3. :func:`write_with_client` — ``foreachPartition`` + the Python client's
+   ``bulk`` helper for environments with the client but no jar; gated with
+   a clear error here (no client in this container), like the source side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - absent in this container
+    from elasticsearch import Elasticsearch  # type: ignore
+
+    HAS_ES_CLIENT = True
+except ImportError:  # pragma: no cover
+    Elasticsearch = None  # type: ignore
+    HAS_ES_CLIENT = False
+
+
+def bulk_payload(df: DataFrame, index: str, id_col: Optional[str] = None) -> DataFrame:
+    """One output row per document: ``action`` and ``source`` are the two
+    NDJSON lines of the ES ``_bulk`` protocol. Pure ``to_json`` projection
+    (shuffle-free, codegen-able); with ``id_col`` the action pins ``_id``
+    so replays are idempotent upserts instead of duplicates."""
+    if id_col:
+        action: Column = F.concat(
+            F.lit('{"index": {"_index": "%s", "_id": "' % index),
+            F.col(id_col).cast("string"),
+            F.lit('"}}'),
+        )
+    else:
+        action = F.lit('{"index": {"_index": "%s"}}' % index)
+    return df.select(
+        action.alias("action"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("source"),
+    )
+
+
+def write_bulk_files(
+    df: DataFrame,
+    path: str,
+    index: str,
+    id_col: Optional[str] = None,
+    max_docs_per_file: Optional[int] = None,
+) -> None:
+    """Write ready-to-POST ``_bulk`` NDJSON files (action\\nsource\\n per
+    doc). ``max_docs_per_file`` caps file size so each bulk request stays
+    inside ES's http limits — at scale one file ≈ one bulk request and the
+    ingest fleet fans out across files."""
+    payload = bulk_payload(df, index, id_col)
+    lines = payload.select(
+        F.concat_ws("\n", F.col("action"), F.col("source")).alias("value")
+    )
+    writer = lines
+    if max_docs_per_file:
+        writer = lines.repartition(
+            max(1, (df.count() + max_docs_per_file - 1) // max_docs_per_file)
+        )
+    writer.write.mode("overwrite").text(path)
+
+
+def write_es_connector(
+    df: DataFrame, index: str, nodes: str = "localhost", port: int = 9200,
+    id_col: Optional[str] = None,
+) -> None:
+    """Official connector write (needs the es-hadoop/es-spark jar)."""
+    w = (
+        df.write.format("org.elasticsearch.spark.sql")
+        .option("es.nodes", nodes)
+        .option("es.port", str(port))
+    )
+    if id_col:
+        w = w.option("es.mapping.id", id_col)
+    w.mode("append").save(index)
+
+
+def write_with_client(
+    df: DataFrame,
+    index: str,
+    id_col: Optional[str] = None,
+    es_client: Optional["Elasticsearch"] = None,
+    chunk_size: int = 500,
+) -> None:
+    """Bulk-index via the Python client from each partition (no jar
+    needed). Each executor opens its own connection; gated when the client
+    library is absent (this container), mirroring the source side."""
+    if es_client is None and not HAS_ES_CLIENT:
+        raise NotImplementedError(
+            "the `elasticsearch` client is not installed in this "
+            "environment; use write_bulk_files (NDJSON handoff) or "
+            "write_es_connector (jar) instead"
+        )
+    cols = df.columns
+
+    def send(rows) -> None:  # pragma: no cover - needs a live cluster
+        from elasticsearch import Elasticsearch as ES
+        from elasticsearch.helpers import bulk
+
+        client = es_client or ES()
+        actions = (
+            {
+                "_index": index,
+                **({"_id": row[id_col]} if id_col else {}),
+                "_source": {c: row[c] for c in cols},
+            }
+            for row in rows
+        )
+        bulk(client, actions, chunk_size=chunk_size)
+
+    df.foreachPartition(send)
