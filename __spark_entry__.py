@@ -52,7 +52,7 @@ _NEW_IN_R3 = {
     "q110_fuzzy_decontaminate", "q111_weighted_sample", "q112_facets",
     "q113_bm25_topk", "q114_triangle_counts", "q115_source_mix",
     "q116_decontaminated_stats", "q117_novelty_scores", "q118_profile",
-    "q119_gap_fill",
+    "q119_gap_fill", "q120_null_safe_join", "q121_union_schema_evolution",
 }
 
 _DRIVER_VERIFIED = {

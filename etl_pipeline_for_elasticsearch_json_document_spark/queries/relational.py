@@ -1578,3 +1578,68 @@ def q108(spark, sf_dir):
         F.unix_micros(nxt).alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "q120_null_safe_join",
+    oracle="""
+WITH a AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS pr
+           FROM orders WHERE o_orderkey < 500),
+b AS (SELECT DISTINCT CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS pr
+      FROM orders WHERE o_orderkey < 200)
+SELECT a.o_orderkey, a.pr
+FROM a JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+""",
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match "
+    "each other instead of silently dropping — the semantics a CDC or "
+    "late-dimension merge needs. Still hash-partitionable (null-safe "
+    "equality is a valid shuffle key), unlike an OR-of-IS-NULL rewrite.",
+)
+def q120(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pr"),
+    )
+    b = (
+        o.filter(F.col("o_orderkey") < 200)
+        .select(
+            F.when(F.col("o_orderkey") % 5 == 0, None)
+            .otherwise(F.col("o_orderpriority"))
+            .alias("pr")
+        )
+        .distinct()
+        .withColumnRenamed("pr", "b_pr")
+    )
+    return a.join(b, a["pr"].eqNullSafe(b["b_pr"])).select("o_orderkey", "pr")
+
+
+@query(
+    "q121_union_schema_evolution",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS o_clerk FROM orders
+WHERE o_orderkey < 100
+UNION ALL
+SELECT o_orderkey, o_orderstatus, NULL, 'clerk_' || CAST(o_custkey AS VARCHAR)
+FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+""",
+    doc="Schema-evolving union (unionByName allowMissingColumns): the "
+    "relational twin of the flattener's cross-document schema union (A6) "
+    "— an old extract without o_clerk and a new one without o_totalprice "
+    "align by NAME with nulls for absent columns, instead of the "
+    "positional corruption plain UNION would produce.",
+)
+def q121(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 200)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.concat(F.lit("clerk_"), F.col("o_custkey").cast("string")).alias("o_clerk"),
+    )
+    return old.unionByName(new, allowMissingColumns=True)
