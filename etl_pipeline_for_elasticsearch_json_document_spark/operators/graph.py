@@ -285,3 +285,38 @@ def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source_nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: each node's hop distance to the nearest source
+    (min-plus iteration, the reachability/influence primitive next to
+    connected components and PageRank).
+
+    ``source_nodes`` has one ``node`` column (level 0). Each hop is one
+    levels⋈edges join + a min groupBy — same shape as :func:`pagerank`:
+    edges stay put (bucket once by ``src`` at scale), only the small
+    (node, level) relation moves. Fixed ``max_hops`` keeps the plan static
+    and the oracle expressible as unrolled CTEs; unreached nodes are
+    absent from the output (no sentinel rows to carry).
+
+    Columns: node, level.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    levels = source_nodes.select(F.col("node"), F.lit(0).cast("int").alias("level"))
+    for _ in range(max_hops):
+        hop = (
+            e.join(levels, e.src == levels.node)
+            .select(F.col("dst").alias("node"), (F.col("level") + 1).alias("level"))
+        )
+        levels = (
+            levels.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("level").cast("int").alias("level"))
+        )
+    return levels

@@ -2073,3 +2073,47 @@ def q119(spark, sf_dir):
         .select("user_id", F.col("day").cast("string").alias("day"),
                 F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+
+_Q122_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 40 AS src, (3 * doc_id + 1) % 40 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 40, (7 * doc_id + 2) % 40 FROM documents)),
+l0 AS (SELECT 0 AS node, 0 AS level UNION ALL SELECT 1, 0),
+l1 AS (SELECT node, min(level) AS level FROM (
+         SELECT node, level FROM l0
+         UNION ALL SELECT e.dst, l0.level + 1 FROM e JOIN l0 ON e.src = l0.node
+       ) GROUP BY node),
+l2 AS (SELECT node, min(level) AS level FROM (
+         SELECT node, level FROM l1
+         UNION ALL SELECT e.dst, l1.level + 1 FROM e JOIN l1 ON e.src = l1.node
+       ) GROUP BY node),
+l3 AS (SELECT node, min(level) AS level FROM (
+         SELECT node, level FROM l2
+         UNION ALL SELECT e.dst, l2.level + 1 FROM e JOIN l2 ON e.src = l2.node
+       ) GROUP BY node)
+SELECT node, CAST(level AS INT) AS level FROM l3
+"""
+
+
+@query(
+    "q122_bfs_levels",
+    oracle=_Q122_ORACLE,
+    doc="Multi-source BFS hop levels (3 hops from nodes {0,1}) over the "
+    "synthetic outlink graph — min-plus iteration: one levels-edges join "
+    "+ min groupBy per hop, edges bucketed once, only the small (node, "
+    "level) relation moves. Oracle = the hops unrolled as CTEs (same "
+    "pattern as q48). operators/graph.py::bfs_levels.",
+)
+def q122(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 40).alias("src"), ((3 * F.col("doc_id") + 1) % 40).alias("dst")
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 40).alias("src"), ((7 * F.col("doc_id") + 2) % 40).alias("dst")
+    )
+    sources = spark.createDataFrame([(0,), (1,)], "node long")
+    return graph.bfs_levels(e1.unionByName(e2), sources, max_hops=3)
