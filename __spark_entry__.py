@@ -53,7 +53,7 @@ _NEW_IN_R3 = {
     "q113_bm25_topk", "q114_triangle_counts", "q115_source_mix",
     "q116_decontaminated_stats", "q117_novelty_scores", "q118_profile",
     "q119_gap_fill", "q120_null_safe_join", "q121_union_schema_evolution",
-    "q122_bfs_levels",
+    "q122_bfs_levels", "q123_funnel", "q124_retention_cohorts",
 }
 
 _DRIVER_VERIFIED = {

@@ -1643,3 +1643,94 @@ def q121(spark, sf_dir):
         F.concat(F.lit("clerk_"), F.col("o_custkey").cast("string")).alias("o_clerk"),
     )
     return old.unionByName(new, allowMissingColumns=True)
+
+
+@query(
+    "q123_funnel",
+    oracle="""
+WITH stage AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id),
+f AS (
+  SELECT user_id,
+         t_view IS NOT NULL AS s1,
+         t_view IS NOT NULL AND t_click > t_view AS s2,
+         t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click AS s3
+  FROM stage)
+SELECT CAST(sum(s1::INT) AS BIGINT) AS n_view,
+       CAST(sum(s2::INT) AS BIGINT) AS n_click_after_view,
+       CAST(sum(s3::INT) AS BIGINT) AS n_purchase_after_click,
+       round(sum(s3::INT) / CAST(sum(s1::INT) AS DOUBLE), 6) AS conversion
+FROM f
+""",
+    doc="Funnel analysis (view -> click -> purchase, strictly ordered by "
+    "first occurrence): one conditional-min aggregation per user — a "
+    "single partial-aggregated shuffle over (user, 3 timestamps), no "
+    "self-joins, no window — then a global rollup. NULL stage times "
+    "fail the > comparisons, so missing stages drop out without "
+    "explicit guards.",
+)
+def q123(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stage = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_buy") > F.col("t_click"))
+    f = stage.select(
+        s1.cast("int").alias("s1"), s2.cast("int").alias("s2"), s3.cast("int").alias("s3")
+    )
+    return f.agg(
+        F.sum("s1").cast("bigint").alias("n_view"),
+        F.sum("s2").cast("bigint").alias("n_click_after_view"),
+        F.sum("s3").cast("bigint").alias("n_purchase_after_click"),
+        F.round(F.sum("s3") / F.sum("s1").cast("double"), 6).alias("conversion"),
+    )
+
+
+@query(
+    "q124_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(day - cohort_day AS BIGINT) // 7 AS week_offset,
+       count(DISTINCT a.user_id) AS n_active
+FROM firsts f JOIN activity a USING (user_id)
+WHERE f.cohort_day < DATE '2024-01-08'
+GROUP BY f.cohort_day, week_offset
+""",
+    doc="Cohort retention matrix: users bucketed by first-seen day, "
+    "activity counted per week offset — first-touch via one min "
+    "aggregation, one distinct-activity projection, one equi-join on "
+    "user_id (both sides already partial-aggregated), then the matrix "
+    "rollup. The standard growth-analytics rollup with no window "
+    "functions and no per-cohort scans.",
+)
+def q124(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    firsts = (
+        e.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+        .filter(F.col("cohort_day") < F.lit("2024-01-08").cast("date"))
+    )
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.floor(F.datediff("day", "cohort_day") / 7).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
