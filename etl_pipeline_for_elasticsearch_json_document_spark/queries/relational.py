@@ -1734,3 +1734,48 @@ def q124(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "q125_fuzzy_match",
+    oracle="""
+WITH p AS (SELECT p_partkey, p_name, substring(p_name, 1, 1) AS blk
+           FROM part WHERE p_partkey < 2000)
+SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+       a.p_name AS a_name, b.p_name AS b_name,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM p a JOIN p b
+  ON a.blk = b.blk
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+""",
+    doc="Entity resolution / fuzzy string matching: near-identical names "
+    "within a blocking key (first char + length band — the standard "
+    "record-linkage trick that turns quadratic edit-distance comparison "
+    "into per-block equi-joins), scored with levenshtein <= 3. At 100 TB "
+    "the block key is coarser hashing/phonetic codes but the join shape "
+    "is identical.",
+)
+def q125(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 2000)
+        .select("p_partkey", "p_name", F.substring("p_name", 1, 1).alias("blk"))
+    )
+    a = p.select(
+        F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name"), "blk"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_name"), "blk"
+    )
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.abs(F.length("a_name") - F.length("b_name")) <= 2)
+            & (F.col("a_key") < F.col("b_key"))
+        )
+        .filter((dist <= 3) & (F.col("a_name") != F.col("b_name")))
+        .select("a_key", "b_key", "a_name", "b_name", dist.cast("int").alias("dist"))
+    )
