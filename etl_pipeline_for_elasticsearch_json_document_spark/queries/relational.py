@@ -1779,3 +1779,52 @@ def q125(spark, sf_dir):
         .filter((dist <= 3) & (F.col("a_name") != F.col("b_name")))
         .select("a_key", "b_key", "a_name", "b_name", dist.cast("int").alias("dist"))
     )
+
+
+@query(
+    "q126_anomaly_days",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY event_type, day),
+w AS (
+  SELECT event_type, day, n,
+         avg(n) OVER win AS mu,
+         stddev_samp(n) OVER win AS sd,
+         count(*) OVER win AS n_hist
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+       round((n - mu) / sd, 3) AS z
+FROM w
+WHERE n_hist = 7 AND sd > 0 AND abs((n - mu) / sd) > 2
+""",
+    doc="Operational anomaly detection: per-type daily counts scored "
+    "against the trailing 7-day window (z-score over ROWS BETWEEN 7 "
+    "PRECEDING AND 1 PRECEDING — the current day never contaminates its "
+    "own baseline). One partial-aggregated rollup + one window pass; "
+    "flags |z| > 2 with a full-history guard.",
+)
+def q126(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(win).alias("mu"),
+        F.stddev_samp("n").over(win).alias("sd"),
+        F.count("*").over(win).alias("n_hist"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        w.filter((F.col("n_hist") == 7) & (F.col("sd") > 0) & (F.abs(z) > 2))
+        .select("event_type", F.col("day").cast("string").alias("day"), "n",
+                F.round(z, 3).alias("z"))
+    )
