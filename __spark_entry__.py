@@ -54,7 +54,7 @@ _NEW_IN_R3 = {
     "q116_decontaminated_stats", "q117_novelty_scores", "q118_profile",
     "q119_gap_fill", "q120_null_safe_join", "q121_union_schema_evolution",
     "q122_bfs_levels", "q123_funnel", "q124_retention_cohorts",
-    "q125_fuzzy_match", "q126_anomaly_days",
+    "q125_fuzzy_match", "q126_anomaly_days", "q127_snapshot_diff",
 }
 
 _DRIVER_VERIFIED = {

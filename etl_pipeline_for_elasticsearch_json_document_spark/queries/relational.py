@@ -1828,3 +1828,49 @@ def q126(spark, sf_dir):
         .select("event_type", F.col("day").cast("string").alias("day"), "n",
                 F.round(z, 3).alias("z"))
     )
+
+
+@query(
+    "q127_snapshot_diff",
+    oracle="""
+WITH old AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0),
+new AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS h
+        FROM documents WHERE doc_id % 13 <> 0)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old FULL OUTER JOIN new USING (doc_id)
+WHERE old.doc_id IS NULL OR new.doc_id IS NULL OR old.h <> new.h
+""",
+    doc="Snapshot diff (the CDC between two table versions): full outer "
+    "join on the key comparing 16-byte content hashes — added / removed "
+    "/ changed rows in one pass, raw text never shuffles. The input "
+    "derives both snapshots deterministically from the corpus (drop "
+    "every 11th vs every 13th doc, rewrite every 7th).",
+)
+def q127(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit(" v2")))
+        ).otherwise(F.md5("text")).alias("h"),
+    )
+    o = old.withColumnRenamed("h", "old_h").withColumnRenamed("doc_id", "old_id")
+    n = new.withColumnRenamed("h", "new_h").withColumnRenamed("doc_id", "new_id")
+    j = o.join(n, o["old_id"] == n["new_id"], "full_outer")
+    change = (
+        F.when(F.col("old_id").isNull(), "added")
+        .when(F.col("new_id").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.filter(
+        F.col("old_id").isNull()
+        | F.col("new_id").isNull()
+        | (F.col("old_h") != F.col("new_h"))
+    ).select(F.coalesce("old_id", "new_id").alias("doc_id"), change.alias("change"))
