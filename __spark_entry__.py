@@ -36,26 +36,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Ordering policy: the driver verifies a bounded number (~50) of queries per
 # round in dict order, so _ordered() emits (1) queries never yet driver-
-# checked and not brand-new (the q35-q103 block incl. r3-edited q38/q46/q56),
-# (2) queries first registered this round, (3) already-driver-verified names.
+# checked and not brand-new (the q106-q127 block plus the q67/q87 sketch
+# queries reformulated this round to be oracle-checkable), (2) queries first
+# registered this round, (3) already-driver-verified names.
 # ALL of (1) and (2) are locally green against the same DuckDB oracles at the
 # driver's sf0.01 (scripts/compare_oracle.py); the verified remainder keeps
 # regression coverage via tests/test_queries.py. Round maintenance: after each
 # CORRECTNESS_r{N}.json, move its green names into _DRIVER_VERIFIED and empty
 # the new-this-round set.
 
-#: Queries first registered in round 3 — ordered after block (1) so the
-#: driver budget closes out every round-1/2 registration first.
-_NEW_IN_R3 = {
-    "q104_text_chunks", "q105_bigram_lift", "q106_count_min",
-    "q107_vector_quantize", "q108_scd2", "q109_dedup_weights",
-    "q110_fuzzy_decontaminate", "q111_weighted_sample", "q112_facets",
-    "q113_bm25_topk", "q114_triangle_counts", "q115_source_mix",
-    "q116_decontaminated_stats", "q117_novelty_scores", "q118_profile",
-    "q119_gap_fill", "q120_null_safe_join", "q121_union_schema_evolution",
-    "q122_bfs_levels", "q123_funnel", "q124_retention_cohorts",
-    "q125_fuzzy_match", "q126_anomaly_days", "q127_snapshot_diff",
-}
+#: Queries first registered in round 4 — ordered after block (1) so the
+#: driver budget closes out every round-1/2/3 registration first.
+_NEW_IN_R4: set[str] = set()
 
 _DRIVER_VERIFIED = {
     "q01_pricing_summary", "q02_filter_predicates", "q03_revenue_topn",
@@ -75,17 +67,35 @@ _DRIVER_VERIFIED = {
     "q53_fingerprint_groups", "q54_bigram_counts", "q55_language_id",
     "q57_char_ngram_profile", "q58_pii_redaction", "q59_train_split",
     "q60_multimodal_meta",
+    # CORRECTNESS_r03 greens (48/48 hash-match; q67/q87 were no_oracle rows
+    # and stay in block (1) after their round-4 oracle-checkable rewrite).
+    "q35_dedup_clusters", "q38_sentence_dedup", "q46_cdc_chunk_dedup",
+    "q47_flatten_families", "q56_tfidf", "q61_multimodal_decode",
+    "q62_frame_sample", "q63_pipeline_e2e", "q64_sessionize",
+    "q65_outlink_domains", "q66_audio_chunks", "q68_ntile_deciles",
+    "q69_group_concat", "q70_flatten_events", "q71_winnowing_fingerprints",
+    "q72_bpe_token_stats", "q73_zorder_key", "q74_binned_quantile_sketch",
+    "q75_top_tokens_per_lang", "q76_variant_json", "q77_latest_by_key",
+    "q78_mode_per_group", "q79_histogram", "q80_math_funcs",
+    "q81_null_handling", "q82_string_more", "q83_date_more",
+    "q84_scalar_subquery", "q85_in_subquery", "q86_literal_dim_join",
+    "q88_posexplode", "q89_full_outer_join", "q90_map_functions",
+    "q91_pivot", "q92_unpivot", "q93_stats_agg", "q94_window_distribution",
+    "q95_sessionize", "q96_regexp_extract_all", "q97_rolling_time_window",
+    "q98_nth_value", "q99_bool_bit_agg",
+    "q100_decontaminate", "q101_domain_quota", "q102_sequence_packing",
+    "q103_lsh_star_dedup", "q104_text_chunks", "q105_bigram_lift",
 }
 
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
     never_checked = [
-        n for n in names if n not in _DRIVER_VERIFIED and n not in _NEW_IN_R3
+        n for n in names if n not in _DRIVER_VERIFIED and n not in _NEW_IN_R4
     ]
     return (
         never_checked
-        + [n for n in names if n in _NEW_IN_R3]
+        + [n for n in names if n in _NEW_IN_R4]
         + [n for n in names if n in _DRIVER_VERIFIED]
     )
 

@@ -973,15 +973,39 @@ def q86(spark, sf_dir):
 
 @query(
     "q87_approx_count_distinct",
-    oracle=None,  # HLL estimates are engine-specific → rows-only check;
-    # the exact/approx agreement is asserted in tests/test_queries.py
-    doc="approx_count_distinct (HyperLogLog++) next to the exact count.",
+    # HLL++ estimates are engine-specific, so the raw estimate cannot be
+    # hash-compared against DuckDB. Instead Spark emits the exact distinct
+    # count (checkable) plus a boolean asserting the estimate lands within
+    # 5% of it (measured error at sf0.001/sf0.01 is <=0.7%; HLL++ is
+    # deterministic per dataset — no RNG); the oracle computes its own exact
+    # count and asserts TRUE.
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS approx_within_5pct
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="approx_count_distinct (HyperLogLog++) validated against the exact "
+    "count: emits a checkable accuracy bound instead of the engine-specific "
+    "raw estimate.",
 )
 def q87(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("exact_customers"),
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
@@ -1037,19 +1061,44 @@ def q69(spark, sf_dir):
 
 @query(
     "q67_hll_sketch_distinct",
-    oracle=None,  # Apache DataSketches HLL buffers are engine-specific →
-    # rows-only check; accuracy and sketch MERGEABILITY (the property that
-    # makes distinct-count pre-aggregation work at 100 TB: per-partition /
-    # per-day sketches union without re-reading raw data) are asserted in
-    # tests/test_sketches.py
+    # Apache DataSketches HLL buffers/estimates are engine-specific → the
+    # checkable surface is the exact distinct count plus a Spark-computed
+    # boolean that the sketch estimate is within 5% of it (DataSketches HLL
+    # is deterministic per dataset; measured error at sf0.001/sf0.01 is 0%).
+    # Sketch MERGEABILITY (the property that makes distinct-count
+    # pre-aggregation work at 100 TB: per-partition / per-day sketches union
+    # via hll_union_agg without re-reading raw data) is asserted in
+    # tests/test_sketches.py.
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
     doc="Mergeable HLL sketch per group: hll_sketch_agg buffers roll up "
-    "via hll_union_agg — the incremental-rollup path for distinct counts.",
+    "via hll_union_agg — the incremental-rollup path for distinct counts; "
+    "emits an oracle-checkable accuracy bound next to the exact count.",
 )
 def q67(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
-        F.count("*").alias("n_events"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
