@@ -75,13 +75,6 @@ def _distinct_words(
 # ---------------------------------------------------------------------------
 
 
-#: Max postings rows we will force-broadcast in :func:`jaccard_pairs`.
-#: ~32 B/row serialized puts 2M rows around 64 MB — far below Spark's 8 GB
-#: broadcast ceiling but big enough to cover any corpus where all-pairs
-#: Jaccard is sane in the first place (pair count grows quadratically).
-BROADCAST_POSTINGS_MAX_ROWS = 2_000_000
-
-
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -107,19 +100,19 @@ def jaccard_pairs(
     spreads pair generation evenly. But the build side here is the WHOLE
     postings table (every distinct (doc_id, token) pair), so an unconditional
     broadcast caps the operator at broadcast-size corpora. Default
-    (``broadcast_postings=None``): broadcast only when the materialized
-    postings count is ≤ :data:`BROADCAST_POSTINGS_MAX_ROWS`; above that,
-    fall back to a shuffle join and let AQE's skew-join split hot tokens.
-    At true 100 TB scale prefer :func:`minhash_lsh_pairs` — exact all-pairs
-    Jaccard is inherently quadratic regardless of join strategy.
+    (``broadcast_postings=None``): leave the choice to AQE, which converts
+    the shuffle join to a broadcast join at RUNTIME when the materialized
+    postings side is under ``spark.sql.adaptive.autoBroadcastJoinThreshold``
+    and splits hot token keys otherwise (skew-join) — no eager action fires
+    during plan construction, the operator stays lazy like every other one
+    in this package (pinned in tests/test_llm_ops.py). ``True``/``False``
+    force the strategy when the caller knows the corpus size. At true
+    100 TB scale prefer :func:`minhash_lsh_pairs` — exact all-pairs Jaccard
+    is inherently quadratic regardless of join strategy.
     """
     words = _distinct_words(df, id_col, text_col, token_expr).cache()
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = words.alias("a")
-    if broadcast_postings is None:
-        # words is cached and reused three times below, so this count just
-        # front-loads the cache materialization it pays for.
-        broadcast_postings = words.count() <= BROADCAST_POSTINGS_MAX_ROWS
     b = (F.broadcast(words) if broadcast_postings else words).alias("b")
     inter = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))

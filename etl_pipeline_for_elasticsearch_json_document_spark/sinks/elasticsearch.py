@@ -41,14 +41,14 @@ def bulk_payload(df: DataFrame, index: str, id_col: Optional[str] = None) -> Dat
     NDJSON lines of the ES ``_bulk`` protocol. Pure ``to_json`` projection
     (shuffle-free, codegen-able); with ``id_col`` the action pins ``_id``
     so replays are idempotent upserts instead of duplicates."""
+    # The action line is rendered with to_json (never string concatenation)
+    # so id values containing quotes/backslashes are JSON-escaped — a raw
+    # concat would corrupt the NDJSON and let a crafted id inject action
+    # metadata (e.g. redirect the doc to another _index) on replay.
+    meta = [F.lit(index).alias("_index")]
     if id_col:
-        action: Column = F.concat(
-            F.lit('{"index": {"_index": "%s", "_id": "' % index),
-            F.col(id_col).cast("string"),
-            F.lit('"}}'),
-        )
-    else:
-        action = F.lit('{"index": {"_index": "%s"}}' % index)
+        meta.append(F.col(id_col).cast("string").alias("_id"))
+    action: Column = F.to_json(F.struct(F.struct(*meta).alias("index")))
     return df.select(
         action.alias("action"),
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("source"),
@@ -63,19 +63,19 @@ def write_bulk_files(
     max_docs_per_file: Optional[int] = None,
 ) -> None:
     """Write ready-to-POST ``_bulk`` NDJSON files (action\\nsource\\n per
-    doc). ``max_docs_per_file`` caps file size so each bulk request stays
-    inside ES's http limits — at scale one file ≈ one bulk request and the
-    ingest fleet fans out across files."""
+    doc). ``max_docs_per_file`` is a HARD cap (writer-enforced via Spark's
+    ``maxRecordsPerFile``, one output row == one doc) so each bulk request
+    stays inside ES's http limits — at scale one file ≈ one bulk request and
+    the ingest fleet fans out across files. No extra job is triggered: the
+    cap needs no ``count()`` and no repartition shuffle."""
     payload = bulk_payload(df, index, id_col)
     lines = payload.select(
         F.concat_ws("\n", F.col("action"), F.col("source")).alias("value")
     )
-    writer = lines
+    writer = lines.write.mode("overwrite")
     if max_docs_per_file:
-        writer = lines.repartition(
-            max(1, (df.count() + max_docs_per_file - 1) // max_docs_per_file)
-        )
-    writer.write.mode("overwrite").text(path)
+        writer = writer.option("maxRecordsPerFile", max_docs_per_file)
+    writer.text(path)
 
 
 def write_es_connector(

@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten
 from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import AuditLog
 from etl_pipeline_for_elasticsearch_json_document_spark.sinks.tsv import batch_tsv_path, write_tsv
+from etl_pipeline_for_elasticsearch_json_document_spark.streaming.identity import (
+    checkpoint_identity,
+)
 
 
 def run_export_stream(
@@ -50,9 +53,12 @@ def run_export_stream(
     ``exactly_once=True`` swaps the reference's timestamped directory name
     (A17 — NOT retry-safe: a micro-batch replayed after a crash between
     write and checkpoint commit writes a SECOND timestamped directory) for
-    a deterministic per-epoch name, so the overwrite write makes replays
-    idempotent — foreachBatch's at-least-once delivery becomes
-    exactly-once at the storage level.
+    a deterministic per-(epoch, checkpoint-lineage) name, so the overwrite
+    write makes same-lineage replays idempotent — foreachBatch's
+    at-least-once delivery becomes exactly-once at the storage level. The
+    lineage scoping bounds the guarantee honestly: epochs restart at 0
+    under a fresh checkpoint, so a cross-lineage epoch collision is NEW
+    data and is written under its own name, never skipped or overwritten.
     """
     if schema is None:
         # Streaming needs a fixed *source* schema; infer it from the files
@@ -77,6 +83,15 @@ def run_export_stream(
             )
     src = spark.readStream.schema(schema).json(input_dir)
     audit = AuditLog(spark, audit_path)
+    # Epoch ids restart at 0 under a fresh checkpoint, so the replay ledger
+    # and the epoch-named output dirs are scoped to the checkpoint LINEAGE:
+    # a same-lineage replay (crash between write and commit) is skipped /
+    # overwritten; a new lineage's batch 0 is new data and must be written,
+    # never silently dropped by a stale "epoch 0 already done" row.
+    ckpt_id = checkpoint_identity(checkpoint_dir)
+
+    def _epoch_key(batch_id: int) -> str:
+        return f"{batch_id}@{ckpt_id}"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         start_ts = datetime.datetime.now(datetime.timezone.utc)
@@ -87,13 +102,14 @@ def run_export_stream(
                 # foreachBatch is at-least-once: a batch replayed after a
                 # crash between write and checkpoint commit must not write
                 # again NOR append a second SUCCESS audit row. The audit
-                # table doubles as the processed-batch ledger (tiny scan).
+                # table doubles as the processed-batch ledger (tiny scan),
+                # keyed on (epoch, checkpoint lineage).
                 try:
                     already = (
                         audit.read()
                         .filter(
                             (F.col("job_status") == "SUCCESS")
-                            & (F.col("batch_id") == str(batch_id))
+                            & (F.col("batch_id") == _epoch_key(batch_id))
                         )
                         .limit(1)
                         .count()
@@ -122,14 +138,17 @@ def run_export_stream(
             if exactly_once:
                 import os
 
-                path = os.path.join(output_dir, f"rta_claim_headers_epoch{batch_id:06d}.tsv")
+                path = os.path.join(
+                    output_dir,
+                    f"rta_claim_headers_epoch{batch_id:06d}_{ckpt_id}.tsv",
+                )
             else:
                 path = batch_tsv_path(output_dir, last_id)
             write_tsv(flat, path, coalesce=1 if one_file else None)
             n = obs.get["n"]  # filled: the write above materialized the batch
-            audit.success(start_ts, batch_id=str(batch_id), record_count=n)
+            audit.success(start_ts, batch_id=_epoch_key(batch_id), record_count=n)
         except Exception as e:  # FAILED audit row, then re-raise (A20)
-            audit.failure(start_ts, batch_id=str(batch_id), error=e)
+            audit.failure(start_ts, batch_id=_epoch_key(batch_id), error=e)
             raise
 
     writer = (

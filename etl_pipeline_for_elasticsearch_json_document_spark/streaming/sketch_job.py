@@ -11,12 +11,15 @@ tests/test_streaming.py — which is also the restart/backfill guarantee:
 replay order cannot change the result.
 
 Delivery/crash semantics: foreachBatch is at-least-once, so every state
-row carries the last merged ``batch_id`` and a replayed batch is detected
-and SKIPPED (merging it twice would double-count — exactly-once at the
-state level). The swap keeps a ``.__old__`` backup until the new state is
-in place, and ``read_sketch`` falls back to the backup, so a crash at any
-point between the renames loses at most the in-flight batch (which then
-replays), never the history.
+row carries the last merged ``(ckpt_id, batch_id)`` and a replayed batch
+FROM THE SAME CHECKPOINT LINEAGE is detected and SKIPPED (merging it
+twice would double-count — exactly-once at the state level). The lineage
+scoping matters: a fresh checkpoint restarts epochs at 0, and its batch 0
+is genuinely new data that MUST merge — an epoch-only ledger would
+silently drop it. The swap keeps a ``.__old__`` backup until the new
+state is in place, and ``read_sketch`` falls back to the backup, so a
+crash at any point between the renames loses at most the in-flight batch
+(which then replays), never the history.
 
 At 100 TB/day the same shape runs per shard/hour and the global sketch is
 one more bucket-sum rollup; raw data is never re-read. The reference has
@@ -33,6 +36,9 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_for_elasticsearch_json_document_spark.operators.sketches import (
     count_min_build,
+)
+from etl_pipeline_for_elasticsearch_json_document_spark.streaming.identity import (
+    checkpoint_identity,
 )
 
 
@@ -68,24 +74,36 @@ def run_cms_stream(
     sketch (bucket sums), write to a staging dir, swap. The state is at
     most depth×width rows, so the merge is a broadcast-sized job no matter
     how large the stream gets. Replayed batches (at-least-once delivery)
-    are detected via the ``last_batch`` column and skipped, so the merge
-    is idempotent. Returns the StreamingQuery.
+    are detected via the ``(ckpt_id, last_batch)`` ledger and skipped —
+    but only within the same checkpoint lineage, so a fresh checkpoint's
+    restarted epoch numbering never masks new data. Returns the
+    StreamingQuery.
     """
     spark = stream.sparkSession
+    ckpt_id = checkpoint_identity(checkpoint_dir)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         prev = read_sketch(spark, state_path)
         if prev is not None and "last_batch" in prev.columns:
-            done = prev.agg(F.max("last_batch")).first()[0]
-            if done is not None and done >= batch_id:
+            row = prev.select(
+                F.max("last_batch").alias("done"),
+                F.max("ckpt_id").alias("ckpt")
+                if "ckpt_id" in prev.columns
+                else F.lit(None).cast("string").alias("ckpt"),
+            ).first()
+            # Skip ONLY replays from the SAME checkpoint lineage: a fresh
+            # checkpoint restarts epochs at 0 and its batch 0 is new data.
+            if row["done"] is not None and row["done"] >= batch_id and row["ckpt"] == ckpt_id:
                 return  # replay of an already-merged batch: skip, don't double-count
         batch_sketch = count_min_build(
             batch_df.select(item_col), item_col, depth=depth, width=width
         )
         merged = batch_sketch if prev is None else merge_sketches(prev, batch_sketch)
-        merged = merged.withColumn("last_batch", F.lit(batch_id).cast("long"))
+        merged = merged.withColumn("last_batch", F.lit(batch_id).cast("long")).withColumn(
+            "ckpt_id", F.lit(ckpt_id)
+        )
         staging = state_path + ".__next__"
         if os.path.exists(staging):  # stale staging from a crashed attempt
             shutil.rmtree(staging)

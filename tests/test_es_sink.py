@@ -44,22 +44,46 @@ def test_bulk_payload_without_id(docs):
 
 
 def test_write_bulk_files_round_trip(docs, tmp_path):
-    """Files are POST-ready NDJSON: alternating action/source lines, file
-    count capped by max_docs_per_file, and the source lines re-read by the
-    engine parse back to the original rows."""
+    """Files are POST-ready NDJSON: alternating action/source lines, a HARD
+    per-file doc cap (writer-enforced maxRecordsPerFile — no count() job, no
+    repartition shuffle), and the source lines re-read by the engine parse
+    back to the original rows."""
     p = str(tmp_path / "bulk")
-    es_sink.write_bulk_files(docs, p, "claims", id_col="claimRequestId", max_docs_per_file=2)
-    files = sorted(glob.glob(p + "/part-*"))
-    assert len(files) == 2  # ceil(3 docs / 2 per file)
+    es_sink.write_bulk_files(
+        docs.coalesce(1), p, "claims", id_col="claimRequestId", max_docs_per_file=2
+    )
+    files = sorted(f for f in glob.glob(p + "/part-*") if not f.endswith(".crc"))
     lines = []
     for f in files:
         with open(f) as fh:
-            lines += [ln for ln in fh.read().splitlines() if ln]
+            doc_lines = [ln for ln in fh.read().splitlines() if ln]
+            assert len(doc_lines) <= 2 * 2  # hard cap: ≤ max_docs_per_file docs
+            lines += doc_lines
+    assert len(files) == 2  # 3 docs in one partition, cap 2 → writer splits
     assert len(lines) == 6  # action + source per doc
     actions, sources = lines[0::2], lines[1::2]
     assert all(json.loads(a)["index"]["_index"] == "claims" for a in actions)
     parsed = sorted(json.loads(s)["claimRequestId"] for s in sources)
     assert parsed == [1, 2, 3]
+
+
+def test_bulk_action_line_escapes_hostile_ids(spark):
+    """A string id containing quotes/backslashes/newlines must be JSON-
+    escaped in the action line — raw concatenation would corrupt the NDJSON
+    and allow injected action metadata (e.g. a different _index)."""
+    hostile = 'x", "_index": "evil'
+    df = spark.createDataFrame(
+        [(hostile, "a"), ('back\\slash"q', "b"), ("nl\nid", "c")],
+        "doc_id string, body string",
+    )
+    rows = es_sink.bulk_payload(df, "claims", id_col="doc_id").collect()
+    ids = set()
+    for r in rows:
+        assert "\n" not in r["action"]  # one action == exactly one NDJSON line
+        action = json.loads(r["action"])  # parses ⇒ escaping applied
+        assert action["index"]["_index"] == "claims"
+        ids.add(action["index"]["_id"])
+    assert ids == {hostile, 'back\\slash"q', "nl\nid"}
 
 
 def test_write_with_client_gated_without_library(docs):

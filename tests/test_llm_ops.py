@@ -415,6 +415,45 @@ def test_minhash_cross_pairs_finds_edited_leak(spark):
     assert exact.count() == 0
 
 
+def test_jaccard_pairs_construction_is_lazy(spark):
+    """No Spark action may fire before an operator returns its DataFrame:
+    building jaccard_pairs over a poisoned input (any row evaluation
+    raises) must succeed; only the action may raise. The broadcast-vs-
+    shuffle choice is AQE's at runtime, not an eager count()'s."""
+    base = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    poison = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") >= 0, F.raise_error("eager action fired"))
+        .otherwise(F.lit(None))
+        .cast("string")
+        .alias("text"),
+    )
+    out = dedup.jaccard_pairs(poison, "doc_id", "text")  # lazy: must not raise
+    with pytest.raises(Exception, match="eager action fired"):
+        out.count()
+
+
+def test_minhash_ops_accept_any_id_column_name(spark):
+    """id_col is honored, not assumed to be 'doc_id': minhash_signatures
+    aliases it internally and every downstream LSH op must keep working
+    when the caller's id column has a different name."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")],
+        "my_id long, body string",
+    )
+    probes = spark.createDataFrame([(10, "a b c d e")], "my_id long, body string")
+    cross = {
+        (r["corpus_id"], r["probe_id"])
+        for r in dedup.minhash_cross_pairs(df, probes, "my_id", "body").collect()
+    }
+    assert (1, 10) in cross and (3, 10) not in cross
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_lsh_pairs(df, "my_id", "body", threshold=0.5).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
 def test_triangle_counts_k4_plus_pendant(spark):
     """K4 has 4 triangles, every node in exactly 3; a pendant edge joins
     none. Duplicate/reversed input edges must not change counts."""

@@ -573,9 +573,24 @@ def test_cms_stream_equals_batch_sketch(spark, sf_dir, tmpdir):
     assert streamed == batch and sum(streamed.values()) == 4 * events.count()
 
 
+def _simulate_crash_before_commit(checkpoint_dir):
+    """Make the checkpoint look like the job died between writing the batch
+    output and committing the epoch: offsets say batch 0 started, commits
+    say it never finished → the restart re-delivers batch 0 (the real
+    at-least-once replay, same lineage)."""
+    commits = sorted(glob.glob(os.path.join(checkpoint_dir, "commits", "*")))
+    assert commits, "no committed epochs to roll back"
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), "." + os.path.basename(commits[-1]) + ".crc"
+    )
+    if os.path.exists(crc):  # local-fs checksum shadow of the commit file
+        os.remove(crc)
+
+
 def test_export_stream_exactly_once_replay_idempotent(spark, tmpdir):
-    """exactly_once mode: a replayed micro-batch (fresh checkpoint over the
-    same input — the crash-before-commit worst case) overwrites its own
+    """exactly_once mode: a micro-batch replayed after a crash between
+    write and checkpoint commit (same lineage) overwrites its own
     deterministic epoch directory instead of minting a second timestamped
     one, so the output converges instead of duplicating."""
     import json as _json
@@ -586,24 +601,65 @@ def test_export_stream_exactly_once_replay_idempotent(spark, tmpdir):
         for i in range(5):
             f.write(_json.dumps({"claimRequestId": i, "v": "x"}) + "\n")
     out = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt1")
     schema = "claimRequestId long, v string"
-    for attempt in ("ckpt1", "ckpt2"):  # second run replays batch 0
-        run_export_stream(
-            spark, inp, out,
-            checkpoint_dir=os.path.join(tmpdir, attempt),
-            audit_path=os.path.join(tmpdir, "audit"),
-            schema=schema, exactly_once=True,
-        ).awaitTermination(120)
+    run_export_stream(
+        spark, inp, out, checkpoint_dir=ckpt,
+        audit_path=os.path.join(tmpdir, "audit"),
+        schema=schema, exactly_once=True,
+    ).awaitTermination(120)
+    _simulate_crash_before_commit(ckpt)
+    run_export_stream(  # restart replays batch 0 in the SAME lineage
+        spark, inp, out, checkpoint_dir=ckpt,
+        audit_path=os.path.join(tmpdir, "audit"),
+        schema=schema, exactly_once=True,
+    ).awaitTermination(120)
     dirs = glob.glob(os.path.join(out, "rta_claim_headers_*"))
-    assert len(dirs) == 1 and dirs[0].endswith("epoch000000.tsv")
+    assert len(dirs) == 1 and "epoch000000" in dirs[0]
     got = spark.read.option("sep", "\t").option("header", True).csv(dirs[0])
     assert got.count() == 5  # overwritten, not doubled
 
 
+def test_export_stream_fresh_checkpoint_does_not_mask_new_data(spark, tmpdir):
+    """A FRESH checkpoint restarts epochs at 0 — its batch 0 is genuinely
+    new data, and the lineage-scoped ledger must write it rather than
+    skipping on the stale 'epoch 0 already SUCCESS' row (the data-loss
+    failure mode of an epoch-only ledger)."""
+    import json as _json
+
+    inp = os.path.join(tmpdir, "in")
+    os.makedirs(inp)
+    with open(os.path.join(inp, "a.json"), "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"claimRequestId": i, "v": "x"}) + "\n")
+    out = os.path.join(tmpdir, "out")
+    audit = os.path.join(tmpdir, "audit")
+    schema = "claimRequestId long, v string"
+    run_export_stream(
+        spark, inp, out, checkpoint_dir=os.path.join(tmpdir, "ck_first"),
+        audit_path=audit, schema=schema, exactly_once=True,
+    ).awaitTermination(120)
+    # second lineage over NEW input (same output/audit): epochs restart at 0
+    with open(os.path.join(inp, "b.json"), "w") as f:
+        for i in range(100, 103):
+            f.write(_json.dumps({"claimRequestId": i, "v": "y"}) + "\n")
+    run_export_stream(
+        spark, inp, out, checkpoint_dir=os.path.join(tmpdir, "ck_second"),
+        audit_path=audit, schema=schema, exactly_once=True,
+    ).awaitTermination(120)
+    dirs = glob.glob(os.path.join(out, "rta_claim_headers_*"))
+    assert len(dirs) == 2  # one epoch-0 dir per lineage, no collision
+    total = sum(
+        spark.read.option("sep", "\t").option("header", True).csv(d).count()
+        for d in dirs
+    )
+    assert total == 13  # 5 (first lineage) + 8 (second lineage re-reads dir)
+
+
 def test_cms_stream_replay_is_idempotent(spark, sf_dir, tmpdir):
-    """at-least-once safety: replaying the same batches (fresh checkpoint,
-    same input, same state) must NOT double-count — the state's last_batch
-    ledger detects and skips already-merged batches."""
+    """at-least-once safety: a batch re-delivered after a crash between
+    state swap and checkpoint commit (SAME lineage) must NOT double-count —
+    the state's (ckpt_id, last_batch) ledger detects and skips it."""
     from etl_pipeline_for_elasticsearch_json_document_spark.streaming.sketch_job import (
         read_sketch,
         run_cms_stream,
@@ -614,24 +670,67 @@ def test_cms_stream_replay_is_idempotent(spark, sf_dir, tmpdir):
     events.coalesce(1).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     state = os.path.join(tmpdir, "cms2_state")
+    ckpt = os.path.join(tmpdir, "cms2_ck")
 
-    def drain(ckpt):
+    def drain():
         stream = spark.readStream.schema(schema).parquet(src)
         run_cms_stream(
             stream.select("event_type"), "event_type",
-            state_path=state, checkpoint_dir=os.path.join(tmpdir, ckpt), width=32,
+            state_path=state, checkpoint_dir=ckpt, width=32,
         ).awaitTermination(120)
 
-    drain("ck_a")
+    drain()
     first = {(r["d"], r["bucket"]): r["cnt"] for r in read_sketch(spark, state).collect()}
-    drain("ck_b")  # fresh checkpoint: batch 0 replays against existing state
+    _simulate_crash_before_commit(ckpt)
+    drain()  # restart re-delivers batch 0 in the same lineage → skipped
     second = {(r["d"], r["bucket"]): r["cnt"] for r in read_sketch(spark, state).collect()}
     assert first == second
 
 
+def test_cms_stream_fresh_checkpoint_merges_new_data(spark, sf_dir, tmpdir):
+    """A fresh checkpoint restarts epochs at 0; its batch 0 carries NEW
+    data and must merge into the existing state — the lineage-scoped ledger
+    only skips replays from the lineage that produced the state row."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sketches import (
+        count_min_build,
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.sketch_job import (
+        read_sketch,
+        run_cms_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter("event_id < 200")
+    src_a = os.path.join(tmpdir, "cms3_a")
+    src_b = os.path.join(tmpdir, "cms3_b")
+    half = events.filter("event_id % 2 = 0")  # deterministic split
+    rest = events.filter("event_id % 2 = 1")
+    half.coalesce(1).write.mode("overwrite").parquet(src_a)
+    rest.coalesce(1).write.mode("overwrite").parquet(src_b)
+    schema = spark.read.parquet(src_a).schema
+    state = os.path.join(tmpdir, "cms3_state")
+
+    for src, ck in ((src_a, "cms3_ck_a"), (src_b, "cms3_ck_b")):
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_cms_stream(
+            stream.select("event_type"), "event_type",
+            state_path=state, checkpoint_dir=os.path.join(tmpdir, ck), width=32,
+        ).awaitTermination(120)
+
+    streamed = {
+        (r["d"], r["bucket"]): r["cnt"] for r in read_sketch(spark, state).collect()
+    }
+    both = half.select("event_type").unionByName(rest.select("event_type"))
+    batch = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in count_min_build(both, "event_type", 4, 32).collect()
+    }
+    assert streamed == batch  # second lineage's batch 0 merged, not skipped
+
+
 def test_export_stream_exactly_once_single_audit_row(spark, tmpdir):
-    """A replayed batch in exactly_once mode must not append a second
-    SUCCESS audit row (the audit table is the processed-batch ledger)."""
+    """A same-lineage replayed batch in exactly_once mode must not append a
+    second SUCCESS audit row (the audit table is the processed-batch
+    ledger, keyed on epoch + checkpoint lineage)."""
     import json as _json
 
     from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import AuditLog
@@ -642,12 +741,14 @@ def test_export_stream_exactly_once_single_audit_row(spark, tmpdir):
         f.write(_json.dumps({"claimRequestId": 1, "v": "x"}) + "\n")
     out = os.path.join(tmpdir, "out")
     audit_path = os.path.join(tmpdir, "audit")
+    ckpt = os.path.join(tmpdir, "ck1")
     schema = "claimRequestId long, v string"
-    for attempt in ("ck1", "ck2"):  # second run replays batch 0
+    for attempt in range(2):  # second run replays batch 0, same lineage
         run_export_stream(
-            spark, inp, out,
-            checkpoint_dir=os.path.join(tmpdir, attempt),
+            spark, inp, out, checkpoint_dir=ckpt,
             audit_path=audit_path, schema=schema, exactly_once=True,
         ).awaitTermination(120)
+        if attempt == 0:
+            _simulate_crash_before_commit(ckpt)
     rows = AuditLog(spark, audit_path).read().collect()
     assert len(rows) == 1 and rows[0]["job_status"] == "SUCCESS"
