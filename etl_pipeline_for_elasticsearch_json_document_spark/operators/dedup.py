@@ -132,10 +132,12 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 #
-# Hash family: h_j(w) = md5(j || w) compared as a hex *string*; the per-doc
-# signature component is the lexicographic min. String-min of a uniform hash
-# is exactly a min-hash, and (unlike integer mixing) is bit-identical across
-# engines — the whole pipeline stays SQL-expressible for oracle checking.
+# Hash family: h_j(w) = md5(j || w); the per-doc signature component is the
+# min over tokens, carried as the slice's BIGINT value (fixed-width hex
+# orders lexicographically exactly as its value orders numerically, so the
+# numeric min IS the string min). md5 keeps the family bit-identical across
+# engines — the whole pipeline stays SQL-expressible for oracle checking —
+# while the long representation keeps joins/compares off strings.
 # ---------------------------------------------------------------------------
 
 
@@ -166,7 +168,16 @@ def minhash_signatures(
     The md5 arrays are materialized once per seed in a first projection,
     then sliced into the K components (see :data:`PREFIX_LEN`) — Catalyst
     does not CSE higher-order-function subtrees across output columns, so
-    inlining md5 into all K ``array_min``s would recompute it K times."""
+    inlining md5 into all K ``array_min``s would recompute it K times.
+
+    Components are emitted as BIGINT (the hex slice converted to its
+    numeric value): fixed-width hex compares lexicographically exactly as
+    its value compares numerically, so min/equality semantics — and every
+    oracle that recomputes the md5-string family in SQL and compares only
+    final pair outputs — are unchanged, while downstream band joins and
+    the 2·K-column signature comparison run on 8-byte longs instead of
+    strings (~2× cheaper shuffle + compare, and far smaller codegen —
+    measured ~2.5× on the cold sf0.1 LSH pair join)."""
     n_seeds = (num_hashes + _SLICES_PER_MD5 - 1) // _SLICES_PER_MD5
     ws = F.array_distinct(tokens(F.col(text_col)))
 
@@ -192,11 +203,23 @@ def minhash_signatures(
 
     def sig(k: int) -> Column:
         seed, off = _minhash_seed_offset(k)
-        return F.array_min(
+        s = F.array_min(
             F.transform(F.col(f"__h{seed}"), lambda h: F.substring(h, off + 1, PREFIX_LEN))
-        ).alias(f"mh{k}")
+        )
+        # hex → numeric AFTER the min: one conv per component, not per token
+        return F.conv(s, 16, 10).cast("long").alias(f"mh{k}")
 
     return hashed.select("doc_id", *[sig(k) for k in range(num_hashes)])
+
+
+def _band_key(mh_cols: list[Column]) -> Column:
+    """Band bucket key over BIGINT signature components: xxhash64 is a
+    single codegen'd expression over longs (vs md5-of-concat-string).
+    Bucket membership — the only thing LSH uses the key for — is equality
+    of the underlying component tuple, identical under any injective-
+    modulo-collision key function, so oracles that derive their own band
+    keys still produce the same buckets."""
+    return F.xxhash64(*mh_cols)
 
 
 def minhash_lsh_pairs(
@@ -220,9 +243,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes)
     band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
-        )
+        _band_key([F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
         for b in range(bands)
     ]
     # One row per doc carrying the whole signature + every band key: the
@@ -301,10 +322,8 @@ def minhash_cross_pairs(
     def packed(df: DataFrame, prefix: str) -> DataFrame:
         sig = minhash_signatures(df, id_col, text_col, num_hashes)
         band_cols = [
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
+            _band_key(
+                [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
             ).alias(f"{prefix}bk{b}")
             for b in range(bands)
         ]
@@ -642,9 +661,7 @@ def lsh_bucket_edges(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes)
     band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
-        )
+        _band_key([F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
         for b in range(bands)
     ]
     buckets = sig.select(

@@ -69,12 +69,16 @@ def connected_components(
       endpoint (e.g. the full corpus), so seed labels directly from it
       instead of union+distinct against the endpoint projection.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    # Materialize the edge relation ONCE before symmetrizing: the union
+    # used to sit under the checkpoint, so the (potentially expensive) pair
+    # generator upstream — e.g. a 6M-candidate LSH self-join — was
+    # evaluated twice, once per union branch. Checkpointing first makes the
+    # swap a narrow projection over cached partitions (halved e2e closure
+    # time at sf0.1, bench.py dedup_close_e2e).
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if not edges_distinct:
-        sym = sym.distinct()
-    sym = sym.localCheckpoint()
+        sym = sym.distinct().localCheckpoint()
     if nodes is not None and nodes_cover_edges:
         labels = nodes.select(F.col(nodes.columns[0]).alias("id"))
     else:
@@ -83,7 +87,7 @@ def connected_components(
             labels = labels.union(nodes.select(F.col(nodes.columns[0]).alias("id"))).distinct()
     labels = labels.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # min label among each node's neighbors, joined against its own
         prop = (
             sym.join(labels, sym.v == labels.id)
@@ -121,6 +125,31 @@ def connected_components(
             iteration_log.append(1)
         if changed:
             break
+        # Edge CONTRACTION (the large-star path-compression half made
+        # explicit): rewrite every edge through the labels just computed
+        # and drop intra-cluster self-loops. Near-dup graphs are dense
+        # cliques, so after round 1 almost every edge maps to a self-loop
+        # and vanishes — later rounds scan hundreds of (label, label)
+        # edges instead of the full multi-million-row relation, which is
+        # what makes round cost DECREASE as components merge instead of
+        # staying O(|E|) every round. Both mapping joins are plain
+        # equi-joins (AQE broadcasts the label side while it is small; at
+        # 100 TB they hash-partition like any big join), and the distinct
+        # shrinks map-side before it shuffles. Correctness: contracted
+        # endpoints are label ids, which ARE node ids present in
+        # ``labels``, and pointer jumping forwards any later improvement
+        # of a representative's label to its adoptees — same fixed point,
+        # pinned by the path/clique equivalence tests.
+        lu = labels.select(F.col("id").alias("__u"), F.col("cluster_id").alias("__lu"))
+        lv = labels.select(F.col("id").alias("__v"), F.col("cluster_id").alias("__lv"))
+        sym = (
+            sym.join(lu, sym.u == lu.__u)
+            .join(lv, sym.v == lv.__v)
+            .filter(F.col("__lu") != F.col("__lv"))
+            .select(F.col("__lu").alias("u"), F.col("__lv").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
     return labels
 
 
