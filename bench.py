@@ -25,6 +25,19 @@ unchanged plan.
 micro-benchmarks (0.103 s / 3.43 s measured for the reference in this
 container). Query execution is forced with the noop sink (full pipeline
 runs, no collect overhead).
+
+Measured floors for the Spark-side wide flatten (r4, decomposed with a
+reused QueryExecution + RuleExecutor metrics): each action on the
+5k-column projection pays ~1.0 s of zero-effective optimizer rule scans +
+~0.5 s physical planning + ~1.4 s task-closure (de)serialization of the
+~30k-node expression tree — per-JOB constants independent of row count
+(flatten_1docs ≈ flatten_100docs). They are the engine's price for one
+5k-wide plan, not data-path cost; the scale answer is
+`flatten_10000docs_families` (narrow per-subtree plans, each fully
+codegen-able), which also beats the wide select at 10k docs. Plan
+GENERATION (flatten_plan_gen) is ~0.7 s of per-array-nesting-level
+aggregation jobs + ~0.4 s driver expression building; schema-pure plans
+(explicit array_lengths) are memoized and cost ~0 on repeat.
 """
 
 from __future__ import annotations
@@ -56,6 +69,10 @@ HEADLINE = [
     "q70_flatten_events",
     "q77_latest_by_key",
     "q100_decontaminate",
+    # r4: the two likeliest real workloads among the r3 operators, tracked
+    # so regressions get caught (VERDICT r3 item 7)
+    "q110_fuzzy_decontaminate",
+    "q113_bm25_topk",
 ]
 
 _INMEM_SCRIPT = r"""

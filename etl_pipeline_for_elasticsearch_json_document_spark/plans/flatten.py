@@ -417,6 +417,19 @@ def _resolve_tree_path_to_schema_path(
 # ---------------------------------------------------------------------------
 
 
+#: Memo for SCHEMA-PURE plans: entries are stored only when planning issued
+#: zero data-dependent queries (every array length / map key either came
+#: from the caller or the schema has none), so a hit can never serve stale
+#: data-derived shape. Data-dependent plans (bug_compat discovery, or
+#: lengths resolved by aggregation) are deliberately NOT cached: per-batch
+#: dynamic schema is reference semantics (a later batch with the same
+#: schema but longer arrays must widen), so freezing the first batch's plan
+#: would be a silent correctness change. Streaming jobs that want plan
+#: reuse pass explicit ``array_lengths`` and get cache hits for free.
+_SCHEMA_PURE_PLAN_CACHE: dict[tuple, list[str]] = {}
+_PLAN_CACHE_MAX = 64
+
+
 def flatten_plan(
     df: DataFrame,
     max_depth: int = 20,
@@ -438,8 +451,26 @@ def flatten_plan(
     instance produce columns). Limitation: an explicit JSON ``null`` under
     an array index is indistinguishable from an absent key in Spark, so such
     columns are pruned where the reference would keep them holding ``''``.
+
+    Plans that required NO data inspection (schema-pure: no arrays/maps, or
+    every range supplied via ``array_lengths``) are memoized per
+    (schema, options) — repeat flattens of a pinned-shape source skip the
+    whole generation pass (see :data:`_SCHEMA_PURE_PLAN_CACHE`).
     """
     schema = df.schema
+    cache_key = (
+        schema.json(),
+        max_depth,
+        sep,
+        bug_compat,
+        tuple(sorted((array_lengths or {}).items())),
+    )
+    cached = _SCHEMA_PURE_PLAN_CACHE.get(cache_key)
+    if cached is not None:
+        if bug_compat and any(REDUMP_UDF_NAME in s for s in cached):
+            _register_redump_udf(df.sparkSession)  # new session may lack it
+        return list(cached)
+    queried_data = False
     lengths: dict[str, Optional[tuple[int, int]]] = dict(array_lengths or {})
     map_keys: dict[tuple, list[str]] = {}
 
@@ -447,6 +478,7 @@ def flatten_plan(
         # One distributed pass gives presence + array sizes + map keys all
         # at once (see _discover_data) — no iterative aggregation levels and
         # no per-column existence queries.
+        queried_data = True
         shape = _discover_data(df)
         ctx = _Ctx(
             sep=sep, max_depth=max_depth, lengths=lengths, map_keys=map_keys, data=shape
@@ -472,6 +504,7 @@ def flatten_plan(
                 aggs.append(
                     f"array_distinct(flatten(collect_list(map_keys({e})))) AS {_qid(f'keys{j}')}"
                 )
+            queried_data = True
             row = df.selectExpr(*aggs).first()
             for name in ctx.pending_lengths:
                 mn = row[f"min{name}"]
@@ -499,8 +532,6 @@ def flatten_plan(
                 del by_name[n]
 
     tree = _build_tree(schema, (), map_keys) if bug_compat else None
-    if bug_compat:
-        _register_redump_udf(df.sparkSession)
 
     select: list[str] = []
     for name in sorted(by_name):
@@ -517,6 +548,15 @@ def flatten_plan(
         else:
             value = _value_sql(schema, path, False)
         select.append(f"{value} AS {_qid(name)}")
+    if bug_compat and any(REDUMP_UDF_NAME in s for s in select):
+        # Register the re-spacing UDF only when some column actually calls
+        # it (truncated-subtree / struct-cell serialization) — a bug-compat
+        # document whose plan never hits those cases pays zero UDF setup.
+        _register_redump_udf(df.sparkSession)
+    if not queried_data:
+        if len(_SCHEMA_PURE_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _SCHEMA_PURE_PLAN_CACHE.pop(next(iter(_SCHEMA_PURE_PLAN_CACHE)))
+        _SCHEMA_PURE_PLAN_CACHE[cache_key] = list(select)
     return select
 
 

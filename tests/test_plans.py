@@ -336,3 +336,34 @@ def test_fuzzy_decontaminate_broadcasts_probe_side(spark):
     plan = plan_text(Q["q110_fuzzy_decontaminate"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_schema_pure_flatten_plan_is_cached(spark):
+    """A plan needing no data inspection (all array ranges supplied) is
+    memoized per (schema, options): generation issues zero Spark jobs and
+    repeat calls return the identical plan from cache. Data-dependent
+    plans must NOT be cached — per-batch dynamic schema is reference
+    semantics, and a longer-array batch must widen the plan."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans import flatten as fp
+
+    sch = "id long, xs array<struct<v: long>>"
+    poison = spark.createDataFrame([(1, [(1,)])], sch).select(
+        F.when(F.col("id") >= 0, F.raise_error("plan gen ran a job"))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("id"),
+        "xs",
+    )
+    fp._SCHEMA_PURE_PLAN_CACHE.clear()
+    plan1 = fp.flatten_plan(poison, array_lengths={"Xs": (1, 2)})  # no job fires
+    assert len(fp._SCHEMA_PURE_PLAN_CACHE) == 1
+    plan2 = fp.flatten_plan(poison, array_lengths={"Xs": (1, 2)})
+    assert plan1 == plan2
+
+    # same schema, different data shape -> different plan, never cached
+    short = spark.createDataFrame([(1, [(1,)])], sch)
+    long = spark.createDataFrame([(1, [(1,), (2,), (3,)])], sch)
+    p_short = fp.flatten_plan(short)
+    p_long = fp.flatten_plan(long)
+    assert len(p_long) > len(p_short)  # widened: lengths were re-discovered
+    assert len(fp._SCHEMA_PURE_PLAN_CACHE) == 1  # data-dependent: not cached
