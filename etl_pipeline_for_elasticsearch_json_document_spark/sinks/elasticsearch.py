@@ -13,6 +13,11 @@ Three tiers, mirroring the source-side design (sources/elasticsearch.py):
    decoupling Spark's write throughput from the cluster's indexing
    throughput. Idempotent by construction when ``id_col`` is set: replayed
    ``index`` actions with explicit ``_id`` overwrite, never duplicate.
+   :func:`replay_bulk_files` is the matching zero-dependency replayer
+   (stdlib urllib → ``_bulk``), closing the loop end-to-end — a full
+   parquet → bulk files → replay → ``search_after`` re-scan → flatten
+   round trip runs against a loopback fake cluster in
+   tests/test_es_roundtrip.py.
 2. :func:`write_es_connector` — the official connector
    (``org.elasticsearch.spark.sql``), when its jar is on the cluster.
 3. :func:`write_with_client` — ``foreachPartition`` + the Python client's
@@ -76,6 +81,36 @@ def write_bulk_files(
     if max_docs_per_file:
         writer = writer.option("maxRecordsPerFile", max_docs_per_file)
     writer.text(path)
+
+
+def replay_bulk_files(path: str, base_url: str, index: str | None = None) -> int:
+    """Replay :func:`write_bulk_files` output against a live ``_bulk``
+    endpoint with stdlib urllib — the "any ingestion fleet" half of the
+    handoff design, runnable with zero installs. One POST per part file
+    (each file was capped to one bulk request's worth of docs); returns the
+    number of files replayed. Replays are idempotent when the payload was
+    generated with ``id_col`` (explicit ``_id`` upserts)."""
+    import glob
+    import os
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_http import (
+        HttpEsClient,
+    )
+
+    client = HttpEsClient(base_url)
+    files = sorted(
+        f
+        for f in glob.glob(os.path.join(path, "part-*"))
+        if not f.endswith(".crc")
+    )
+    for f in files:
+        with open(f, "r", encoding="utf-8") as fh:
+            payload = fh.read()
+        if payload.strip():
+            resp = client.bulk_ndjson(payload, index=index)
+            if resp.get("errors"):
+                raise RuntimeError(f"bulk replay of {f} reported item errors: {resp}")
+    return len(files)
 
 
 def write_es_connector(

@@ -13,8 +13,11 @@ Three tiers, matching what this environment can actually run:
 3. ``scan_with_client`` — driver-side ``search_after`` pagination with the
    ``elasticsearch`` Python client (the reference's exact strategy,
    ``ElasticSearch ETL.py:220-267``), parallelized by handing each page to
-   Spark as JSON. Gated behind an import-try since the client is not
-   installed here.
+   Spark as JSON. The official client is gated behind an import-try, but
+   any duck-typed client works — in particular
+   :class:`~.es_http.HttpEsClient`, the zero-dependency urllib shim, runs
+   this tier end-to-end (exercised against a loopback fake cluster in
+   tests/test_es_roundtrip.py).
 """
 
 from __future__ import annotations

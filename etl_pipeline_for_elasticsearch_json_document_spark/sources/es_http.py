@@ -1,0 +1,67 @@
+"""Dependency-free HTTP Elasticsearch client (stdlib urllib only).
+
+The reference talks to ES through the official Python client
+(``ElasticSearch ETL.py:214-267``); that library is not installable in
+every environment, but the subset of its surface the pipeline actually
+uses — ``search`` (with ``search_after``), ``count``, and ``bulk`` — is
+three JSON-over-HTTP calls. This shim speaks that REST protocol directly,
+so :func:`~.elasticsearch.scan_with_client` and the bulk-file replay path
+run end-to-end against any ES-compatible endpoint (or the loopback fake
+in ``tests/fake_es.py``) with zero third-party installs.
+
+Duck-typing contract: only the keyword signatures used by this package
+(``search(index=, body=)`` / ``count(index=, body=)``) plus
+``bulk_ndjson`` for raw ``_bulk`` payload replay.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from typing import Any, Optional
+
+
+class HttpEsClient:
+    """Minimal ES REST client over ``urllib`` (driver-side pagination /
+    bulk replay; no connection pooling — one request per call)."""
+
+    def __init__(self, base_url: str, timeout: float = 30.0) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _request(
+        self, method: str, path: str, body: Optional[bytes], content_type: str
+    ) -> dict[str, Any]:
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=body,
+            method=method,
+            headers={"Content-Type": content_type},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    def _post_json(self, path: str, body: dict[str, Any]) -> dict[str, Any]:
+        return self._request(
+            "POST", path, json.dumps(body).encode("utf-8"), "application/json"
+        )
+
+    def search(self, index: str, body: dict[str, Any]) -> dict[str, Any]:
+        """``POST /{index}/_search`` — same envelope the official client
+        returns (``hits.hits[*]._source``), so callers are tier-agnostic."""
+        return self._post_json(f"/{index}/_search", body)
+
+    def count(self, index: str, body: Optional[dict[str, Any]] = None) -> dict[str, Any]:
+        """``POST /{index}/_count`` → ``{"count": N}`` (reference's
+        total-documents pre-check)."""
+        return self._post_json(f"/{index}/_count", body or {})
+
+    def bulk_ndjson(self, payload: str, index: Optional[str] = None) -> dict[str, Any]:
+        """``POST /_bulk`` with a ready NDJSON payload (the exact file
+        format :func:`~.sinks.elasticsearch.write_bulk_files` emits)."""
+        path = f"/{index}/_bulk" if index else "/_bulk"
+        if not payload.endswith("\n"):
+            payload += "\n"  # _bulk requires a trailing newline
+        return self._request(
+            "POST", path, payload.encode("utf-8"), "application/x-ndjson"
+        )

@@ -1,0 +1,132 @@
+"""Loopback fake Elasticsearch for integration tests (stdlib only).
+
+Implements exactly the REST subset the pipeline uses — ``_bulk`` ingest,
+``_search`` with ``sort`` + ``size`` + ``search_after`` keyset pagination,
+and ``_count`` — over ``http.server``, so the source tier
+(``scan_with_client`` + ``HttpEsClient``) and the sink tier
+(``write_bulk_files`` → ``replay_bulk_files``) can run a true round trip
+with no Elasticsearch install. Semantics mirrored from the real API:
+
+- ``index`` bulk actions upsert by ``_id`` (replays converge, never
+  duplicate); auto-ids are assigned when the action has no ``_id``
+- ``_search`` sorts by the requested ``sort`` fields (read from each
+  doc's ``_source``), applies ``search_after`` as a strict lexicographic
+  keyset predicate, and returns the standard ``hits.hits[*]._source``
+  envelope with per-hit ``sort`` values
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+
+class _State:
+    def __init__(self) -> None:
+        self.indices: dict[str, dict[str, dict]] = {}
+        self.auto_id = 0
+        self.lock = threading.Lock()
+
+
+def _sort_spec(body: dict[str, Any]) -> list[tuple[str, bool]]:
+    """[(field, ascending)] from the request's ``sort`` clause."""
+    spec = []
+    for entry in body.get("sort", []):
+        if isinstance(entry, str):
+            spec.append((entry, True))
+        else:
+            for field, order in entry.items():
+                direction = order if isinstance(order, str) else order.get("order", "asc")
+                spec.append((field, direction != "desc"))
+    return spec
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: _State  # assigned by start_fake_es
+
+    def log_message(self, *args) -> None:  # silence per-request stderr spam
+        pass
+
+    def _reply(self, obj: dict[str, Any], status: int = 200) -> None:
+        data = json.dumps(obj).encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _body(self) -> bytes:
+        return self.rfile.read(int(self.headers.get("Content-Length", 0)))
+
+    def do_POST(self) -> None:  # noqa: N802 (http.server API)
+        parts = [p for p in self.path.split("/") if p]
+        if parts and parts[-1] == "_bulk":
+            default_index = parts[0] if len(parts) == 2 else None
+            self._bulk(self._body().decode("utf-8"), default_index)
+        elif len(parts) == 2 and parts[1] == "_search":
+            self._search(parts[0], json.loads(self._body() or b"{}"))
+        elif len(parts) == 2 and parts[1] == "_count":
+            with self.state.lock:
+                n = len(self.state.indices.get(parts[0], {}))
+            self._reply({"count": n})
+        else:
+            self._reply({"error": f"unsupported path {self.path}"}, status=400)
+
+    def _bulk(self, payload: str, default_index: str | None) -> None:
+        lines = [ln for ln in payload.split("\n") if ln.strip()]
+        items = []
+        with self.state.lock:
+            i = 0
+            while i < len(lines):
+                action = json.loads(lines[i])
+                op = next(iter(action))
+                if op not in ("index", "create"):
+                    self._reply({"error": f"unsupported bulk op {op}"}, status=400)
+                    return
+                meta = action[op]
+                index = meta.get("_index", default_index)
+                doc = json.loads(lines[i + 1])
+                doc_id = meta.get("_id")
+                if doc_id is None:
+                    self.state.auto_id += 1
+                    doc_id = f"auto-{self.state.auto_id}"
+                self.state.indices.setdefault(index, {})[str(doc_id)] = doc
+                items.append({op: {"_index": index, "_id": str(doc_id), "status": 200}})
+                i += 2
+        self._reply({"errors": False, "items": items})
+
+    def _search(self, index: str, body: dict[str, Any]) -> None:
+        spec = _sort_spec(body)
+        size = int(body.get("size", 10))
+        after = body.get("search_after")
+        with self.state.lock:
+            docs = list(self.state.indices.get(index, {}).values())
+
+        def key(doc):
+            # ascending-only comparison key; descending fields are not
+            # needed by the pipeline and are rejected loudly below
+            return tuple(doc.get(f) for f, _ in spec)
+
+        if any(not asc for _, asc in spec):
+            self._reply({"error": "descending sort not supported"}, status=400)
+            return
+        docs.sort(key=key)
+        if after is not None:
+            docs = [d for d in docs if list(key(d)) > list(after)]
+        page = docs[:size]
+        hits = [{"_source": d, "sort": list(key(d))} for d in page]
+        self._reply(
+            {"hits": {"total": {"value": len(docs), "relation": "eq"}, "hits": hits}}
+        )
+
+
+def start_fake_es() -> tuple[ThreadingHTTPServer, str]:
+    """Start on an ephemeral loopback port; returns (server, base_url).
+    Caller owns shutdown: ``server.shutdown(); server.server_close()``."""
+    state = _State()
+    handler = type("BoundHandler", (_Handler,), {"state": state})
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}"

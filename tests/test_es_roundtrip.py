@@ -1,0 +1,124 @@
+"""End-to-end Elasticsearch round trip over a loopback fake ES
+(VERDICT r3 item 4): parquet → bulk NDJSON files → ``_bulk`` replay →
+``search_after`` re-scan → flatten, with zero third-party installs —
+exercising the previously-gated live-protocol tiers of both
+sources/elasticsearch.py and sinks/elasticsearch.py for real."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten
+from etl_pipeline_for_elasticsearch_json_document_spark.sinks import elasticsearch as es_sink
+from etl_pipeline_for_elasticsearch_json_document_spark.sources import elasticsearch as es_src
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_http import HttpEsClient
+
+from tests.fake_es import start_fake_es
+
+GOLDEN = "/root/reference/ElasticSearch_Document.json"
+
+
+@pytest.fixture()
+def fake_es():
+    server, base_url = start_fake_es()
+    yield base_url
+    server.shutdown()
+    server.server_close()
+
+
+def test_parquet_to_bulk_to_rescan_round_trip(spark, sf_dir, fake_es, tmp_path):
+    """The full sink→source loop the reference only runs one way: documents
+    parquet → write_bulk_files (hard-capped NDJSON) → urllib _bulk replay →
+    keyset-paginated re-scan through scan_with_client. Every row survives
+    byte-faithfully and pagination pages strictly advance."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = str(tmp_path / "bulk")
+    es_sink.write_bulk_files(
+        docs.coalesce(2), out, "docs", id_col="doc_id", max_docs_per_file=100
+    )
+    client = HttpEsClient(fake_es)
+    n_files = es_sink.replay_bulk_files(out, fake_es)
+    assert n_files >= 5  # 500 docs / ≤100 per file
+    assert client.count("docs")["count"] == docs.count()
+
+    base_query = {
+        "query": {"match_all": {}},
+        "sort": [{"doc_id": "asc"}, {"lang": "asc"}],
+        "size": 120,
+    }
+    pages = list(
+        es_src.scan_with_client(
+            spark, "docs", base_query, sort_fields=("doc_id", "lang"), es_client=client
+        )
+    )
+    assert len(pages) == 5  # 500 docs / 120 per page, keyset-advanced
+    got = pages[0]
+    for p in pages[1:]:
+        got = got.unionByName(p)
+    want = {tuple(r) for r in docs.collect()}
+    have = {
+        (r["doc_id"], r["lang"], r["source"], r["n_chars"])
+        for r in got.collect()
+    }
+    assert have == want
+
+
+def test_golden_document_flatten_parity_through_fake_es(spark, fake_es):
+    """Index the golden document's _source into the fake cluster, re-scan
+    it with search_after, and flatten — the result must be column-for-
+    column identical to flattening the golden file directly (the
+    reference's actual pipeline, now round-tripped through live protocol
+    instead of a file)."""
+    with open(GOLDEN) as f:
+        source = json.load(f)["hits"]["hits"][0]["_source"]
+    client = HttpEsClient(fake_es)
+    payload = (
+        json.dumps({"index": {"_index": "claims", "_id": "g1"}})
+        + "\n"
+        + json.dumps(source)
+        + "\n"
+    )
+    resp = client.bulk_ndjson(payload)
+    assert resp["errors"] is False
+
+    base_query = {
+        "query": {"match_all": {}},
+        "sort": [
+            {"auditProcessedDateTimeUtc": "asc"},
+            {"claimRequestId": "asc"},
+        ],
+        "size": 10,
+    }
+    pages = list(es_src.scan_with_client(spark, "claims", base_query, es_client=client))
+    assert len(pages) == 1
+    scanned_flat = flatten(pages[0], bug_compat=True)
+
+    direct = es_src.read_search_response_json(spark, GOLDEN)
+    direct_flat = flatten(direct, bug_compat=True)
+
+    assert scanned_flat.columns == direct_flat.columns
+    assert len(scanned_flat.columns) == 5028
+    s_row = scanned_flat.collect()[0].asDict()
+    d_row = direct_flat.collect()[0].asDict()
+    diff = {k: (s_row[k], d_row[k]) for k in d_row if s_row[k] != d_row[k]}
+    assert not diff, f"{len(diff)} cells differ, e.g. {list(diff.items())[:3]}"
+
+
+def test_bulk_replay_is_idempotent_upsert(spark, fake_es, tmp_path):
+    """Replaying the same bulk files twice (crash-retry of the ingestion
+    fleet) must converge, not duplicate — explicit _id makes index actions
+    upserts."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, body string"
+    )
+    out = str(tmp_path / "bulk")
+    es_sink.write_bulk_files(df, out, "idem", id_col="doc_id")
+    client = HttpEsClient(fake_es)
+    es_sink.replay_bulk_files(out, fake_es)
+    es_sink.replay_bulk_files(out, fake_es)  # second replay: same state
+    assert client.count("idem")["count"] == 3
