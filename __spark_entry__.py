@@ -47,7 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Queries first registered in round 4 — ordered after block (1) so the
 #: driver budget closes out every round-1/2/3 registration first.
-_NEW_IN_R4: set[str] = set()
+_NEW_IN_R4: set[str] = {
+    "q128_dedup_cluster_stats", "q129_regression_agg", "q130_ewma_daily",
+    "q131_boilerplate_ratio", "q132_lsh_verify_calibration",
+    "q133_salted_join", "q134_length_stratified_sample",
+    "q135_campaign_overlap", "q136_debounce_events", "q137_json_key_profile",
+}
 
 _DRIVER_VERIFIED = {
     "q01_pricing_summary", "q02_filter_predicates", "q03_revenue_topn",

@@ -1,0 +1,593 @@
+"""Round-4 query registrations: analytics over the dedup graph, exact
+regression/EWMA statistics, boilerplate detection, LSH calibration,
+salted-join correctness, stratified sampling, interval overlap, event
+debouncing, and JSON key profiling.
+
+Every query follows the registry's cross-engine determinism rules
+(registry.py docstring): integer outputs are BIGINT on both sides, float
+outputs are exact-decimal-aggregated (or identically-ordered folds) then
+rounded, sampling coins are md5 buckets, ties break on unique keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators import dedup, graph, skew
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import hash_bucket
+from etl_pipeline_for_elasticsearch_json_document_spark.queries.registry import query
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-graph analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q128_dedup_cluster_stats",
+    oracle="""
+WITH RECURSIVE
+words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT a_id, b_id FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE i / (sa.n + sb.n - i) >= 0.8),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+),
+clusters AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+by_cluster AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS removable_docs
+FROM by_cluster GROUP BY cluster_size
+""",
+    doc="Dedup-impact report: the cluster-size distribution of the fuzzy "
+    "dedup graph (Jaccard>=0.8 closure) with the removable-duplicate mass "
+    "per size — the go/no-go analytics a pipeline runs before committing a "
+    "dedup pass. Same closure as q35; two tiny aggregations on top.",
+)
+def q128(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.8)
+    clusters = graph.dedup_clusters(pairs, d, id_col="doc_id")
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("removable_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact regression aggregates (decimal sums -> deterministic across engines)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q129_regression_agg",
+    oracle="""
+WITH p AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(value AS DECIMAL(18,4)) AS y
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM p GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CAST((n * sxy - sx * sy) AS DOUBLE) / CAST((n * sxx - sx * sx) AS DOUBLE), 6) AS slope,
+       round((CAST(sy AS DOUBLE) - CAST((n * sxy - sx * sy) AS DOUBLE)
+              / CAST((n * sxx - sx * sx) AS DOUBLE) * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       round(CAST((n * sxy - sx * sy) AS DOUBLE)
+             / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE) * CAST((n * syy - sy * sy) AS DOUBLE)), 6) AS corr_xy
+FROM s
+""",
+    doc="Per-group linear regression (trend of event value over time) from "
+    "EXACT moment sums: x/xy/x2/y2 accumulate as integers/decimals, so the "
+    "result is partition-order-independent — float regr_slope() would be "
+    "run-to-run nondeterministic under Spark's parallel sums. One "
+    "partial-aggregated groupBy; the closed-form division happens on 5 "
+    "rows.",
+)
+def q129(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p = e.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.col("value").cast("decimal(18,4)").alias("y"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / denx
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(num / F.sqrt(denx * deny), 6).alias("corr_xy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA: ordered fold inside a group (F.aggregate over a sorted array)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q130_ewma_daily",
+    oracle="""
+WITH RECURSIVE
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type, d, total,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM daily
+),
+fold(event_type, i, m, acc) AS (
+  SELECT event_type, i, m, 0.3 * total FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.i, idx.m, 0.3 * idx.total + 0.7 * fold.acc
+  FROM fold JOIN idx ON idx.event_type = fold.event_type AND idx.i = fold.i + 1
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_days, round(acc, 4) AS ewma
+FROM fold WHERE i = m
+""",
+    doc="Exponentially weighted moving average of daily event value per "
+    "type — the sequential-recurrence-in-a-group pattern: daily totals are "
+    "exact-decimal then rounded (identical fold INPUT on both engines), "
+    "collected sorted, and folded with one F.aggregate (same IEEE op "
+    "order as the oracle's recursive CTE ⇒ bit-stable). One shuffle for "
+    "the daily rollup, one for the per-group collect; group state is "
+    "bounded by days-per-group, not rows.",
+)
+def q130(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "total"
+            )
+        )
+    )
+    per = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.array_sort(F.collect_list(F.struct("d", "total"))).alias("series"),
+    )
+    ewma = F.aggregate(
+        F.col("series"),
+        F.lit(0.0),
+        lambda acc, x: F.lit(0.3) * x["total"] + F.lit(0.7) * acc,
+    )
+    return per.select("event_type", "n_days", F.round(ewma, 4).alias("ewma"))
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection (cross-doc repeated segments -> per-doc ratio)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q131_boilerplate_ratio",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+seg AS (
+  SELECT doc_id, md5(trim(lower(array_to_string(ws[i*12+1:i*12+12], ' ')))) AS fp
+  FROM w, unnest(range(0, CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS t(i)
+  WHERE length(trim(array_to_string(ws[i*12+1:i*12+12], ' '))) > 20
+),
+df AS (SELECT fp, count(DISTINCT doc_id) AS docs FROM seg GROUP BY fp),
+flagged AS (
+  SELECT seg.doc_id, seg.fp, (df.docs >= 5) AS is_boiler
+  FROM seg JOIN df ON seg.fp = df.fp
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       round(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+         AS boilerplate_ratio
+FROM flagged GROUP BY doc_id
+""",
+    doc="Boilerplate remover's scoring pass: 12-word segments (q38's "
+    "punctuation-less sentence unit) fingerprinted, document frequency "
+    "counted, segments in >=5 distinct docs flagged, per-doc boilerplate "
+    "ratio emitted. Two partial-aggregated shuffles on 16-byte "
+    "fingerprints; the text itself never shuffles.",
+)
+def q131(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(ws) / F.lit(12.0)).cast("int")
+    seg = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.trim(
+                        F.array_join(F.slice(ws, i * 12 + 1, 12), " ")
+                    ),
+                )
+            ).alias("s"),
+        )
+        .filter(F.length("s") > 20)
+        .select("doc_id", F.md5(F.lower("s")).alias("fp"))
+    )
+    docfreq = seg.groupBy("fp").agg(F.count_distinct("doc_id").alias("docs"))
+    flagged = seg.join(docfreq, "fp").select(
+        "doc_id", (F.col("docs") >= 5).alias("is_boiler")
+    )
+    boiler_n = F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        boiler_n.alias("n_boilerplate"),
+        F.round(boiler_n / F.count("*").cast("double"), 4).alias("boilerplate_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH calibration: exact-verify ONLY the candidate pairs (2-stage pattern)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_calibration_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    from etl_pipeline_for_elasticsearch_json_document_spark.queries.llm import (
+        _minhash_oracle,
+    )
+
+    base = _minhash_oracle(num_hashes=num_hashes, bands=bands, threshold=0.0)
+    # reuse the candidate+est CTE chain, then exact-verify candidates only
+    body = base.strip().rstrip()
+    return f"""
+WITH est AS ({body}),
+words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT e.a_id, e.b_id, e.est_jaccard, count(*) AS i
+  FROM est e
+  JOIN words wa ON wa.doc_id = e.a_id
+  JOIN words wb ON wb.doc_id = e.b_id AND wb.w = wa.w
+  GROUP BY e.a_id, e.b_id, e.est_jaccard
+),
+scored AS (
+  SELECT round(CAST(est_jaccard AS DOUBLE), 1) AS est_bucket,
+         est_jaccard - i / CAST(sa.n + sb.n - i AS DOUBLE) AS err
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+)
+SELECT est_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(err)), 4) AS mae, round(avg(err), 4) AS bias
+FROM scored GROUP BY est_bucket
+"""
+
+
+@query(
+    "q132_lsh_verify_calibration",
+    oracle=_lsh_calibration_oracle(),
+    doc="Two-stage LSH verification, instrumented: exact Jaccard is "
+    "computed ONLY for LSH candidate pairs (postings join restricted by "
+    "the candidate set — never all-pairs), then the estimator's error "
+    "(MAE/bias) is reported per estimated-similarity bucket. This is both "
+    "the production verify stage and the sketch-quality report that "
+    "decides band/row settings.",
+)
+def q132(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=4, threshold=0.0)
+    words = dedup._distinct_words(d, "doc_id", "text")
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    wa = words.select(F.col("doc_id").alias("a_id"), "w")
+    wb = words.select(F.col("doc_id").alias("b_id"), "w")
+    inter = (
+        cand.join(wa, "a_id")
+        .join(wb, ["b_id", "w"])
+        .groupBy("a_id", "b_id", "est_jaccard")
+        .agg(F.count("*").alias("i"))
+    )
+    scored = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+        .select(
+            F.round(F.col("est_jaccard"), 1).alias("est_bucket"),
+            (
+                F.col("est_jaccard")
+                - F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("err"),
+        )
+    )
+    return scored.groupBy("est_bucket").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.abs("err")), 4).alias("mae"),
+        F.round(F.avg("err"), 4).alias("bias"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted join == plain join (skew mitigation is invisible to results)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q133_salted_join",
+    oracle="""
+WITH dim(prio, weight) AS (VALUES
+  ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3), ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+SELECT weight, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM orders JOIN dim ON o_orderpriority = prio
+GROUP BY weight
+""",
+    doc="Manual salted join for hot keys AQE cannot see: the big side "
+    "salts, the 5-row dim replicates salt-fold, the join key becomes "
+    "(key, salt) — and the RESULT is bit-identical to the plain join "
+    "(that equality is this query's oracle check). The salt column never "
+    "escapes the operator.",
+)
+def q133(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderpriority", "prio")
+    dim = spark.createDataFrame(
+        [("1-URGENT", 5), ("2-HIGH", 4), ("3-MEDIUM", 3), ("4-NOT SPECIFIED", 2), ("5-LOW", 1)],
+        "prio string, weight int",
+    )
+    joined = skew.salted_join(o, dim, on="prio", salt=8)
+    return joined.groupBy("weight").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-stratified (curriculum) sampling with per-decile rates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q134_length_stratified_sample",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+b AS (
+  SELECT doc_id, lang, n_tokens,
+         ntile(10) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS decile
+  FROM toks
+),
+s AS (
+  SELECT lang, decile, n_tokens,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+           CASE WHEN decile >= 8 THEN 'c' ELSE '6' END AS sampled
+  FROM b
+)
+SELECT lang, decile, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM s GROUP BY lang, decile
+""",
+    doc="Curriculum sampling: per-language token-length deciles (ntile "
+    "partitioned by lang — no global single-reducer sort; doc_id "
+    "tiebreak) sampled at per-decile rates — long docs kept at 12/16, "
+    "short at 6/16 — with the md5-bucket coin, so the SAME documents are "
+    "chosen under any partitioning, engine, or re-run (rand() would leak "
+    "docs between train sets across backfills).",
+)
+def q134(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    b = d.withColumn("decile", F.ntile(10).over(w))
+    sampled = hash_bucket(F.col("doc_id")) < F.when(
+        F.col("decile") >= 8, F.lit("c")
+    ).otherwise(F.lit("6"))
+    return (
+        b.withColumn("sampled", sampled)
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap aggregation against a literal dimension
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q135_campaign_overlap",
+    oracle="""
+WITH sessions AS (
+  -- floor() per row: Spark's unix_timestamp truncates sub-second parts,
+  -- DuckDB's epoch() keeps them; truncate before aggregating on both sides
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(min(floor(epoch(ts))) AS BIGINT) AS s_start,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS s_end
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+campaigns(name, c_start, c_end) AS (VALUES
+  ('wk1_push',  CAST(epoch(TIMESTAMP '2024-01-03 00:00:00') AS BIGINT), CAST(epoch(TIMESTAMP '2024-01-08 12:00:00') AS BIGINT)),
+  ('mid_month', CAST(epoch(TIMESTAMP '2024-01-12 06:00:00') AS BIGINT), CAST(epoch(TIMESTAMP '2024-01-19 18:00:00') AS BIGINT)),
+  ('month_end', CAST(epoch(TIMESTAMP '2024-01-25 00:00:00') AS BIGINT), CAST(epoch(TIMESTAMP '2024-02-02 00:00:00') AS BIGINT)))
+SELECT name,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(least(s_end, c_end) - greatest(s_start, c_start)) AS BIGINT)
+         AS overlap_seconds
+FROM sessions JOIN campaigns
+  ON s_start < c_end AND s_end > c_start
+GROUP BY name
+""",
+    doc="Interval-intersection aggregation: user-day activity spans joined "
+    "to campaign windows on overlap, intersection DURATION summed — the "
+    "attribution/coverage primitive beyond q27's membership range join. "
+    "The 3-row campaign dim broadcasts; the span table is one "
+    "partial-aggregated groupBy of events.",
+)
+def q135(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    sessions = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.min(F.unix_timestamp("ts")).alias("s_start"),
+        F.max(F.unix_timestamp("ts")).alias("s_end"),
+    )
+    campaigns = F.broadcast(
+        e.sparkSession.createDataFrame(
+            [
+                ("wk1_push", "2024-01-03 00:00:00", "2024-01-08 12:00:00"),
+                ("mid_month", "2024-01-12 06:00:00", "2024-01-19 18:00:00"),
+                ("month_end", "2024-01-25 00:00:00", "2024-02-02 00:00:00"),
+            ],
+            "name string, cs string, ce string",
+        ).select(
+            "name",
+            F.unix_timestamp(F.to_timestamp("cs")).alias("c_start"),
+            F.unix_timestamp(F.to_timestamp("ce")).alias("c_end"),
+        )
+    )
+    j = sessions.join(
+        campaigns,
+        (F.col("s_start") < F.col("c_end")) & (F.col("s_end") > F.col("c_start")),
+    )
+    return j.groupBy("name").agg(
+        F.count("*").alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(
+            F.least("s_end", "c_end") - F.greatest("s_start", "c_start")
+        ).alias("overlap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event debouncing (adjacent-duplicate suppression per key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q136_debounce_events",
+    oracle="""
+WITH x AS (
+  SELECT event_type, user_id, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev_type = event_type AND gap <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_debounced,
+       CAST(count(*) - sum(CASE WHEN prev_type = event_type AND gap <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM x GROUP BY event_type
+""",
+    doc="Debounce: suppress an event repeating the same user's previous "
+    "event type within 60 s (double-click/retry noise removal before "
+    "sessionization). One lag window per user (single shuffle on user_id, "
+    "event_id tiebreak for determinism) — the batch twin of a stateful "
+    "streaming filter.",
+)
+def q136(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"),
+    )
+    debounced = F.sum(
+        F.when((F.col("prev_type") == F.col("event_type")) & (F.col("gap") <= 60), 1).otherwise(0)
+    )
+    return x.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        debounced.alias("n_debounced"),
+        (F.count("*") - debounced).alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON key-universe profiling (schema discovery as a query)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q137_json_key_profile",
+    oracle="""
+WITH total AS (SELECT count(*) AS n FROM events WHERE props IS NOT NULL),
+k AS (
+  SELECT unnest(json_keys(props)) AS key
+  FROM events WHERE props IS NOT NULL
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n_present,
+       round(count(*) / CAST((SELECT n FROM total) AS DOUBLE), 4) AS presence_ratio
+FROM k GROUP BY key
+""",
+    doc="Semi-structured key-universe profile: every key appearing in the "
+    "props JSON column with its document-presence ratio — the query-level "
+    "face of the engine's A5 schema discovery, and the first thing run on "
+    "an unknown JSON feed. json_object_keys + explode + one aggregation; "
+    "the JSON parses once per row, JVM-side.",
+)
+def q137(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    # ratio denominator as a broadcast 1-row aggregate, not a driver count()
+    total = F.broadcast(e.agg(F.count("*").cast("double").alias("__total")))
+    k = e.select(F.explode(F.json_object_keys("props")).alias("key"))
+    return (
+        k.groupBy("key")
+        .agg(F.count("*").alias("n_present"))
+        .crossJoin(total)
+        .select(
+            "key",
+            "n_present",
+            F.round(F.col("n_present") / F.col("__total"), 4).alias("presence_ratio"),
+        )
+    )

@@ -45,6 +45,10 @@ def query(name: str, oracle: Optional[str] = None, doc: str = ""):
 def all_queries() -> dict[str, Query]:
     # Import side-effect registration here (not at module import) to avoid
     # circulars and keep `registry` dependency-free.
-    from etl_pipeline_for_elasticsearch_json_document_spark.queries import llm, relational  # noqa: F401
+    from etl_pipeline_for_elasticsearch_json_document_spark.queries import (  # noqa: F401
+        llm,
+        r4,
+        relational,
+    )
 
     return dict(REGISTRY)
