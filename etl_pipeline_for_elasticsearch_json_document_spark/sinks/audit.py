@@ -3,10 +3,16 @@
 
 One row per job run / micro-batch with job name, id, start/end timestamps,
 SUCCESS/FAILED status, batch id, table name, and loaded record count —
-written in both the success and failure paths. The sink is a parquet
-directory here (swap ``format`` for "jdbc"/"delta" in a deployment); audit
-writes are tiny and driver-side, so a single-row append per batch is fine
-at any scale.
+written in both the success and failure paths. Two storage tiers:
+
+- **parquet directory** (``path=...``, default): append-only files; audit
+  writes are tiny and driver-side, so a single-row append per batch is
+  fine at any scale.
+- **JDBC** (``jdbc_url=...``): the reference's actual target — an RDBMS
+  table via ``spark.write.jdbc``. Works with any driver on the cluster
+  classpath; exercised for real in tests against the Derby embedded
+  driver Spark ships (tests/test_jobs.py), so the SQL tier is tested
+  end-to-end, not just documented.
 """
 
 from __future__ import annotations
@@ -23,15 +29,34 @@ AUDIT_SCHEMA = (
     "batch_id string, table_name string, record_count_loaded long"
 )
 
+#: Spark's bundled embedded-Derby driver — the zero-install JDBC target
+#: used by the tests; deployments pass their own (postgres/mssql/...).
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
 
 @dataclass
 class AuditLog:
     spark: SparkSession
-    path: str
+    path: Optional[str] = None
     job_name: str = "Initial_load_from_elasticsearch"
     job_id: int = 8
     executable_cmd: str = "elasticsearch_data_export"
     table_name: str = "rta_claim_headers"
+    #: JDBC tier (the reference's log_to_sql_db target). When set, audit
+    #: rows append to ``jdbc_table`` at ``jdbc_url`` instead of parquet.
+    jdbc_url: Optional[str] = None
+    jdbc_table: str = "job_audit"
+    jdbc_driver: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        if (self.path is None) == (self.jdbc_url is None):
+            raise ValueError("AuditLog needs exactly one of path= or jdbc_url=")
+
+    def _jdbc_writer_options(self, df_or_reader):
+        w = df_or_reader.option("url", self.jdbc_url).option("dbtable", self.jdbc_table)
+        if self.jdbc_driver:
+            w = w.option("driver", self.jdbc_driver)
+        return w
 
     def log(
         self,
@@ -59,7 +84,12 @@ class AuditLog:
             )
         ]
         df = self.spark.createDataFrame(row, AUDIT_SCHEMA)
-        df.write.mode("append").parquet(self.path)
+        if self.jdbc_url:
+            self._jdbc_writer_options(
+                df.coalesce(1).write.format("jdbc").mode("append")
+            ).save()
+        else:
+            df.write.mode("append").parquet(self.path)
 
     def success(self, start_ts, batch_id, record_count):
         self.log(
@@ -82,4 +112,6 @@ class AuditLog:
         )
 
     def read(self) -> DataFrame:
+        if self.jdbc_url:
+            return self._jdbc_writer_options(self.spark.read.format("jdbc")).load()
         return self.spark.read.schema(AUDIT_SCHEMA).parquet(self.path)

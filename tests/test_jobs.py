@@ -153,3 +153,40 @@ def test_cli_main_reads_jsonl_fully(tmp_path, capsys):
     rc = main([str(src), str(tmp_path / "out")])
     assert rc == 0
     assert "exported 5 documents" in capsys.readouterr().out
+
+
+def test_audit_jdbc_tier_round_trip(spark, tmpdir):
+    """The reference's actual audit target is an RDBMS (log_to_sql_db,
+    ElasticSearch ETL.py:271-299): the JDBC tier appends SUCCESS and
+    FAILED rows through spark.write.jdbc and reads them back — exercised
+    for real against Spark's bundled embedded-Derby driver, no installs."""
+    import datetime
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import (
+        DERBY_DRIVER,
+        AuditLog,
+    )
+
+    url = f"jdbc:derby:{tmpdir}/audit_db;create=true"
+    audit = AuditLog(spark, jdbc_url=url, jdbc_driver=DERBY_DRIVER)
+    t0 = datetime.datetime.now(datetime.timezone.utc)
+    audit.success(t0, batch_id="b1", record_count=42)
+    audit.failure(t0, batch_id="b2", error=RuntimeError("boom"))
+    rows = {r["batch_id"]: r for r in audit.read().collect()}
+    assert rows["b1"]["job_status"] == "SUCCESS"
+    assert rows["b1"]["record_count_loaded"] == 42
+    # failure rows omit the count, like the reference's except path
+    assert rows["b2"]["job_status"] == "FAILED"
+    assert rows["b2"]["record_count_loaded"] is None
+    assert "boom" in rows["b2"]["error_desc"]
+
+
+def test_audit_requires_exactly_one_storage_tier(spark):
+    import pytest as _pytest
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import AuditLog
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        AuditLog(spark)
+    with _pytest.raises(ValueError, match="exactly one"):
+        AuditLog(spark, path="/tmp/x", jdbc_url="jdbc:derby:y")
