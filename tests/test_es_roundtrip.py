@@ -122,3 +122,59 @@ def test_bulk_replay_is_idempotent_upsert(spark, fake_es, tmp_path):
     es_sink.replay_bulk_files(out, fake_es)
     es_sink.replay_bulk_files(out, fake_es)  # second replay: same state
     assert client.count("idem")["count"] == 3
+
+
+def test_streaming_export_to_live_fake_cluster(spark, fake_es, tmp_path):
+    """The continuous north-star flow: JSON files stream in, each
+    micro-batch renders _bulk NDJSON and POSTs it to the (fake) cluster;
+    a crash replay of the same lineage upserts, never duplicates."""
+    import glob as _glob
+    import os
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.es_export import (
+        run_es_export_stream,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    with open(inp / "a.json", "w") as f:
+        for i in range(7):
+            f.write(json.dumps({"doc_id": i, "body": f"doc {i}"}) + "\n")
+    out = str(tmp_path / "bulk_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, body string").json(str(inp))
+    run_es_export_stream(
+        stream, out, "stream_docs", checkpoint_dir=ckpt,
+        id_col="doc_id", base_url=fake_es, max_docs_per_file=3,
+    ).awaitTermination(120)
+    client = HttpEsClient(fake_es)
+    assert client.count("stream_docs")["count"] == 7
+    dirs = _glob.glob(os.path.join(out, "bulk_epoch*"))
+    assert len(dirs) == 1  # one epoch, lineage-scoped name
+
+    # crash replay: same lineage re-delivers epoch 0 -> _id upsert, no dupes
+    commits = sorted(_glob.glob(os.path.join(ckpt, "commits", "*")))
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), "." + os.path.basename(commits[-1]) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream = spark.readStream.schema("doc_id long, body string").json(str(inp))
+    run_es_export_stream(
+        stream, out, "stream_docs", checkpoint_dir=ckpt,
+        id_col="doc_id", base_url=fake_es, max_docs_per_file=3,
+    ).awaitTermination(120)
+    assert client.count("stream_docs")["count"] == 7  # upserted, not doubled
+
+    # re-scan what the cluster holds and check content survived
+    base_query = {"query": {"match_all": {}},
+                  "sort": [{"doc_id": "asc"}, {"body": "asc"}], "size": 10}
+    pages = list(
+        es_src.scan_with_client(
+            spark, "stream_docs", base_query, sort_fields=("doc_id", "body"),
+            es_client=client,
+        )
+    )
+    got = sorted(r["body"] for p in pages for r in p.collect())
+    assert got == [f"doc {i}" for i in range(7)]
