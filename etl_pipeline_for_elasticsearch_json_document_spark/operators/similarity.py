@@ -156,6 +156,101 @@ def label_centroids(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means fit — the codebook trainer that
+    produces :func:`knn_ivf`'s centroid table (and PQ sub-codebooks).
+
+    Unlike an operator, a FIT is an iterative algorithm: each Lloyd round
+    runs one Spark job and syncs k×dim doubles to the driver (MLlib-style;
+    the sync is centroids, never data). Every step is reproducible across
+    runs, partitionings, and engines:
+
+    - init = the first ``k`` vectors by id (no seeded sampling to disagree
+      about),
+    - assignment = argmin of an index-ordered left-fold L2 (``_l2sq``),
+      ties broken on centroid id via struct comparison,
+    - update = per-dim DECIMAL(18,9) sums (exact, associative — float
+      partial sums would make the fit partition-order-dependent) divided
+      in IEEE double.
+
+    An emptied cluster keeps its previous centroid. Returns a k-row
+    DataFrame ``(id_col, vec_col array<double>)`` ready for ``knn_ivf``.
+    """
+    spark = df.sparkSession
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    init = v.orderBy(id_col).limit(k).collect()
+    centroids: list[list[float]] = [list(r["__v"]) for r in init]
+    dim = len(centroids[0])
+
+    for _ in range(iterations):
+        cand = [
+            F.struct(
+                _l2sq(F.col("__v"), F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, c in enumerate(centroids)
+        ]
+        asg = v.select(F.least(*cand)["c"].alias("cid"), "__v")
+        sums = (
+            asg.select("cid", F.posexplode("__v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(18,9)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty cluster keeps its centroid
+        for r in sums:
+            new[r["cid"]][r["dim"]] = float(r["s"]) / r["n"]
+        centroids = new
+
+    return spark.createDataFrame(
+        [(ci, c) for ci, c in enumerate(centroids)],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment against a fitted codebook: map-only
+    (centroid literals ride the closure via a broadcast-sized collect),
+    emitting ``(id, cid, dist)`` with the same ordered-fold distance and
+    id tiebreak as the fit. ``dist`` is rounded to 6 so downstream
+    aggregates are cross-engine exact."""
+    cents = sorted(
+        (r[id_col], list(r[vec_col])) for r in centroids.collect()
+    )
+    cand = [
+        F.struct(
+            F.round(
+                _l2sq(F.col("__v"), F.array(*[F.lit(x) for x in c])), 6
+            ).alias("d"),
+            F.lit(ci).alias("c"),
+        )
+        for ci, c in cents
+    ]
+    best = F.least(*cand)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        id_col,
+        best["c"].alias("cid"),
+        best["d"].alias("dist"),
+    )
+
+
 def _l2sq(a, b):
     """Squared L2 distance of two array<double> columns (zip_with/aggregate
     left fold — same evaluation order as the oracle's list_sum)."""

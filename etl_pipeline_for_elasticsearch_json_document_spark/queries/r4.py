@@ -591,3 +591,73 @@ def q137(spark, sf_dir):
             F.round(F.col("n_present") / F.col("__total"), 4).alias("presence_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means codebook fit (the trainer behind IVF/PQ) — deterministic Lloyd
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
+    """Two Lloyd iterations unrolled in SQL, mirroring kmeans_fit exactly:
+    first-k init, index-ordered L2 fold, (dist, cid) tie-break, DECIMAL
+    per-dim sums divided in double."""
+    dist = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
+    ).format(d=dim)
+
+    def it(prev: str, n: int) -> str:
+        return f"""
+d{n} AS (SELECT e.vec_id, e.v, c.cid, {dist} AS dist
+        FROM e CROSS JOIN {prev} c),
+a{n} AS (SELECT vec_id, v, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d{n}) t WHERE rn = 1),
+s{n} AS (SELECT cid, i AS dim, sum(CAST(v[i] AS DECIMAL(18,9))) AS s, count(*) AS n
+        FROM a{n}, unnest(range(1, {dim} + 1)) AS t(i) GROUP BY cid, i),
+c{n} AS (SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c FROM s{n} GROUP BY cid)"""
+
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {k}),
+{it("c0", 1)},
+{it("c1", 2)},
+final AS (SELECT e.vec_id, c.cid, round({dist}, 6) AS dist
+          FROM e CROSS JOIN c2 c),
+best AS (SELECT vec_id, cid, dist FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM final) t WHERE rn = 1)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(CAST(dist AS DECIMAL(28,6))) AS DOUBLE), 2) AS inertia
+FROM best GROUP BY cid
+"""
+
+
+@query(
+    "q138_kmeans_codebook",
+    oracle=_kmeans_oracle(),
+    doc="Deterministic Lloyd k-means (k=8, 2 iterations) over the "
+    "embedding corpus — the codebook trainer that feeds knn_ivf's "
+    "partitions and PQ's sub-quantizers. First-k init, index-ordered L2 "
+    "fold, (dist, cid) tie-break, per-dim DECIMAL update sums divided in "
+    "IEEE double ⇒ the fit is reproducible across runs, partitionings, "
+    "and engines (the oracle replays both iterations in SQL). Emits the "
+    "final per-cluster sizes and exact-decimal inertia.",
+)
+def q138(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iterations=2)
+    asg = kmeans_assign(emb, cents)
+    return asg.groupBy("cid").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum(F.col("dist").cast("decimal(28,6)")).cast("double"), 2).alias(
+            "inertia"
+        ),
+    )

@@ -479,3 +479,26 @@ def test_triangle_orientation_kills_hub_wedges(spark):
         [(a, b) for a in range(1, 5) for b in range(a + 1, 5)], "src long, dst long"
     )
     assert graph.oriented_wedges(graph.orient_edges(k4)).count() == 4
+
+
+def test_kmeans_fit_monotone_and_feeds_ivf(spark, sf_dir):
+    """Lloyd's algorithm must not increase inertia with more iterations,
+    the fit must be run-to-run deterministic, and its output table must
+    slot directly into knn_ivf as the centroid codebook."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def inertia(iters):
+        c = similarity.kmeans_fit(emb, k=4, iterations=iters)
+        a = similarity.kmeans_assign(emb, c)
+        return a.agg(F.sum("dist")).first()[0]
+
+    i0, i1, i2 = inertia(0), inertia(1), inertia(2)
+    assert i0 >= i1 >= i2  # Lloyd monotonicity
+    c_a = similarity.kmeans_fit(emb, k=4, iterations=2).collect()
+    c_b = similarity.kmeans_fit(emb, k=4, iterations=2).collect()
+    assert sorted(map(tuple, c_a)) == sorted(map(tuple, c_b))  # deterministic
+
+    cents = similarity.kmeans_fit(emb, k=4, iterations=2)
+    out = similarity.knn_ivf(emb, emb.limit(3), cents, k=5, nprobe=2)
+    got = out.groupBy("q_id").count().collect()
+    assert len(got) == 3 and all(r["count"] == 5 for r in got)
