@@ -661,3 +661,79 @@ def q138(spark, sf_dir):
             "inertia"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): k-means blocks -> within-cluster cosine prune
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_oracle(k: int = 8, threshold: float = 0.95) -> str:
+    base = _kmeans_oracle(k=k)
+    # keep the CTE chain up to `best` (final assignment), then prune
+    body = base.strip().split("SELECT cid, CAST(count(*) AS BIGINT)")[0].rstrip().rstrip(",")
+    return f"""{body},
+pairs AS (
+  SELECT a.cid, b.vec_id AS b_id
+  FROM best a JOIN best b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+),
+removed AS (SELECT DISTINCT cid, b_id FROM pairs)
+SELECT b.cid, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(r.b_id) AS BIGINT) AS n_removed,
+       round(count(r.b_id) / CAST(count(*) AS DOUBLE), 4) AS removed_frac
+FROM best b LEFT JOIN removed r ON r.cid = b.cid AND r.b_id = b.vec_id
+GROUP BY b.cid
+"""
+
+
+@query(
+    "q139_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    doc="SemDeDup: k-means clusters as blocking keys, cosine>=0.95 pairs "
+    "computed ONLY within a cluster (the pair join is an equi-join on "
+    "cid — at 100 TB each cluster is a partition and the quadratic term "
+    "is bounded by cluster size, tunable via k), remove-the-higher-id "
+    "rule, per-cluster removal report. The deterministic kmeans_fit makes "
+    "the whole pipeline — including the blocking — engine-reproducible.",
+)
+def q139(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+        cosine,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iterations=2)
+    asg = kmeans_assign(emb, cents).select("vec_id", "cid")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = asg.join(v, "vec_id").select(
+        F.col("cid"), F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+    )
+    b = asg.join(v, "vec_id").select(
+        F.col("cid"), F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "cid").filter(F.col("a_id") < F.col("b_id")).filter(
+        F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.95
+    )
+    removed = (
+        pairs.select(F.col("cid").alias("r_cid"), F.col("b_id")).distinct()
+    )
+    return (
+        asg.join(
+            removed,
+            (asg["cid"] == removed["r_cid"]) & (asg["vec_id"] == removed["b_id"]),
+            "left",
+        )
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count("b_id").alias("n_removed"),
+            F.round(F.count("b_id") / F.count("*").cast("double"), 4).alias(
+                "removed_frac"
+            ),
+        )
+    )
