@@ -178,3 +178,47 @@ def test_streaming_export_to_live_fake_cluster(spark, fake_es, tmp_path):
     )
     got = sorted(r["body"] for p in pages for r in p.collect())
     assert got == [f"doc {i}" for i in range(7)]
+
+
+def test_es_bulk_datasource_writer(spark, fake_es, tmp_path):
+    """The Spark 4 Python DataSource write path: df.write.format('es_bulk')
+    stages per-task NDJSON and commits by rename — then the standard
+    replayer ships the files to the (fake) cluster. Exercises the full
+    DataSourceWriter lifecycle including atomic commit."""
+    import os
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.es_bulk_datasource import (
+        EsBulkDataSource,
+    )
+
+    spark.dataSource.register(EsBulkDataSource)
+    df = spark.createDataFrame(
+        [(1, 'weird "id> val', 2.5), (2, "b", None), (3, "c", 0.0)],
+        "doc_id long, name string, amount double",
+    ).repartition(2)
+    out = str(tmp_path / "dsout")
+    (
+        df.write.format("es_bulk")
+        .option("index", "ds_docs")
+        .option("id_col", "doc_id")
+        .mode("append")
+        .save(out)
+    )
+    files = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert files and not [f for f in os.listdir(out) if f.startswith("_staging")]
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    # every file is valid bulk protocol and the total is 3 docs
+    n = 0
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln]
+        for a, s in zip(lines[0::2], lines[1::2]):
+            action = json.loads(a)
+            assert action["index"]["_index"] == "ds_docs"
+            json.loads(s)
+            n += 1
+    assert n == 3
+    # replay to the live fake cluster: content round-trips
+    es_sink.replay_bulk_files(out, fake_es)
+    client = HttpEsClient(fake_es)
+    assert client.count("ds_docs")["count"] == 3
