@@ -367,3 +367,40 @@ def test_schema_pure_flatten_plan_is_cached(spark):
     p_long = fp.flatten_plan(long)
     assert len(p_long) > len(p_short)  # widened: lengths were re-discovered
     assert len(fp._SCHEMA_PURE_PLAN_CACHE) == 1  # data-dependent: not cached
+
+
+def test_campaign_overlap_broadcasts_dim(spark):
+    # the 3-row campaign dim must broadcast; the span table streams
+    plan = plan_text(Q["q135_campaign_overlap"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_is_map_only(spark):
+    """Assignment against a fitted codebook rides the scan: centroid
+    literals live in the plan, so the only Exchange allowed is the final
+    stats aggregation — never a join or a per-vector shuffle."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_fit(emb, k=4, iterations=1)
+    plan = plan_text(kmeans_assign(emb, cents))
+    assert "Join" not in plan and "Exchange" not in plan  # pure projection
+
+
+def test_semantic_dedup_pairs_are_cluster_blocked(spark):
+    # the pair join must be an equi-join (on cid) — never a cross product
+    plan = plan_text(Q["q139_semantic_dedup"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_debounce_single_window_shuffle(spark):
+    # one lag window per user + final agg: exactly 2 hash Exchanges
+    plan = plan_text(Q["q136_debounce_events"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    # formatted explain lists nodes twice (tree + detail) — count the tree
+    n_exchange = plan.count("- Exchange")
+    assert n_exchange <= 2, f"{n_exchange} exchanges:\n{plan}"
