@@ -246,8 +246,12 @@ def main() -> None:
         force(df)  # warm-up: codegen + JIT
         timings[name] = timed_median(lambda: force(df))
 
-    timings.update(bench_flatten(spark))
+    # dedup closer BEFORE the 10k-doc flatten benches: those cache a wide
+    # 10k-doc relation and stage large parquet files, and the GC/heap state
+    # they leave behind added 2-3 s of run-to-run noise to the cold closer
+    # when it ran last (measured r4).
     timings.update(bench_dedup_close(spark, sf_dir))
+    timings.update(bench_flatten(spark))
 
     total = round(sum(timings.values()), 3)
     print(
