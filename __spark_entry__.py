@@ -52,7 +52,8 @@ _NEW_IN_R4: set[str] = {
     "q131_boilerplate_ratio", "q132_lsh_verify_calibration",
     "q133_salted_join", "q134_length_stratified_sample",
     "q135_campaign_overlap", "q136_debounce_events", "q137_json_key_profile",
-    "q138_kmeans_codebook", "q139_semantic_dedup",
+    "q138_kmeans_codebook", "q139_semantic_dedup", "q140_heavy_hitters",
+    "q141_prefix_filter_jaccard",
 }
 
 _DRIVER_VERIFIED = {

@@ -129,6 +129,80 @@ def jaccard_pairs(
     return out
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    token_expr: Column | None = None,
+) -> DataFrame:
+    """EXACT word-set Jaccard >= threshold via prefix filtering (the
+    PPJoin family, Xiao et al., WWW'08) — same output as
+    :func:`jaccard_pairs` but scalable: candidates come from joining only
+    each document's PREFIX (its ``floor((1-t)*n)+1`` globally-rarest
+    tokens) instead of every posting.
+
+    Why it scales where the inverted-index join cannot: two sets with
+    Jaccard >= t must share >= t*max(|a|,|b|) tokens, so under ANY global
+    token order they must share a token inside those short prefixes — and
+    because the global order is ascending document frequency, the prefix
+    postings lists are the RAREST tokens, exactly the ones with short
+    lists. Stopword postings (the quadratic blowup in the naive join)
+    never enter the candidate join at all. Verification then computes the
+    exact intersection only for candidate pairs (the q132 restricted-join
+    pattern), so the result is exact, not approximate.
+
+    Shuffles: token df count, per-doc sorted-prefix assembly, candidate
+    equi-join on rare tokens, restricted verify join — all on hashes/ids,
+    never raw text. Columns: ``a_id, b_id, jaccard`` (identical to
+    :func:`jaccard_pairs`; equality pinned in tests/test_llm_ops.py).
+    """
+    toks = tokens(F.col(text_col)) if token_expr is None else token_expr
+    n = df.sparkSession.sparkContext.defaultParallelism
+    words = (
+        df.repartition(n, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(toks)).alias("w"))
+    )
+    docfreq = words.groupBy("w").agg(F.count("*").alias("df"))
+    ordered = (
+        words.join(docfreq, "w")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "w"))).alias("ts"))
+    )
+    p = (
+        F.floor(F.lit(1.0 - threshold) * F.size("ts")).cast("int") + F.lit(1)
+    )
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(F.transform(F.slice("ts", 1, p), lambda s: s["w"])).alias("w"),
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    wa = words.select(F.col("doc_id").alias("a_id"), "w")
+    wb = words.select(F.col("doc_id").alias("b_id"), "w")
+    inter = (
+        cand.join(wa, "a_id")
+        .join(wb, ["b_id", "w"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+        .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 #

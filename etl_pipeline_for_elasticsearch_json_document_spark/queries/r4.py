@@ -737,3 +737,76 @@ def q139(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-guided heavy hitters: CMS prunes the key space, exact verify wins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q140_heavy_hitters",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id HAVING count(*) >= 72
+""",
+    doc="Two-stage heavy-hitter detection: a count-min sketch (depth x "
+    "width rows TOTAL, map-side combined) estimates every key's frequency, "
+    "keys whose ESTIMATE clears the threshold become candidates, and only "
+    "candidates get an exact count. CMS overestimates but never "
+    "underestimates, so the candidate set is a superset and the exact "
+    "verify makes the output EQUAL to the full groupBy — while at 100 TB "
+    "the exact aggregation touches only the semi-joined sliver of the "
+    "stream instead of every key.",
+)
+def q140(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    threshold = 72
+    e = _t(spark, sf_dir, "events")
+    sketch = count_min_build(e.select("user_id"), "user_id", depth=4, width=256)
+    keys = e.select("user_id").distinct()
+    est = count_min_estimate(sketch, keys, "user_id", depth=4, width=256)
+    cand = est.filter(F.col("est") >= threshold).select(
+        F.col("item").alias("user_id")
+    )
+    return (
+        e.join(cand, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT similarity join (PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q141_prefix_filter_jaccard",
+    oracle="""
+WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(i / (sa.n + sb.n - i), 6) >= 0.6
+""",
+    doc="Exact Jaccard>=0.6 join via prefix filtering (PPJoin): candidates "
+    "only where the documents' (1-t)n+1 globally-RAREST tokens collide — "
+    "stopword postings never enter the join — then exact verification on "
+    "candidates only. Output identical to the naive inverted-index join "
+    "(q31's oracle verbatim) at a fraction of its candidate volume.",
+)
+def q141(spark, sf_dir):
+    return dedup.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.6
+    )

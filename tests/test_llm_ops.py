@@ -502,3 +502,22 @@ def test_kmeans_fit_monotone_and_feeds_ivf(spark, sf_dir):
     out = similarity.knn_ivf(emb, emb.limit(3), cents, k=5, nprobe=2)
     got = out.groupBy("q_id").count().collect()
     assert len(got) == 3 and all(r["count"] == 5 for r in got)
+
+
+def test_prefix_filter_jaccard_equals_naive_join(spark, sf_dir):
+    """PPJoin-style prefix filtering is EXACT: its output must equal the
+    naive inverted-index join on the real corpus, while generating
+    strictly fewer candidate pairs (rare-token prefixes keep stopword
+    postings out of the join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    naive = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    pf = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert pf == naive and len(pf) > 0
