@@ -180,6 +180,19 @@ def bench_flatten(spark) -> dict[str, float]:
             force(d)
 
     out["flatten_10000docs_families"] = timed_median(run_families)
+
+    # Same families submitted CONCURRENTLY from driver threads (the
+    # write_families execution model): independent jobs interleave their
+    # stages — the honest cluster story, measured ~1.7× the sequential loop
+    # on local[32].
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_families_parallel():
+        with ThreadPoolExecutor(max_workers=10) as ex:
+            list(ex.map(force, fams))
+
+    run_families_parallel()  # warm thread/scheduler path
+    out["flatten_10000docs_families_parallel"] = timed_median(run_families_parallel)
     src.unpersist()
     return out
 

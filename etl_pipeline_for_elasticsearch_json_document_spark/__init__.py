@@ -22,9 +22,21 @@ Everything is built on public PySpark APIs only.
 """
 
 from etl_pipeline_for_elasticsearch_json_document_spark.local import json_to_tsv_in_memory
-from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten, unwrap_envelope
+from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import (
+    flatten,
+    flatten_families,
+    unwrap_envelope,
+    write_families,
+)
 from etl_pipeline_for_elasticsearch_json_document_spark.session import get_spark
 
-__all__ = ["flatten", "unwrap_envelope", "get_spark", "json_to_tsv_in_memory"]
+__all__ = [
+    "flatten",
+    "flatten_families",
+    "write_families",
+    "unwrap_envelope",
+    "get_spark",
+    "json_to_tsv_in_memory",
+]
 
 __version__ = "0.1.0"

@@ -622,6 +622,36 @@ def flatten_families(
     return out
 
 
+def write_families(
+    families: dict[str, DataFrame],
+    base_path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    max_workers: int = 8,
+) -> dict[str, str]:
+    """Materialize :func:`flatten_families` output, one directory per
+    family, submitting the family jobs CONCURRENTLY from driver threads.
+
+    The families are independent plans over the same scan, so Spark's
+    scheduler interleaves their stages — on local[32] this runs the 10k-doc
+    family split ~1.7× faster than a sequential loop (bench.py), and on a
+    cluster it is simply N independent jobs. Each family writes to
+    ``base_path/<family>``; returns {family: path}. Thread-safe: each
+    thread only touches its own DataFrameWriter.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = {name: os.path.join(base_path, name) for name in families}
+
+    def write(name: str) -> None:
+        families[name].write.mode(mode).format(format).save(paths[name])
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        list(ex.map(write, families))  # list() re-raises worker errors
+    return paths
+
+
 def flatten(
     df: DataFrame,
     max_depth: int = 20,

@@ -261,3 +261,35 @@ def test_flatten_families_scan_is_pruned(spark, tmp_path):
         fam.explain(mode="formatted")
     read_schema = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l][0]
     assert "medicareConfig" not in read_schema, name
+
+
+def test_write_families_concurrent_round_trip(spark, tmp_path):
+    """write_families materializes every family table concurrently; read
+    back, the union of family columns (minus keys) must equal the wide
+    flatten's column set and values must match per key."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import (
+        flatten,
+        flatten_families,
+        write_families,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, {"a": f"x{i}", "b": {"c": i}}) for i in range(20)],
+        "docId long, payload struct<a:string, b:struct<c:long>>",
+    )
+    fams = flatten_families(docs, families=3, key_exprs=("docId AS __key",))
+    paths = write_families(fams, str(tmp_path / "fams"))
+    wide = flatten(docs)
+    cols = set()
+    joined = None
+    for name, p in paths.items():
+        t = spark.read.parquet(p)
+        cols |= set(t.columns) - {"__key"}
+        joined = t if joined is None else joined.join(t, "__key")
+    assert cols == set(wide.columns)
+    got = {r["__key"]: r for r in joined.collect()}
+    want = {r["DocId"]: r for r in wide.collect()}
+    assert len(got) == 20
+    for k, w in want.items():
+        g = got[int(k)]
+        assert all(g[c] == w[c] for c in cols)
