@@ -56,12 +56,33 @@ class HttpEsClient:
         total-documents pre-check)."""
         return self._post_json(f"/{index}/_count", body or {})
 
-    def bulk_ndjson(self, payload: str, index: Optional[str] = None) -> dict[str, Any]:
+    def bulk_ndjson(
+        self,
+        payload: str,
+        index: Optional[str] = None,
+        retries: int = 3,
+        backoff: float = 0.5,
+    ) -> dict[str, Any]:
         """``POST /_bulk`` with a ready NDJSON payload (the exact file
-        format :func:`~.sinks.elasticsearch.write_bulk_files` emits)."""
+        format :func:`~.sinks.elasticsearch.write_bulk_files` emits).
+
+        Retries 429/503 with exponential backoff — a loaded cluster
+        throttles bulk ingest routinely, and because replayed ``index``
+        actions with explicit ``_id`` upsert, re-POSTing a partially
+        applied payload converges rather than duplicating."""
+        import time
+        import urllib.error
+
         path = f"/{index}/_bulk" if index else "/_bulk"
         if not payload.endswith("\n"):
             payload += "\n"  # _bulk requires a trailing newline
-        return self._request(
-            "POST", path, payload.encode("utf-8"), "application/x-ndjson"
-        )
+        body = payload.encode("utf-8")
+        attempt = 0
+        while True:
+            try:
+                return self._request("POST", path, body, "application/x-ndjson")
+            except urllib.error.HTTPError as e:
+                if e.code not in (429, 503) or attempt >= retries:
+                    raise
+                time.sleep(backoff * (2**attempt))
+                attempt += 1

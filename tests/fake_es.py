@@ -28,6 +28,9 @@ class _State:
         self.indices: dict[str, dict[str, dict]] = {}
         self.auto_id = 0
         self.lock = threading.Lock()
+        #: when > 0, that many _bulk requests are rejected with 429 before
+        #: accepting — simulates a throttling cluster for retry tests
+        self.throttle_next_bulks = 0
 
 
 def _sort_spec(body: dict[str, Any]) -> list[tuple[str, bool]]:
@@ -63,6 +66,13 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
         parts = [p for p in self.path.split("/") if p]
         if parts and parts[-1] == "_bulk":
+            with self.state.lock:
+                throttled = self.state.throttle_next_bulks > 0
+                if throttled:
+                    self.state.throttle_next_bulks -= 1
+            if throttled:
+                self._reply({"error": "es_rejected_execution_exception"}, status=429)
+                return
             default_index = parts[0] if len(parts) == 2 else None
             self._bulk(self._body().decode("utf-8"), default_index)
         elif len(parts) == 2 and parts[1] == "_search":

@@ -222,3 +222,35 @@ def test_es_bulk_datasource_writer(spark, fake_es, tmp_path):
     es_sink.replay_bulk_files(out, fake_es)
     client = HttpEsClient(fake_es)
     assert client.count("ds_docs")["count"] == 3
+
+
+def test_bulk_replay_retries_throttled_cluster(spark, tmp_path):
+    """A loaded cluster 429s bulk requests routinely: the replayer must
+    back off and retry (replays upsert by _id, so a re-POST after partial
+    application converges), and give up with the real error once retries
+    are exhausted."""
+    import urllib.error
+
+    server, base_url = start_fake_es()
+    try:
+        state = server.RequestHandlerClass.state
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, body string")
+        out = str(tmp_path / "bulk")
+        es_sink.write_bulk_files(df, out, "throt", id_col="doc_id")
+        client = HttpEsClient(base_url)
+
+        state.throttle_next_bulks = 2  # first two POSTs rejected with 429
+        payload = ""
+        for f in sorted(__import__("glob").glob(out + "/part-*")):
+            with open(f) as fh:
+                payload += fh.read()  # concatenated NDJSON stays valid _bulk
+        resp = client.bulk_ndjson(payload, retries=3, backoff=0.05)
+        assert resp["errors"] is False  # retried through the throttling
+        assert client.count("throt")["count"] >= 1
+
+        state.throttle_next_bulks = 10  # more 429s than retries -> surfaces
+        with pytest.raises(urllib.error.HTTPError):
+            client.bulk_ndjson(payload, retries=1, backoff=0.01)
+    finally:
+        server.shutdown()
+        server.server_close()
