@@ -521,3 +521,42 @@ def test_prefix_filter_jaccard_equals_naive_join(spark, sf_dir):
         ).collect()
     }
     assert pf == naive and len(pf) > 0
+
+
+def test_prefix_filter_jaccard_property_random_corpora(spark):
+    """Property check on randomized corpora and thresholds: prefix
+    filtering must give EXACTLY the naive join's pairs (the prefix lemma
+    has off-by-one traps — floor vs ceil in the prefix length — that only
+    adversarial sizes/overlaps expose)."""
+    import random
+
+    rng = random.Random(4217)
+    vocab = [f"w{i}" for i in range(40)]
+    for trial in range(6):
+        t = rng.choice([0.5, 0.6, 0.75, 0.9])
+        docs = []
+        base = rng.sample(vocab, rng.randint(3, 12))
+        for i in range(18):
+            if rng.random() < 0.5 and docs:
+                # mutate an earlier doc: keeps Jaccard near the threshold
+                words = list(dict.fromkeys(docs[rng.randrange(len(docs))][1].split()))
+                for _ in range(rng.randint(0, 2)):
+                    if rng.random() < 0.5 and len(words) > 2:
+                        words.pop(rng.randrange(len(words)))
+                    else:
+                        words.append(rng.choice(vocab))
+            else:
+                words = rng.sample(vocab, rng.randint(2, 14))
+            docs.append((i, " ".join(dict.fromkeys(words))))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        naive = {
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in dedup.jaccard_pairs(df, "doc_id", "text", threshold=t).collect()
+        }
+        pf = {
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in dedup.prefix_filter_jaccard_pairs(
+                df, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        assert pf == naive, f"trial {trial} t={t}: {pf ^ naive}"
