@@ -53,7 +53,8 @@ _NEW_IN_R4: set[str] = {
     "q133_salted_join", "q134_length_stratified_sample",
     "q135_campaign_overlap", "q136_debounce_events", "q137_json_key_profile",
     "q138_kmeans_codebook", "q139_semantic_dedup", "q140_heavy_hitters",
-    "q141_prefix_filter_jaccard",
+    "q141_prefix_filter_jaccard", "q142_asof_join_forward",
+    "q143_event_transitions",
 }
 
 _DRIVER_VERIFIED = {

@@ -810,3 +810,111 @@ def q141(spark, sf_dir):
     return dedup.prefix_filter_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.6
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (next event at-or-after), completing q26's backward
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q142_asof_join_forward",
+    oracle="""
+WITH purchases AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+     clicks    AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         epoch_us(c.ts) - epoch_us(p.ts) AS gap_us,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts, c.event_id) AS rn
+  FROM purchases p LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts >= p.ts
+)
+SELECT purchase_id, click_id, gap_us FROM j WHERE rn = 1
+""",
+    doc="FORWARD as-of join: earliest click at-or-after each purchase "
+    "(time-to-next-action attribution) — q26's mirror. Same union+window "
+    "merge, scanned in descending time so the carried value is the next "
+    "click: one shuffle by (user, time), no join explosion; ties broken "
+    "(ts, click_id) to match the oracle exactly.",
+)
+def q142(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    tagged = p.withColumn("click_id", F.lit(None).cast("long")).withColumn(
+        "is_p", F.lit(1)
+    ).unionByName(
+        c.withColumn("purchase_id", F.lit(None).cast("long")).withColumn("is_p", F.lit(0))
+    )
+    # descending scan: the carried click is the nearest ts >= purchase ts;
+    # same-ts clicks sort before purchases (>= is inclusive) and larger
+    # click ids process first so the carried one is the SMALLEST id.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "is_p", F.col("click_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged.select(
+        "purchase_id",
+        "ts",
+        "is_p",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+    )
+    return merged.filter(F.col("is_p") == 1).select(
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-journey transition matrix (Markov counts over event sequences)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q143_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (SELECT event_type AS from_type, next_type AS to_type FROM seq WHERE next_type IS NOT NULL),
+totals AS (SELECT from_type, count(*) AS n_from FROM t GROUP BY from_type)
+SELECT t.from_type, t.to_type, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / CAST(max(totals.n_from) AS DOUBLE), 4) AS p
+FROM t JOIN totals ON t.from_type = totals.from_type
+GROUP BY t.from_type, t.to_type
+""",
+    doc="User-journey transition matrix: consecutive event-type pairs per "
+    "user (one lead window, event_id tiebreak) aggregated into Markov "
+    "transition counts and probabilities — the path-analysis primitive "
+    "behind funnel discovery. One window shuffle + one agg; probabilities "
+    "divide by exact integer counts so they are engine-identical.",
+)
+def q143(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = t.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    totals = t.groupBy("from_type").agg(F.count("*").alias("n_from"))
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("n_from").cast("double"), 4).alias("p"),
+    )
