@@ -36,75 +36,98 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Ordering policy: the driver verifies a bounded number (~50) of queries per
 # round in dict order, so _ordered() emits (1) queries never yet driver-
-# checked and not brand-new (the q106-q127 block plus the q67/q87 sketch
-# queries reformulated this round to be oracle-checkable), (2) queries first
-# registered this round, (3) already-driver-verified names.
+# checked, (2) queries first registered this round, (3) already-driver-
+# verified names ordered STALEST FIRST (by the round whose
+# CORRECTNESS_r{N}.json last proved them green) — with all 141 registered
+# queries cumulatively verified, the ~50-slot budget now deliberately
+# re-verifies the least-recently-checked names to catch regressions.
 # ALL of (1) and (2) are locally green against the same DuckDB oracles at the
-# driver's sf0.01 (scripts/compare_oracle.py); the verified remainder keeps
-# regression coverage via tests/test_queries.py. Round maintenance: after each
-# CORRECTNESS_r{N}.json, move its green names into _DRIVER_VERIFIED and empty
-# the new-this-round set.
+# driver's sf0.01 (scripts/compare_oracle.py); the remainder keeps regression
+# coverage via tests/test_queries.py. Round maintenance: after each
+# CORRECTNESS_r{N}.json, record its green names as last-verified in round N
+# and empty the new-this-round set.
 
-#: Queries first registered in round 4 — ordered after block (1) so the
-#: driver budget closes out every round-1/2/3 registration first.
-_NEW_IN_R4: set[str] = {
-    "q128_dedup_cluster_stats", "q129_regression_agg", "q130_ewma_daily",
-    "q131_boilerplate_ratio", "q132_lsh_verify_calibration",
-    "q133_salted_join", "q134_length_stratified_sample",
-    "q135_campaign_overlap", "q136_debounce_events", "q137_json_key_profile",
-    "q138_kmeans_codebook", "q139_semantic_dedup", "q140_heavy_hitters",
-    "q141_prefix_filter_jaccard", "q142_asof_join_forward",
-    "q143_event_transitions",
-}
+#: Queries first registered in round 5 — ordered after block (1).
+_NEW_IN_R5: set[str] = set()
 
-_DRIVER_VERIFIED = {
-    "q01_pricing_summary", "q02_filter_predicates", "q03_revenue_topn",
-    "q04_join_region_rollup", "q05_count_distinct", "q06_rollup", "q07_cube",
-    "q08_grouping_sets", "q09_median_percentile", "q10_window_topk",
-    "q11_window_running", "q12_rank_dense", "q13_sort_limit", "q14_union_all",
-    "q15_intersect", "q16_except", "q17_semi_join", "q18_anti_join",
-    "q19_outer_join_coalesce", "q20_string_funcs", "q21_date_funcs",
-    "q22_case_when", "q23_json_extract", "q24_array_funcs", "q25_keyset_page",
-    "q26_asof_join", "q27_range_join", "q28_exists_subquery_agg",
-    "q29_tumbling_window", "q30_dedup_exact", "q31_jaccard_pairs",
-    "q32_minhash_lsh", "q33_simhash_pairs", "q34_embedding_neardup",
-    "q36_repetition_metrics", "q37_shingle_jaccard",
-    "q40_knn_bruteforce", "q41_knn_lsh", "q42_knn_ivf", "q43_knn_pq",
-    "q44_label_centroids", "q45_ann_recall", "q48_pagerank",
-    "q50_token_stats", "q51_quality_metrics", "q52_lang_facet",
-    "q53_fingerprint_groups", "q54_bigram_counts", "q55_language_id",
-    "q57_char_ngram_profile", "q58_pii_redaction", "q59_train_split",
-    "q60_multimodal_meta",
-    # CORRECTNESS_r03 greens (48/48 hash-match; q67/q87 were no_oracle rows
-    # and stay in block (1) after their round-4 oracle-checkable rewrite).
-    "q35_dedup_clusters", "q38_sentence_dedup", "q46_cdc_chunk_dedup",
-    "q47_flatten_families", "q56_tfidf", "q61_multimodal_decode",
-    "q62_frame_sample", "q63_pipeline_e2e", "q64_sessionize",
-    "q65_outlink_domains", "q66_audio_chunks", "q68_ntile_deciles",
-    "q69_group_concat", "q70_flatten_events", "q71_winnowing_fingerprints",
-    "q72_bpe_token_stats", "q73_zorder_key", "q74_binned_quantile_sketch",
-    "q75_top_tokens_per_lang", "q76_variant_json", "q77_latest_by_key",
-    "q78_mode_per_group", "q79_histogram", "q80_math_funcs",
-    "q81_null_handling", "q82_string_more", "q83_date_more",
-    "q84_scalar_subquery", "q85_in_subquery", "q86_literal_dim_join",
-    "q88_posexplode", "q89_full_outer_join", "q90_map_functions",
-    "q91_pivot", "q92_unpivot", "q93_stats_agg", "q94_window_distribution",
-    "q95_sessionize", "q96_regexp_extract_all", "q97_rolling_time_window",
-    "q98_nth_value", "q99_bool_bit_agg",
-    "q100_decontaminate", "q101_domain_quota", "q102_sequence_packing",
-    "q103_lsh_star_dedup", "q104_text_chunks", "q105_bigram_lift",
+#: name → round whose driver CORRECTNESS run last proved it green.
+_LAST_VERIFIED: dict[str, int] = {
+    # round 1 (stalest — re-verified first)
+    "q54_bigram_counts": 1, "q55_language_id": 1, "q57_char_ngram_profile": 1,
+    "q58_pii_redaction": 1, "q59_train_split": 1, "q60_multimodal_meta": 1,
+    # round 2
+    "q10_window_topk": 2, "q11_window_running": 2, "q12_rank_dense": 2,
+    "q13_sort_limit": 2, "q14_union_all": 2, "q15_intersect": 2,
+    "q16_except": 2, "q17_semi_join": 2, "q18_anti_join": 2,
+    "q19_outer_join_coalesce": 2, "q20_string_funcs": 2, "q21_date_funcs": 2,
+    "q22_case_when": 2, "q23_json_extract": 2, "q24_array_funcs": 2,
+    "q25_keyset_page": 2, "q26_asof_join": 2, "q27_range_join": 2,
+    "q28_exists_subquery_agg": 2, "q29_tumbling_window": 2,
+    "q30_dedup_exact": 2, "q31_jaccard_pairs": 2, "q32_minhash_lsh": 2,
+    "q33_simhash_pairs": 2, "q34_embedding_neardup": 2,
+    "q36_repetition_metrics": 2, "q37_shingle_jaccard": 2,
+    "q40_knn_bruteforce": 2, "q41_knn_lsh": 2, "q42_knn_ivf": 2,
+    "q43_knn_pq": 2, "q44_label_centroids": 2, "q45_ann_recall": 2,
+    "q48_pagerank": 2, "q50_token_stats": 2, "q51_quality_metrics": 2,
+    "q52_lang_facet": 2, "q53_fingerprint_groups": 2,
+    # round 3
+    "q101_domain_quota": 3, "q102_sequence_packing": 3,
+    "q103_lsh_star_dedup": 3, "q104_text_chunks": 3, "q105_bigram_lift": 3,
+    "q35_dedup_clusters": 3, "q38_sentence_dedup": 3,
+    "q46_cdc_chunk_dedup": 3, "q47_flatten_families": 3, "q56_tfidf": 3,
+    "q61_multimodal_decode": 3, "q62_frame_sample": 3, "q63_pipeline_e2e": 3,
+    "q64_sessionize": 3, "q65_outlink_domains": 3, "q66_audio_chunks": 3,
+    "q68_ntile_deciles": 3, "q69_group_concat": 3, "q70_flatten_events": 3,
+    "q71_winnowing_fingerprints": 3, "q72_bpe_token_stats": 3,
+    "q73_zorder_key": 3, "q74_binned_quantile_sketch": 3,
+    "q75_top_tokens_per_lang": 3, "q76_variant_json": 3,
+    "q77_latest_by_key": 3, "q78_mode_per_group": 3, "q79_histogram": 3,
+    "q80_math_funcs": 3, "q81_null_handling": 3, "q82_string_more": 3,
+    "q83_date_more": 3, "q84_scalar_subquery": 3, "q85_in_subquery": 3,
+    "q86_literal_dim_join": 3, "q88_posexplode": 3, "q89_full_outer_join": 3,
+    "q90_map_functions": 3, "q91_pivot": 3, "q92_unpivot": 3,
+    "q93_stats_agg": 3, "q94_window_distribution": 3, "q95_sessionize": 3,
+    "q96_regexp_extract_all": 3, "q97_rolling_time_window": 3,
+    "q98_nth_value": 3, "q99_bool_bit_agg": 3,
+    # round 4
+    "q01_pricing_summary": 4, "q02_filter_predicates": 4,
+    "q03_revenue_topn": 4, "q04_join_region_rollup": 4,
+    "q05_count_distinct": 4, "q06_rollup": 4, "q07_cube": 4,
+    "q08_grouping_sets": 4, "q09_median_percentile": 4,
+    "q100_decontaminate": 4, "q106_count_min": 4, "q107_vector_quantize": 4,
+    "q108_scd2": 4, "q109_dedup_weights": 4, "q110_fuzzy_decontaminate": 4,
+    "q111_weighted_sample": 4, "q112_facets": 4, "q113_bm25_topk": 4,
+    "q114_triangle_counts": 4, "q115_source_mix": 4,
+    "q116_decontaminated_stats": 4, "q117_novelty_scores": 4,
+    "q118_profile": 4, "q119_gap_fill": 4, "q120_null_safe_join": 4,
+    "q121_union_schema_evolution": 4, "q122_bfs_levels": 4, "q123_funnel": 4,
+    "q124_retention_cohorts": 4, "q125_fuzzy_match": 4,
+    "q126_anomaly_days": 4, "q127_snapshot_diff": 4,
+    "q128_dedup_cluster_stats": 4, "q129_regression_agg": 4,
+    "q130_ewma_daily": 4, "q131_boilerplate_ratio": 4,
+    "q132_lsh_verify_calibration": 4, "q133_salted_join": 4,
+    "q134_length_stratified_sample": 4, "q135_campaign_overlap": 4,
+    "q136_debounce_events": 4, "q137_json_key_profile": 4,
+    "q138_kmeans_codebook": 4, "q139_semantic_dedup": 4,
+    "q140_heavy_hitters": 4, "q141_prefix_filter_jaccard": 4,
+    "q142_asof_join_forward": 4, "q143_event_transitions": 4,
+    "q67_hll_sketch_distinct": 4, "q87_approx_count_distinct": 4,
 }
 
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
     never_checked = [
-        n for n in names if n not in _DRIVER_VERIFIED and n not in _NEW_IN_R4
+        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R5
     ]
+    verified = sorted(
+        (n for n in names if n in _LAST_VERIFIED),
+        key=lambda n: (_LAST_VERIFIED[n], n),
+    )
     return (
         never_checked
-        + [n for n in names if n in _NEW_IN_R4]
-        + [n for n in names if n in _DRIVER_VERIFIED]
+        + [n for n in names if n in _NEW_IN_R5]
+        + verified
     )
 
 

@@ -1,12 +1,20 @@
 """Multimodal column operators: image/audio/video as opaque ``binary``
 columns with typed metadata structs.
 
-The Spark-side plumbing is real — ``mapInPandas`` with Arrow-batched
-binary transfer, explicit output schema, partition-preserving map-only
-execution. The actual codec step is stubbed (no image/audio libraries in
-this environment): ``decode_images`` uses a clearly-marked deterministic
-fake, ``decode_images_real`` raises ``NotImplementedError`` at the exact
-point a real decoder (PIL/libvips/ffmpeg) would plug in.
+REAL image decode runs JVM-side with zero Python installs:
+:func:`read_images` / :func:`decode_image_files` use Spark's built-in
+``image`` file source (ImageIO-backed), which decodes PNG/JPEG into
+``struct<origin, height, width, nChannels, mode, data>`` inside the scan
+— no UDF, no Arrow hop, whole-stage-codegen downstream. That is the
+production path for image corpora laid out as files (the usual 100 TB
+shape: a manifest + image files on object storage).
+
+For payloads embedded as a ``binary`` column, the plumbing is
+``mapInPandas`` with Arrow-batched transfer, explicit output schema,
+partition-preserving map-only execution: ``decode_images`` uses a
+clearly-marked deterministic fake (keeps oracles exact),
+``decode_images_real`` delegates to PIL when installed and raises
+``NotImplementedError`` at the exact plug-in point otherwise.
 
 At 100 TB: binary payloads ride in parquet alongside metadata; decode is
 map-only (no shuffle), so throughput scales linearly with executors, and
@@ -19,9 +27,37 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DECODE_SCHEMA = "doc_id long, width int, height int, n_pixels long"
+
+
+def read_images(spark: SparkSession, path: str, drop_invalid: bool = True) -> DataFrame:
+    """REAL image decode via Spark's built-in JVM ``image`` source
+    (ImageIO): one row per file with ``image struct<origin, height, width,
+    nChannels, mode, data>``. Decoding happens inside the scan on
+    executors — distributed, no Python boundary, no extra installs.
+    ``drop_invalid`` skips unparseable files instead of failing the scan
+    (the right default for a crawled corpus)."""
+    reader = spark.read.format("image")
+    if drop_invalid:
+        reader = reader.option("dropInvalid", "true")
+    return reader.load(path)
+
+
+def decode_image_files(spark: SparkSession, path: str, drop_invalid: bool = True) -> DataFrame:
+    """Typed feature projection over :func:`read_images` — the real-codec
+    twin of :func:`decode_images`'s output shape, keyed by file origin:
+    (origin, width, height, n_channels, mode, n_pixels)."""
+    return read_images(spark, path, drop_invalid).select(
+        F.col("image.origin").alias("origin"),
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.nChannels").alias("n_channels"),
+        F.col("image.mode").alias("mode"),
+        (F.col("image.width").cast("long") * F.col("image.height")).alias("n_pixels"),
+    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:

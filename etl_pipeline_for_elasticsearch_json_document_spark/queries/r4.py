@@ -518,7 +518,7 @@ def q135(spark, sf_dir):
 WITH x AS (
   SELECT event_type, user_id, ts,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
-         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+         floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap
   FROM events
 )
 SELECT event_type,

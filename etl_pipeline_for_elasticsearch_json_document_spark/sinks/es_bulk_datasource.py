@@ -71,6 +71,21 @@ class EsBulkWriter(DataSourceWriter):
         return _Staged(staged_path=staged, final_path=os.path.join(self.path, name), rows=n)
 
     def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        keep = {m.final_path for m in messages if m is not None}
+        if self.overwrite:
+            # mode("overwrite") contract: committed part files from prior
+            # writes must not survive — an ingest fleet replaying the dir
+            # would ship stale bulk payloads. Staged files (this job's or a
+            # concurrent abort's) are left for their owner's commit/abort.
+            for f in os.listdir(self.path):
+                p = os.path.join(self.path, f)
+                if (
+                    f.startswith("part-")
+                    and f.endswith(".ndjson")
+                    and p not in keep
+                    and not f.startswith("_staging_")
+                ):
+                    os.remove(p)
         for m in messages:
             if m is not None:
                 os.rename(m.staged_path, m.final_path)

@@ -11,12 +11,17 @@ tests/test_streaming.py — which is also the restart/backfill guarantee:
 replay order cannot change the result.
 
 Delivery/crash semantics: foreachBatch is at-least-once, so every state
-row carries the last merged ``(ckpt_id, batch_id)`` and a replayed batch
-FROM THE SAME CHECKPOINT LINEAGE is detected and SKIPPED (merging it
-twice would double-count — exactly-once at the state level). The lineage
-scoping matters: a fresh checkpoint restarts epochs at 0, and its batch 0
-is genuinely new data that MUST merge — an epoch-only ledger would
-silently drop it. The swap keeps a ``.__old__`` backup until the new
+row carries a replay LEDGER — a ``ckpt_id → last merged batch_id`` map
+(JSON, constant across rows, swapped atomically WITH the sketch) — and a
+replayed batch FROM THE SAME CHECKPOINT LINEAGE is detected and SKIPPED
+(merging it twice would double-count — exactly-once at the state level).
+The lineage scoping matters: a fresh checkpoint restarts epochs at 0, and
+its batch 0 is genuinely new data that MUST merge — an epoch-only ledger
+would silently drop it. The ledger is per-lineage (not a single last
+pair) so two checkpoint lineages alternating over one state path cannot
+evict each other's high-water mark and re-admit a same-lineage replay;
+pre-ledger state files carrying scalar ``(ckpt_id, last_batch)`` columns
+are migrated into the map on first merge. The swap keeps a ``.__old__`` backup until the new
 state is in place, and ``read_sketch`` falls back to the backup, so a
 crash at any point between the renames loses at most the in-flight batch
 (which then replays), never the history.
@@ -28,6 +33,7 @@ no analog (it re-scans for every count, ``ElasticSearch ETL.py:214``).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -40,6 +46,33 @@ from etl_pipeline_for_elasticsearch_json_document_spark.operators.sketches impor
 from etl_pipeline_for_elasticsearch_json_document_spark.streaming.identity import (
     checkpoint_identity,
 )
+
+
+def _read_ledger(prev: DataFrame | None) -> dict[str, int]:
+    """Replay ledger from a state file: ``ckpt_id → last merged batch``.
+
+    Reads the JSON ``ledger`` column (constant across rows); state files
+    written before the per-lineage ledger carried scalar ``(ckpt_id,
+    last_batch)`` columns instead and are migrated into a one-entry map so
+    an upgrade cannot re-admit (double-merge) their last batch.
+    """
+    if prev is None:
+        return {}
+    if "ledger" in prev.columns:
+        row = prev.select("ledger").first()
+        if row is not None and row["ledger"]:
+            return {k: int(v) for k, v in json.loads(row["ledger"]).items()}
+        return {}
+    if "last_batch" in prev.columns:
+        row = prev.select(
+            F.max("last_batch").alias("done"),
+            F.max("ckpt_id").alias("ckpt")
+            if "ckpt_id" in prev.columns
+            else F.lit(None).cast("string").alias("ckpt"),
+        ).first()
+        if row is not None and row["done"] is not None and row["ckpt"] is not None:
+            return {row["ckpt"]: int(row["done"])}
+    return {}
 
 
 def merge_sketches(*sketches: DataFrame) -> DataFrame:
@@ -86,24 +119,18 @@ def run_cms_stream(
         if batch_df.isEmpty():
             return
         prev = read_sketch(spark, state_path)
-        if prev is not None and "last_batch" in prev.columns:
-            row = prev.select(
-                F.max("last_batch").alias("done"),
-                F.max("ckpt_id").alias("ckpt")
-                if "ckpt_id" in prev.columns
-                else F.lit(None).cast("string").alias("ckpt"),
-            ).first()
-            # Skip ONLY replays from the SAME checkpoint lineage: a fresh
-            # checkpoint restarts epochs at 0 and its batch 0 is new data.
-            if row["done"] is not None and row["done"] >= batch_id and row["ckpt"] == ckpt_id:
-                return  # replay of an already-merged batch: skip, don't double-count
+        ledger = _read_ledger(prev)
+        # Skip ONLY replays from the SAME checkpoint lineage: a fresh
+        # checkpoint restarts epochs at 0 and its batch 0 is new data.
+        done = ledger.get(ckpt_id)
+        if done is not None and done >= batch_id:
+            return  # replay of an already-merged batch: skip, don't double-count
         batch_sketch = count_min_build(
             batch_df.select(item_col), item_col, depth=depth, width=width
         )
         merged = batch_sketch if prev is None else merge_sketches(prev, batch_sketch)
-        merged = merged.withColumn("last_batch", F.lit(batch_id).cast("long")).withColumn(
-            "ckpt_id", F.lit(ckpt_id)
-        )
+        ledger[ckpt_id] = batch_id
+        merged = merged.withColumn("ledger", F.lit(json.dumps(ledger)))
         staging = state_path + ".__next__"
         if os.path.exists(staging):  # stale staging from a crashed attempt
             shutil.rmtree(staging)

@@ -12,11 +12,16 @@ with no Elasticsearch install. Semantics mirrored from the real API:
 - ``_search`` sorts by the requested ``sort`` fields (read from each
   doc's ``_source``), applies ``search_after`` as a strict lexicographic
   keyset predicate, and returns the standard ``hits.hits[*]._source``
-  envelope with per-hit ``sort`` values
+  envelope with per-hit ``_index``/``_id``/``sort`` values
+- ``slice: {"id": i, "max": N}`` partitions the index by a hash of the
+  document ``_id`` (real ES slices scrolls/PITs the same way): the N
+  slices are disjoint and their union is the full index, so N clients can
+  page concurrently — the server side of the distributed ``es_live`` read
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -31,6 +36,13 @@ class _State:
         #: when > 0, that many _bulk requests are rejected with 429 before
         #: accepting — simulates a throttling cluster for retry tests
         self.throttle_next_bulks = 0
+
+
+def _slice_of(doc_id: str, n: int) -> int:
+    """Deterministic slice assignment by document id (real ES uses a
+    murmur3 of the routing id; any stable hash gives the same contract:
+    disjoint slices whose union is the index)."""
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % n
 
 
 def _sort_spec(body: dict[str, Any]) -> list[tuple[str, bool]]:
@@ -111,22 +123,32 @@ class _Handler(BaseHTTPRequestHandler):
         spec = _sort_spec(body)
         size = int(body.get("size", 10))
         after = body.get("search_after")
+        sl = body.get("slice")
         with self.state.lock:
-            docs = list(self.state.indices.get(index, {}).values())
+            docs = list(self.state.indices.get(index, {}).items())
+        if sl is not None:
+            sl_id, sl_max = int(sl["id"]), int(sl["max"])
+            if not (0 <= sl_id < sl_max):
+                self._reply({"error": "invalid slice"}, status=400)
+                return
+            docs = [(i, d) for i, d in docs if _slice_of(i, sl_max) == sl_id]
 
-        def key(doc):
+        def key(item):
             # ascending-only comparison key; descending fields are not
             # needed by the pipeline and are rejected loudly below
-            return tuple(doc.get(f) for f, _ in spec)
+            return tuple(item[1].get(f) for f, _ in spec)
 
         if any(not asc for _, asc in spec):
             self._reply({"error": "descending sort not supported"}, status=400)
             return
         docs.sort(key=key)
         if after is not None:
-            docs = [d for d in docs if list(key(d)) > list(after)]
+            docs = [item for item in docs if list(key(item)) > list(after)]
         page = docs[:size]
-        hits = [{"_source": d, "sort": list(key(d))} for d in page]
+        hits = [
+            {"_index": index, "_id": i, "_source": d, "sort": list(key((i, d)))}
+            for i, d in page
+        ]
         self._reply(
             {"hits": {"total": {"value": len(docs), "relation": "eq"}, "hits": hits}}
         )

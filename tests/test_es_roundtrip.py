@@ -224,6 +224,36 @@ def test_es_bulk_datasource_writer(spark, fake_es, tmp_path):
     assert client.count("ds_docs")["count"] == 3
 
 
+def test_es_bulk_datasource_overwrite_clears_stale_parts(spark, fake_es, tmp_path):
+    """mode('overwrite') must leave NO committed part files from prior
+    writes — an ingest fleet replaying the directory would otherwise ship
+    stale bulk payloads alongside the new ones."""
+    import os
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.es_bulk_datasource import (
+        EsBulkDataSource,
+    )
+
+    spark.dataSource.register(EsBulkDataSource)
+    out = str(tmp_path / "ow")
+    big = spark.createDataFrame(
+        [(i, f"old {i}") for i in range(10)], "doc_id long, body string"
+    ).repartition(4)
+    (big.write.format("es_bulk").option("index", "ow_docs")
+        .option("id_col", "doc_id").mode("append").save(out))
+    first_parts = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert len(first_parts) >= 2
+    small = spark.createDataFrame([(100, "new")], "doc_id long, body string").coalesce(1)
+    (small.write.format("es_bulk").option("index", "ow_docs")
+        .option("id_col", "doc_id").mode("overwrite").save(out))
+    parts = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert parts and not (parts & first_parts)  # every stale part removed
+    # replaying the dir now ships ONLY the new write
+    es_sink.replay_bulk_files(out, fake_es)
+    client = HttpEsClient(fake_es)
+    assert client.count("ow_docs")["count"] == 1
+
+
 def test_bulk_replay_retries_throttled_cluster(spark, tmp_path):
     """A loaded cluster 429s bulk requests routinely: the replayer must
     back off and retry (replays upsert by _id, so a re-POST after partial

@@ -727,6 +727,47 @@ def test_cms_stream_fresh_checkpoint_merges_new_data(spark, sf_dir, tmpdir):
     assert streamed == batch  # second lineage's batch 0 merged, not skipped
 
 
+def test_cms_stream_alternating_lineages_replay_skipped(spark, sf_dir, tmpdir):
+    """Two checkpoint lineages alternating over ONE state path: lineage A
+    merges, lineage B merges, then A crash-replays its batch 0. A
+    single-(ckpt, last_batch) ledger forgets A's high-water mark the
+    moment B merges and double-counts the replay; the per-lineage map
+    ledger must keep both marks and leave the state unchanged."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.sketch_job import (
+        read_sketch,
+        run_cms_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter("event_id < 200")
+    src_a = os.path.join(tmpdir, "cms4_a")
+    src_b = os.path.join(tmpdir, "cms4_b")
+    events.filter("event_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src_a)
+    events.filter("event_id % 2 = 1").coalesce(1).write.mode("overwrite").parquet(src_b)
+    schema = spark.read.parquet(src_a).schema
+    state = os.path.join(tmpdir, "cms4_state")
+    ck_a = os.path.join(tmpdir, "cms4_ck_a")
+    ck_b = os.path.join(tmpdir, "cms4_ck_b")
+
+    def drain(src, ck):
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_cms_stream(
+            stream.select("event_type"), "event_type",
+            state_path=state, checkpoint_dir=ck, width=32,
+        ).awaitTermination(120)
+
+    drain(src_a, ck_a)  # lineage A: batch 0 merged
+    drain(src_b, ck_b)  # lineage B: batch 0 merged (ledger now holds both)
+    after_b = {
+        (r["d"], r["bucket"]): r["cnt"] for r in read_sketch(spark, state).collect()
+    }
+    _simulate_crash_before_commit(ck_a)
+    drain(src_a, ck_a)  # A re-delivers its batch 0 → must skip, not re-merge
+    replayed = {
+        (r["d"], r["bucket"]): r["cnt"] for r in read_sketch(spark, state).collect()
+    }
+    assert replayed == after_b
+
+
 def test_export_stream_exactly_once_single_audit_row(spark, tmpdir):
     """A same-lineage replayed batch in exactly_once mode must not append a
     second SUCCESS audit row (the audit table is the processed-batch
