@@ -47,8 +47,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json, record its green names as last-verified in round N
 # and empty the new-this-round set.
 
-#: Queries first registered in round 5 — ordered after block (1).
-_NEW_IN_R5: set[str] = set()
+#: Queries first registered in round 5 — ordered after block (1). All are
+#: locally oracle-green at sf0.01 AND sf0.001 (scripts/compare_oracle.py).
+_NEW_IN_R5: set[str] = {
+    "q144_char_entropy",
+    "q145_winsorized_stats",
+    "q146_token_jsd",
+    "q147_kmv_sketch_overlap",
+    "q148_weighted_reservoir",
+    "q149_vocab_oov",
+    "q150_matryoshka_recall",
+    "q151_fd_audit",
+}
 
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {

@@ -315,11 +315,12 @@ def _qstr(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def _sql_for_path(schema: StructType, path: Path) -> tuple[str, DataType]:
-    """Resolve a path of steps to a SQL expression string + its DataType."""
-    sql: Optional[str] = None
-    dt: DataType = schema
-    for step in path:
+def _sql_from(base_dt: DataType, base_sql: Optional[str], steps) -> tuple[str, DataType]:
+    """Resolve ``steps`` starting from an arbitrary base expression (``None``
+    = the row itself) to a SQL expression string + its DataType."""
+    sql: Optional[str] = base_sql
+    dt: DataType = base_dt
+    for step in steps:
         if isinstance(step, int):
             assert isinstance(dt, ArrayType)
             # get() (not [i]): NULL for out-of-range indices — ragged arrays
@@ -333,9 +334,14 @@ def _sql_for_path(schema: StructType, path: Path) -> tuple[str, DataType]:
             sql = f"{sql}[{_qstr(step)}]"
             dt = dt.valueType
         else:  # pragma: no cover - resolution never walks past a leaf
-            raise ValueError(f"cannot walk into {dt} at {step!r} in {path}")
+            raise ValueError(f"cannot walk into {dt} at {step!r} in {steps}")
     assert sql is not None
     return sql, dt
+
+
+def _sql_for_path(schema: StructType, path: Path) -> tuple[str, DataType]:
+    """Resolve a path of steps to a SQL expression string + its DataType."""
+    return _sql_from(schema, None, path)
 
 
 def _compat_json_array_sql(e: str) -> str:
@@ -348,7 +354,13 @@ def _compat_json_array_sql(e: str) -> str:
 
 
 def _value_sql(schema: StructType, path: Path, bug_compat: bool) -> str:
-    e, dt = _sql_for_path(schema, path)
+    return _value_sql_from(schema, None, path, bug_compat)
+
+
+def _value_sql_from(
+    base_dt: DataType, base_sql: Optional[str], steps, bug_compat: bool
+) -> str:
+    e, dt = _sql_from(base_dt, base_sql, steps)
     if isinstance(dt, NullType):
         return "''"
     if isinstance(dt, BooleanType):
@@ -368,6 +380,112 @@ def _value_sql(schema: StructType, path: Path, bug_compat: bool) -> str:
         return f"coalesce({ser}, '')"
     # Primitive leaf: numbers/strings via cast, NULL → ''.
     return f"coalesce(cast({e} AS STRING), '')"
+
+
+# ---------------------------------------------------------------------------
+# Single-JOB array-length discovery (schema-driven mode)
+#
+# The iterative per-nesting-level aggregation loop costs one Spark job per
+# array depth (~0.25 s each of pure job overhead on small batches; L scans
+# of the array columns at scale). For map-free schemas the full set of
+# concrete array instances is enumerable at PLAN TIME from the schema alone
+# — only the *sizes* are data — so one generated expression per row lists
+# every present ``(flattened_name, size)`` pair via nested ``transform``s
+# (indices become runtime name fragments), and a single explode+groupBy job
+# returns min/max per name for ALL nesting levels at once. Map key sets
+# can't join this pass (their child names need ``to_pascal_case`` of runtime
+# keys, which is Python), so schemas containing maps keep the per-level
+# loop. Spark JSON inference never produces MapType, so the common path is
+# the single job.
+# ---------------------------------------------------------------------------
+
+
+def _schema_has_map(dt: DataType) -> bool:
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_schema_has_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _schema_has_map(dt.elementType)
+    return False
+
+
+def _name_frags_sql(frags: list) -> str:
+    """Build a runtime name expression from ('lit', s) / ('sql', s)
+    fragments, merging adjacent literals."""
+    parts: list[str] = []
+    for kind, s in frags:
+        if kind == "lit" and parts and parts[-1][0] == "lit":
+            parts[-1] = ("lit", parts[-1][1] + s)
+        else:
+            parts.append((kind, s))
+    rendered = [_qstr(s) if kind == "lit" else s for kind, s in parts]
+    return rendered[0] if len(rendered) == 1 else f"concat({', '.join(rendered)})"
+
+
+def _probe_struct(
+    st: StructType, sql: Optional[str], frags: list, depth: int,
+    sep: str, max_depth: int, ctr: list,
+) -> list[str]:
+    """Entry-array expressions (each ``array<struct<k string, sz int>>``)
+    enumerating every concrete array-of-struct instance under ``st``."""
+    outs: list[str] = []
+    for f in st.fields:
+        seg = to_pascal_case(f.name)
+        child_frags = frags + [("lit", (sep if frags else "") + seg)]
+        child_sql = _qid(f.name) if sql is None else f"{sql}.{_qid(f.name)}"
+        dt = f.dataType
+        if isinstance(dt, StructType):
+            if depth + 1 <= max_depth:
+                outs += _probe_struct(
+                    dt, child_sql, child_frags, depth + 1, sep, max_depth, ctr
+                )
+        elif isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType):
+            name_expr = _name_frags_sql(child_frags)
+            outs.append(
+                f"array(named_struct('k', {name_expr}, 'sz', size({child_sql})))"
+            )
+            if depth + 1 <= max_depth:
+                v = f"__x{ctr[0]}"
+                iv = f"__i{ctr[0]}"
+                ctr[0] += 1
+                inner = _probe_struct(
+                    dt.elementType,
+                    v,
+                    child_frags + [("lit", sep), ("sql", f"cast({iv} AS STRING)")],
+                    depth + 1,
+                    sep,
+                    max_depth,
+                    ctr,
+                )
+                if inner:
+                    body = inner[0] if len(inner) == 1 else f"concat({', '.join(inner)})"
+                    outs.append(
+                        f"coalesce(flatten(transform({child_sql}, "
+                        f"({v}, {iv}) -> {body})), array())"
+                    )
+    return outs
+
+
+def _probe_lengths(df: DataFrame, sep: str, max_depth: int) -> dict[str, tuple[int, int]]:
+    """Run the single discovery job; returns flattened-name → (min, max)
+    observed size for every array-of-struct instance PRESENT in ≥1 row.
+    Names absent from the result are absent from the data (→ no columns)."""
+    entries = _probe_struct(df.schema, None, [], 0, sep, max_depth, [0])
+    if not entries:
+        return {}
+    src = entries[0] if len(entries) == 1 else f"concat({', '.join(entries)})"
+    rows = (
+        df.selectExpr(f"explode({src}) AS __e")
+        .groupBy("__e.k")
+        .agg(F.min("__e.sz").alias("mn"), F.max("__e.sz").alias("mx"))
+        .collect()
+    )
+    return {
+        r["k"]: (int(r["mn"] or 0), int(r["mx"]))
+        for r in rows
+        if r["mx"] is not None
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -430,46 +548,19 @@ _SCHEMA_PURE_PLAN_CACHE: dict[tuple, list[str]] = {}
 _PLAN_CACHE_MAX = 64
 
 
-def flatten_plan(
+def _plan_specs(
     df: DataFrame,
-    max_depth: int = 20,
-    sep: str = "_",
-    bug_compat: bool = False,
-    array_lengths: Optional[dict[str, tuple[int, int]]] = None,
-) -> list[str]:
-    """Build the list of aliased SQL expressions that flattens ``df``
-    (pass to ``df.selectExpr``).
-
-    Array index ranges / map key sets are discovered with one aggregation
-    per array-nesting level unless supplied via ``array_lengths``
-    (mapping flattened array path name → ``(min_size, max_size)``).
-
-    With ``bug_compat`` an extra single-pass existence check prunes
-    index-path columns no document actually populates — the reference's
-    column set is data-driven *per array index*, not schema-driven
-    (``ElasticSearch ETL.py:61-65``: only keys present in that element
-    instance produce columns). Limitation: an explicit JSON ``null`` under
-    an array index is indistinguishable from an absent key in Spark, so such
-    columns are pruned where the reference would keep them holding ``''``.
-
-    Plans that required NO data inspection (schema-pure: no arrays/maps, or
-    every range supplied via ``array_lengths``) are memoized per
-    (schema, options) — repeat flattens of a pinned-shape source skip the
-    whole generation pass (see :data:`_SCHEMA_PURE_PLAN_CACHE`).
-    """
+    max_depth: int,
+    sep: str,
+    bug_compat: bool,
+    array_lengths: Optional[dict[str, tuple[int, int]]],
+) -> tuple[list[tuple[str, Optional[Path]]], bool]:
+    """Shared front half of :func:`flatten_plan` / :func:`flatten_stages`:
+    discovery + schema walk + bug-compat path resolution. Returns the
+    name-sorted ``(column_name, value_path)`` specs (``None`` path =
+    constant ``''`` — the reference's parser-miss quirks) and whether any
+    data was inspected (False ⇒ the result is schema-pure and cacheable)."""
     schema = df.schema
-    cache_key = (
-        schema.json(),
-        max_depth,
-        sep,
-        bug_compat,
-        tuple(sorted((array_lengths or {}).items())),
-    )
-    cached = _SCHEMA_PURE_PLAN_CACHE.get(cache_key)
-    if cached is not None:
-        if bug_compat and any(REDUMP_UDF_NAME in s for s in cached):
-            _register_redump_udf(df.sparkSession)  # new session may lack it
-        return list(cached)
     queried_data = False
     lengths: dict[str, Optional[tuple[int, int]]] = dict(array_lengths or {})
     map_keys: dict[tuple, list[str]] = {}
@@ -484,10 +575,27 @@ def flatten_plan(
             sep=sep, max_depth=max_depth, lengths=lengths, map_keys=map_keys, data=shape
         )
         _walk_struct(schema, (), "", 0, ctx)
+    elif not _schema_has_map(schema):
+        # Schema-driven, map-free (the common case — JSON inference never
+        # yields MapType): ONE explode+groupBy job discovers every array
+        # instance's size range across all nesting levels (_probe_lengths);
+        # the walk loop then resolves purely from that dict.
+        probe: Optional[dict[str, tuple[int, int]]] = None
+        while True:
+            ctx = _Ctx(sep=sep, max_depth=max_depth, lengths=lengths, map_keys=map_keys)
+            _walk_struct(schema, (), "", 0, ctx)
+            if not ctx.pending_lengths:
+                break
+            if probe is None:
+                queried_data = True
+                probe = _probe_lengths(df, sep, max_depth)
+            for name in ctx.pending_lengths:
+                # absent from the probe ⇒ array never present ⇒ no columns
+                lengths[name] = probe.get(name)
     else:
-        # Schema-driven mode: array index ranges / map key sets via one
-        # aggregation per array-nesting level. Reads only the array/map
-        # columns (column pruning), so this is the scale path.
+        # Schemas with MapType: array index ranges / map key sets via one
+        # aggregation per array-nesting level (map keys need plan-time
+        # pascal-casing, so they can't join the single-pass probe).
         while True:
             ctx = _Ctx(sep=sep, max_depth=max_depth, lengths=lengths, map_keys=map_keys)
             _walk_struct(schema, (), "", 0, ctx)
@@ -533,7 +641,7 @@ def flatten_plan(
 
     tree = _build_tree(schema, (), map_keys) if bug_compat else None
 
-    select: list[str] = []
+    specs: list[tuple[str, Optional[Path]]] = []
     for name in sorted(by_name):
         path = by_name[name]
         if bug_compat:
@@ -541,13 +649,65 @@ def flatten_plan(
             resolved = (
                 _resolve_tree_path_to_schema_path(schema, steps) if steps is not None else None
             )
-            if resolved is None:
-                value = "''"  # quirks Q1/Q2: parser miss → default ''
-            else:
-                value = _value_sql(schema, resolved, True)
+            specs.append((name, resolved))  # None ⇒ quirks Q1/Q2 ⇒ ''
         else:
-            value = _value_sql(schema, path, False)
+            specs.append((name, path))
+    return specs, queried_data
+
+
+def _wide_select(
+    schema: StructType, specs: list[tuple[str, Optional[Path]]], bug_compat: bool
+) -> list[str]:
+    select = []
+    for name, path in specs:
+        value = "''" if path is None else _value_sql(schema, path, bug_compat)
         select.append(f"{value} AS {_qid(name)}")
+    return select
+
+
+def flatten_plan(
+    df: DataFrame,
+    max_depth: int = 20,
+    sep: str = "_",
+    bug_compat: bool = False,
+    array_lengths: Optional[dict[str, tuple[int, int]]] = None,
+) -> list[str]:
+    """Build the list of aliased SQL expressions that flattens ``df``
+    (pass to ``df.selectExpr``).
+
+    Array index ranges are discovered with ONE explode+groupBy job covering
+    all nesting levels (map-bearing schemas: one aggregation per nesting
+    level) unless supplied via ``array_lengths`` (mapping flattened array
+    path name → ``(min_size, max_size)``).
+
+    With ``bug_compat`` an extra single-pass existence check prunes
+    index-path columns no document actually populates — the reference's
+    column set is data-driven *per array index*, not schema-driven
+    (``ElasticSearch ETL.py:61-65``: only keys present in that element
+    instance produce columns). Limitation: an explicit JSON ``null`` under
+    an array index is indistinguishable from an absent key in Spark, so such
+    columns are pruned where the reference would keep them holding ``''``.
+
+    Plans that required NO data inspection (schema-pure: no arrays/maps, or
+    every range supplied via ``array_lengths``) are memoized per
+    (schema, options) — repeat flattens of a pinned-shape source skip the
+    whole generation pass (see :data:`_SCHEMA_PURE_PLAN_CACHE`).
+    """
+    schema = df.schema
+    cache_key = (
+        schema.json(),
+        max_depth,
+        sep,
+        bug_compat,
+        tuple(sorted((array_lengths or {}).items())),
+    )
+    cached = _SCHEMA_PURE_PLAN_CACHE.get(cache_key)
+    if cached is not None:
+        if bug_compat and any(REDUMP_UDF_NAME in s for s in cached):
+            _register_redump_udf(df.sparkSession)  # new session may lack it
+        return list(cached)
+    specs, queried_data = _plan_specs(df, max_depth, sep, bug_compat, array_lengths)
+    select = _wide_select(schema, specs, bug_compat)
     if bug_compat and any(REDUMP_UDF_NAME in s for s in select):
         # Register the re-spacing UDF only when some column actually calls
         # it (truncated-subtree / struct-cell serialization) — a bug-compat
@@ -558,6 +718,225 @@ def flatten_plan(
             _SCHEMA_PURE_PLAN_CACHE.pop(next(iter(_SCHEMA_PURE_PLAN_CACHE)))
         _SCHEMA_PURE_PLAN_CACHE[cache_key] = list(select)
     return select
+
+
+# ---------------------------------------------------------------------------
+# Staged (cascade-of-projects) execution form
+# ---------------------------------------------------------------------------
+
+#: Below this many output columns the wide single select is already cheap
+#: to plan/serialize, so :func:`flatten` skips anchor extraction.
+STAGED_MIN_COLUMNS = 512
+
+
+def _dtype_at(schema: StructType, path: Path) -> DataType:
+    dt: DataType = schema
+    for step in path:
+        if isinstance(step, int):
+            dt = dt.elementType
+        elif isinstance(dt, StructType):
+            dt = dt[step].dataType
+        else:
+            dt = dt.valueType
+    return dt
+
+
+def _build_stages(
+    schema: StructType,
+    specs: list[tuple[str, Optional[Path]]],
+    sep: str,
+    bug_compat: bool,
+) -> list[list[str]]:
+    """Cascade form of the wide select: every array-element subtree
+    (``get(arr, i)`` at any nesting depth) referenced by the output columns
+    is extracted ONCE into an anchor column in an intermediate project;
+    leaves then reference anchors with short field chains instead of
+    repeating the full ``get()`` path. The total expression tree shrinks
+    ~2-3× on array-heavy documents, which cuts optimizer walk, physical
+    planning, and task-closure serialization proportionally (the measured
+    per-action floor of the 5k-column golden plan drops ~1.0 s).
+
+    Catalyst keeps the cascade as-is: ``CollapseProject`` declines to merge
+    projects when it would duplicate non-cheap expressions used more than
+    once — exactly the anchor condition — and whole-stage codegen fuses the
+    stacked projects into one generated function, so the runtime data path
+    is identical to the wide select (byte-parity pinned in tests).
+    """
+    anchors: dict[Path, str] = {}
+    for _, path in specs:
+        if path is None:
+            continue
+        for k, s in enumerate(path):
+            if isinstance(s, int):
+                p = path[: k + 1]
+                if p not in anchors:
+                    anchors[p] = ""
+    if not anchors:
+        return [_wide_select(schema, specs, bug_compat)]
+    prefix = "__etl_pipeline_a"
+    while any(c.startswith(prefix) for c in schema.fieldNames()):
+        prefix += "x"
+    for i, p in enumerate(anchors):
+        anchors[p] = f"{prefix}{i}"
+
+    def parent_anchor(p: Path) -> Optional[Path]:
+        for j in range(len(p) - 2, -1, -1):
+            if isinstance(p[j], int):
+                return p[: j + 1]
+        return None
+
+    levels: dict[int, list[tuple[Path, str]]] = {}
+    for p, cn in anchors.items():
+        levels.setdefault(sum(1 for s in p if isinstance(s, int)), []).append((p, cn))
+    stages: list[list[str]] = []
+    for lvl in sorted(levels):
+        exprs = []
+        for p, cn in levels[lvl]:
+            par = parent_anchor(p)
+            if par is None:
+                e, _ = _sql_from(schema, None, p)
+            else:
+                e, _ = _sql_from(_dtype_at(schema, par), _qid(anchors[par]), p[len(par):])
+            exprs.append(f"{e} AS {cn}")
+        stages.append(exprs)
+
+    final: list[str] = []
+    for name, path in specs:
+        if path is None:
+            v = "''"
+        else:
+            par = None
+            for j in range(len(path) - 1, -1, -1):
+                if isinstance(path[j], int):
+                    par = path[: j + 1]
+                    break
+            if par is None:
+                v = _value_sql(schema, path, bug_compat)
+            else:
+                v = _value_sql_from(
+                    _dtype_at(schema, par), _qid(anchors[par]), path[len(par):], bug_compat
+                )
+        final.append(f"{v} AS {_qid(name)}")
+    return stages + [final]
+
+
+def flatten_stages(
+    df: DataFrame,
+    max_depth: int = 20,
+    sep: str = "_",
+    bug_compat: bool = False,
+    array_lengths: Optional[dict[str, tuple[int, int]]] = None,
+    min_columns: int = STAGED_MIN_COLUMNS,
+) -> list[list[str]]:
+    """Like :func:`flatten_plan` but returns the CASCADE form: a list of
+    selectExpr argument lists — apply with :func:`apply_flatten_stages`.
+    Plans under ``min_columns`` output columns (or with no array anchors)
+    come back as a single-stage cascade ``[wide_plan]``."""
+    schema = df.schema
+    cache_key = (
+        "stages",
+        min_columns,
+        schema.json(),
+        max_depth,
+        sep,
+        bug_compat,
+        tuple(sorted((array_lengths or {}).items())),
+    )
+    cached = _SCHEMA_PURE_PLAN_CACHE.get(cache_key)
+    if cached is not None:
+        if bug_compat and any(REDUMP_UDF_NAME in s for st in cached for s in st):
+            _register_redump_udf(df.sparkSession)
+        return [list(st) for st in cached]
+    specs, queried_data = _plan_specs(df, max_depth, sep, bug_compat, array_lengths)
+    if len(specs) >= min_columns:
+        stages = _build_stages(schema, specs, sep, bug_compat)
+    else:
+        stages = [_wide_select(schema, specs, bug_compat)]
+    if bug_compat and any(REDUMP_UDF_NAME in s for s in stages[-1]):
+        _register_redump_udf(df.sparkSession)
+    if not queried_data:
+        if len(_SCHEMA_PURE_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _SCHEMA_PURE_PLAN_CACHE.pop(next(iter(_SCHEMA_PURE_PLAN_CACHE)))
+        _SCHEMA_PURE_PLAN_CACHE[cache_key] = [list(st) for st in stages]
+    return stages
+
+
+def apply_flatten_stages(df: DataFrame, stages: list[list[str]]) -> DataFrame:
+    """Apply a :func:`flatten_stages` cascade: anchor stages extend the row
+    (``"*"`` passthrough), the last stage is the final projection."""
+    out = df
+    for st in stages[:-1]:
+        out = out.selectExpr("*", *st)
+    return out.selectExpr(*stages[-1])
+
+
+#: Optimizer rules measured ZERO-effective on flatten-shaped plans (pure
+#: projections of extract/cast/to_json over a scan — nothing to fold,
+#: propagate, or simplify) yet each walks the full expression tree every
+#: optimizer run: together ~0.35 s/action on the 5k-column golden plan
+#: (RuleExecutor metrics, r5). All are semantics-preserving simplifiers, so
+#: excluding them can never change results — only skip no-op tree walks.
+#: Deliberately NOT excluded: CollapseProject (the staged cascade relies on
+#: its cost model, and other queries need it), anything that can move
+#: predicates or prune scans, and RemoveRedundantAliases — object-
+#: serialization plans (ExternalRDD sources, e.g. ``spark.read.json(rdd)``)
+#: depend on it to keep ObjectType attrs out of plain ProjectExec
+#: (excluding it makes such plans fail with INTERNAL_ERROR at runtime).
+WIDE_FLATTEN_EXCLUDED_RULES = ",".join(
+    "org.apache.spark.sql.catalyst.optimizer." + r
+    for r in (
+        "FoldablePropagation",
+        "OptimizeCsvJsonExprs",
+        "ConstantFolding",
+        "ConstantPropagation",
+        "SimplifyConditionals",
+        "NullPropagation",
+        "SimplifyExtractValueOps",
+        "SimplifyCasts",
+        "MergeScalarSubqueries",
+        "OptimizeOneRowRelationSubquery",
+        "LikeSimplification",
+        "BooleanSimplification",
+        "OptimizeIn",
+        "PushFoldableIntoBranches",
+        "ReorderAssociativeOperator",
+        "SimplifyBinaryComparison",
+        "RemoveDispensableExpressions",
+    )
+)
+
+
+class wide_flatten_conf:
+    """Context manager scoping :data:`WIDE_FLATTEN_EXCLUDED_RULES` to a
+    block of wide-flatten actions, restoring the previous conf on exit::
+
+        with wide_flatten_conf(spark):
+            flatten(docs).write.parquet(out)
+
+    Use around batch/streaming jobs whose actions are dominated by a
+    generated many-thousand-column projection; leave normal query traffic
+    outside it (those queries *want* the folding rules)."""
+
+    _KEY = "spark.sql.optimizer.excludedRules"
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._prev: Optional[str] = None
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get(self._KEY, None)
+        merged = WIDE_FLATTEN_EXCLUDED_RULES
+        if self._prev:
+            merged = self._prev + "," + merged
+        self._spark.conf.set(self._KEY, merged)
+        return self._spark
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._prev)
+        return False
 
 
 def flatten_families(
@@ -658,14 +1037,29 @@ def flatten(
     sep: str = "_",
     bug_compat: bool = False,
     array_lengths: Optional[dict[str, tuple[int, int]]] = None,
+    staged: bool = True,
 ) -> DataFrame:
     """Flatten nested documents into one wide all-string row per document.
 
     Spark-first rebuild of the reference's ``json_to_tsv_in_memory``
     (``ElasticSearch ETL.py:154-195``): ES envelopes are unwrapped, then the
-    entire flatten executes as a single generated ``select``.
-    """
+    entire flatten executes as one generated projection. Wide plans
+    (≥ :data:`STAGED_MIN_COLUMNS` columns) run as an anchor cascade
+    (:func:`flatten_stages`) — same bytes out, ~1 s less per-action
+    plan/serde overhead on the 5k-column golden document; ``staged=False``
+    forces the single wide select."""
     df = unwrap_envelope(df)
+    if staged:
+        return apply_flatten_stages(
+            df,
+            flatten_stages(
+                df,
+                max_depth=max_depth,
+                sep=sep,
+                bug_compat=bug_compat,
+                array_lengths=array_lengths,
+            ),
+        )
     return df.selectExpr(
         *flatten_plan(
             df, max_depth=max_depth, sep=sep, bug_compat=bug_compat, array_lengths=array_lengths

@@ -48,7 +48,9 @@ def all_queries() -> dict[str, Query]:
     from etl_pipeline_for_elasticsearch_json_document_spark.queries import (  # noqa: F401
         llm,
         r4,
+        r5,
         relational,
     )
 
+    r5._late_bind_oracles()
     return dict(REGISTRY)

@@ -293,3 +293,141 @@ def test_write_families_concurrent_round_trip(spark, tmp_path):
     for k, w in want.items():
         g = got[int(k)]
         assert all(g[c] == w[c] for c in cols)
+
+
+# ---------------------------------------------------------------------------
+# r5: staged cascade, wide_flatten_conf, MapType schemas (iterative
+# discovery branch), single-job probe discovery
+# ---------------------------------------------------------------------------
+
+
+def test_staged_equals_wide(spark):
+    """flatten(staged=True) and the wide single select are the same bytes —
+    the cascade is an execution form, not a semantic variant."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import (
+        apply_flatten_stages,
+        flatten_stages,
+    )
+
+    docs = [
+        {"a": [{"b": [{"c": 1}, {"c": 2}], "d": True}, {"b": [], "d": False}],
+         "e": {"f": [1, 2]}, "g": None},
+        {"a": [{"b": [{"c": 3}]}], "e": {"f": []}, "g": "x"},
+    ]
+    cols_w, rows_w = spark_flatten_dicts(spark, docs, staged=False)
+    cols_s, rows_s = spark_flatten_dicts(spark, docs, staged=True)
+    assert cols_w == cols_s
+    key = lambda r: tuple(sorted((k, str(v)) for k, v in r.items()))
+    assert sorted(map(key, rows_w)) == sorted(map(key, rows_s))
+    # min_columns=0 forces anchor extraction even on this small plan; same rows
+    import json as _json
+
+    rdd = spark.sparkContext.parallelize([_json.dumps(d) for d in docs], 2)
+    df = spark.read.json(rdd)
+    stages = flatten_stages(df, min_columns=0)
+    assert len(stages) > 1  # anchors extracted into at least one pre-stage
+    staged = apply_flatten_stages(df, stages)
+    assert sorted(map(key, (r.asDict() for r in staged.collect()))) == sorted(
+        map(key, rows_w)
+    )
+
+
+def test_wide_flatten_conf_scoped_and_parity(spark):
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import (
+        wide_flatten_conf,
+    )
+
+    key = "spark.sql.optimizer.excludedRules"
+    before = spark.conf.get(key, None)
+    docs = [{"a": [{"b": 1.5, "c": [True, False]}], "d": "x_y"}]
+    _, rows_plain = spark_flatten_dicts(spark, docs)
+    with wide_flatten_conf(spark):
+        assert "ConstantFolding" in spark.conf.get(key)
+        _, rows_conf = spark_flatten_dicts(spark, docs)
+    assert spark.conf.get(key, None) == before  # restored
+    assert rows_plain == rows_conf
+
+
+def test_flatten_map_schema_iterative_branch(spark):
+    """Explicit MapType schemas (never produced by JSON inference) keep the
+    per-level discovery loop: map keys become PascalCase columns, arrays
+    under map values still get index ranges."""
+    from pyspark.sql import Row
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import flatten
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, attrs={"unitPrice": 9.5, "qty": 2.0}),
+            Row(id=2, attrs={"qty": 1.0, "colorCode": 3.0}),
+        ],
+        schema="id bigint, attrs map<string,double>",
+    )
+    out = flatten(df)
+    assert out.columns == ["Attrs_ColorCode", "Attrs_Qty", "Attrs_UnitPrice", "Id"]
+    rows = {r["Id"]: r.asDict() for r in out.collect()}
+    assert rows["1"]["Attrs_UnitPrice"] == "9.5"
+    assert rows["1"]["Attrs_ColorCode"] == ""  # absent key -> '' default
+    assert rows["2"]["Attrs_Qty"] == "1.0"
+
+
+def test_probe_discovery_matches_per_level_aggs(spark):
+    """The single-job probe must return exactly what the per-level
+    aggregation loop measured: per concrete instance name, (min over rows
+    where present, max), absent arrays omitted."""
+    import json as _json
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import (
+        _probe_lengths,
+    )
+
+    docs = [
+        {"a": [{"b": [{"x": 1}, {"x": 2}]}, {"b": []}], "solo": [{"y": 1}]},
+        {"a": [{"b": [{"x": 3}]}]},  # solo absent here; a shorter
+        {"a": []},
+    ]
+    rdd = spark.sparkContext.parallelize([_json.dumps(d) for d in docs], 2)
+    df = spark.read.json(rdd)
+    got = _probe_lengths(df, "_", 20)
+    assert got == {
+        "A": (0, 2),          # sizes 2, 1, 0
+        "A_0_B": (1, 2),      # present in docs 1-2 with sizes 2 and 1
+        "A_1_B": (0, 0),      # only doc 1 has a[1]; its b is empty
+        "Solo": (1, 1),       # absent rows don't contribute
+    }
+
+
+def test_dedup_close_default_star(spark):
+    """dedup_close (the production closer) must produce the same clusters
+    as the scored-pair path at threshold 0, and honor a custom id column."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.dedup import (
+        dedup_close,
+        minhash_lsh_pairs,
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "a completely different document about spark execution plans"),
+            (4, "a completely different document about spark execution plans"),
+            (5, "unique text that matches nothing else in this tiny corpus"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"], r["is_representative"])
+        for r in dedup_close(docs).collect()
+    }
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+    want = {
+        (r["doc_id"], r["cluster_id"], r["is_representative"])
+        for r in dedup_clusters(pairs, docs).collect()
+    }
+    assert got == want
+    renamed = docs.withColumnRenamed("doc_id", "uid")
+    got2 = {r["uid"]: r["cluster_id"] for r in dedup_close(renamed, id_col="uid").collect()}
+    assert got2 == {r[0]: r[1] for r in got}
