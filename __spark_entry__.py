@@ -58,6 +58,7 @@ _NEW_IN_R5: set[str] = {
     "q149_vocab_oov",
     "q150_matryoshka_recall",
     "q151_fd_audit",
+    "q152_dup_spans",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

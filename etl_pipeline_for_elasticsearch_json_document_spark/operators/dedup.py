@@ -796,3 +796,75 @@ def dedup_close(
         )
     out = dedup_clusters(pairs, keyed)
     return out if id_col == "doc_id" else out.withColumnRenamed("doc_id", id_col)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication spans — the distributed rendering of
+    suffix-array training-data dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): every maximal token span of a
+    document that also occurs elsewhere in the corpus (or again in the same
+    document) as a run of duplicated ``k``-token grams, with overlapping
+    gram hits merged into intervals.
+
+    Returns one row per merged span: ``(doc_id, span_start, span_end,
+    n_tokens)`` with token-index bounds (``span_end`` exclusive) and the
+    document's total token count — callers roll up ``span_end - span_start``
+    for the duplicated-token fraction, or slice the span text out for
+    removal.
+
+    How it scales (the suffix array itself is inherently sequential; this
+    is the shuffle-native equivalent):
+
+    1. map-only: explode each doc into ``(pos, xxhash64(k-gram))`` — 8-byte
+       keys, never gram text;
+    2. one partial-aggregated groupBy over gram hashes keeps hashes seen
+       more than once (the duplicated-gram set is a tiny fraction of all
+       grams in a real corpus);
+    3. a semi-join marks duplicated positions, then a per-doc window pass
+       (classic interval merge: running-max of span ends, new span when a
+       gram starts past it) coalesces runs. The window partitions by
+       doc_id — bounded by doc length, no global sort.
+
+    The gram width ``k`` is the dedup resolution (Lee et al. use 50 BPE
+    tokens); duplicated grams shorter than ``k`` are invisible by design.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    ).filter(F.size("ws") >= k)
+    grams = toks.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(ws) - {k}), "
+                f"i -> xxhash64(concat_ws(' ', slice(ws, i + 1, {k}))))"
+            )
+        ).alias("pos", "gh"),
+    )
+    dup_grams = grams.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    hits = grams.join(dup_grams.select("gh"), "gh").select(
+        "doc_id",
+        "n_tokens",
+        F.col("pos").alias("s"),
+        (F.col("pos") + k).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    sid = flagged.withColumn(
+        "span_id", F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sid.groupBy("doc_id", "n_tokens", "span_id")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select("doc_id", "span_start", "span_end", "n_tokens")
+    )

@@ -660,6 +660,88 @@ def q151(spark, sf_dir):
     return fd1.unionByName(fd2).unionByName(fd3)
 
 
+# ---------------------------------------------------------------------------
+# q152: exact-substring duplication spans (suffix-array dedup, shuffle-native)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q152_dup_spans",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, source, len(ws) AS n, pos,
+         array_to_string(ws[pos + 1:pos + 8], ' ') AS gram
+  FROM (SELECT doc_id, source, ws, unnest(range(0, len(ws) - 7)) AS pos
+        FROM toks WHERE len(ws) >= 8) t),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+hits AS (
+  SELECT doc_id, source, n, pos AS s, pos + 8 AS e
+  FROM g WHERE gram IN (SELECT gram FROM dupg)),
+m AS (
+  SELECT doc_id, source, n, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM hits),
+sid AS (
+  SELECT doc_id, source, n, s, e,
+         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM m),
+merged AS (
+  SELECT doc_id, source, n, min(s) AS ms, max(e) AS me
+  FROM sid GROUP BY doc_id, source, n, span_id),
+perdoc AS (
+  SELECT doc_id, source, n, count(*) AS n_spans, sum(me - ms) AS covered
+  FROM merged GROUP BY doc_id, source, n)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_with_dups,
+       CAST(sum(n_spans) AS BIGINT) AS total_spans,
+       CAST(sum(covered) AS BIGINT) AS covered_tokens,
+       round(sum(covered) / CAST(sum(n) AS DOUBLE), 6) AS dup_token_frac
+FROM perdoc GROUP BY source
+""",
+    doc="Exact-substring duplication audit (suffix-array dedup a la Lee et "
+    "al., shuffle-native): operators/dedup.duplicated_spans finds every "
+    "maximal token span whose 8-gram runs also occur elsewhere in the "
+    "corpus, merging overlapping gram hits into intervals via a per-doc "
+    "running-max window; this query rolls the spans up per source "
+    "(affected docs, merged spans, covered tokens, duplicated-token "
+    "fraction). Complements q100 (membership decontamination: WHICH docs "
+    "contain test n-grams) and q131 (sentence-level boilerplate) — this "
+    "localizes WHERE the duplication lives so the spans can be cut out "
+    "rather than the doc dropped. Determinism: integer token indices "
+    "end-to-end, one final division. Scale: grams shuffle as 8-byte "
+    "xxhash64 keys (the oracle groups the gram strings — identical modulo "
+    "2^-64 collisions), the duplicated-gram set after the HAVING filter "
+    "is a small fraction of the corpus, and the interval merge windows "
+    "per doc_id — bounded by doc length, no global sort.",
+)
+def q152(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.dedup import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicated_spans(d, "doc_id", "text", k=8)
+    perdoc = (
+        spans.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("doc_id", "source", "n_tokens")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias("covered"),
+        )
+    )
+    return perdoc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("docs_with_dups"),
+        F.sum("n_spans").cast("bigint").alias("total_spans"),
+        F.sum("covered").cast("bigint").alias("covered_tokens"),
+        F.round(F.sum("covered") / F.sum("n_tokens").cast("double"), 6).alias(
+            "dup_token_frac"
+        ),
+    )
+
+
 def _late_bind_oracles() -> None:
     """q150's oracle nests q40's (registered in llm.py); bind after all
     modules import."""

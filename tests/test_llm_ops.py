@@ -609,3 +609,45 @@ def test_prefix_filter_jaccard_property_random_corpora(spark):
             ).collect()
         }
         assert pf == naive, f"trial {trial} t={t}: {pf ^ naive}"
+
+
+def test_duplicated_spans_interval_merge(spark):
+    """Pins duplicated_spans semantics on a hand-built corpus (k=3):
+    overlapping duplicated-gram runs merge into one interval, adjacent
+    intervals merge, isolated duplicated grams become k-wide spans, and
+    docs with no duplicated gram produce no rows."""
+    docs = spark.createDataFrame(
+        [
+            # doc 0 and 1 share the 5-token run "a b c d e" -> grams at
+            # pos 0,1,2 overlap -> ONE merged span [0, 5) in each.
+            (0, "a b c d e x y q r s"),
+            (1, "a b c d e m n o p q"),
+            # doc 2 repeats "u v w" twice within itself at pos 0 and 4
+            # (separated by one token) -> two spans [0,3) and [4,7).
+            (2, "u v w z u v w t1 t2 t3"),
+            # doc 3: nothing shared, no rows.
+            (3, "f1 f2 f3 f4 f5 f6 f7 f8"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in (
+            dedup.duplicated_spans(docs, "doc_id", "text", k=3)
+            .groupBy("doc_id", "n_tokens")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("span_start", "span_end"))
+                ).alias("spans")
+            )
+            .collect()
+        )
+    }
+    assert set(out) == {0, 1, 2}
+    assert [(s["span_start"], s["span_end"]) for s in out[0]["spans"]] == [(0, 5)]
+    assert [(s["span_start"], s["span_end"]) for s in out[1]["spans"]] == [(0, 5)]
+    assert [(s["span_start"], s["span_end"]) for s in out[2]["spans"]] == [
+        (0, 3),
+        (4, 7),
+    ]
+    assert out[2]["n_tokens"] == 10
