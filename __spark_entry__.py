@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round in dict order, so _ordered() emits (1) queries never yet driver-
 # checked, (2) queries first registered this round, (3) already-driver-
 # verified names ordered STALEST FIRST (by the round whose
-# CORRECTNESS_r{N}.json last proved them green) — with all 141 registered
+# CORRECTNESS_r{N}.json last proved them green) — with all 150 registered
 # queries cumulatively verified, the ~50-slot budget now deliberately
 # re-verifies the least-recently-checked names to catch regressions.
 # ALL of (1) and (2) are locally green against the same DuckDB oracles at the
@@ -47,39 +47,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json, record its green names as last-verified in round N
 # and empty the new-this-round set.
 
-#: Queries first registered in round 5 — ordered after block (1). All are
+#: Queries first registered in round 6 — ordered after block (1). All are
 #: locally oracle-green at sf0.01 AND sf0.001 (scripts/compare_oracle.py).
-_NEW_IN_R5: set[str] = {
-    "q144_char_entropy",
-    "q145_winsorized_stats",
-    "q146_token_jsd",
-    "q147_kmv_sketch_overlap",
-    "q148_weighted_reservoir",
-    "q149_vocab_oov",
-    "q150_matryoshka_recall",
-    "q151_fd_audit",
-    "q152_dup_spans",
-}
+_NEW_IN_R6: set[str] = set()
 
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (stalest — re-verified first)
-    "q54_bigram_counts": 1, "q55_language_id": 1, "q57_char_ngram_profile": 1,
-    "q58_pii_redaction": 1, "q59_train_split": 1, "q60_multimodal_meta": 1,
+    "q54_bigram_counts": 5, "q55_language_id": 5, "q57_char_ngram_profile": 5,
+    "q58_pii_redaction": 5, "q59_train_split": 5, "q60_multimodal_meta": 5,
     # round 2
-    "q10_window_topk": 2, "q11_window_running": 2, "q12_rank_dense": 2,
-    "q13_sort_limit": 2, "q14_union_all": 2, "q15_intersect": 2,
-    "q16_except": 2, "q17_semi_join": 2, "q18_anti_join": 2,
-    "q19_outer_join_coalesce": 2, "q20_string_funcs": 2, "q21_date_funcs": 2,
-    "q22_case_when": 2, "q23_json_extract": 2, "q24_array_funcs": 2,
-    "q25_keyset_page": 2, "q26_asof_join": 2, "q27_range_join": 2,
-    "q28_exists_subquery_agg": 2, "q29_tumbling_window": 2,
-    "q30_dedup_exact": 2, "q31_jaccard_pairs": 2, "q32_minhash_lsh": 2,
-    "q33_simhash_pairs": 2, "q34_embedding_neardup": 2,
-    "q36_repetition_metrics": 2, "q37_shingle_jaccard": 2,
-    "q40_knn_bruteforce": 2, "q41_knn_lsh": 2, "q42_knn_ivf": 2,
-    "q43_knn_pq": 2, "q44_label_centroids": 2, "q45_ann_recall": 2,
-    "q48_pagerank": 2, "q50_token_stats": 2, "q51_quality_metrics": 2,
+    "q10_window_topk": 5, "q11_window_running": 5, "q12_rank_dense": 5,
+    "q13_sort_limit": 5, "q14_union_all": 5, "q15_intersect": 5,
+    "q16_except": 5, "q17_semi_join": 5, "q18_anti_join": 5,
+    "q19_outer_join_coalesce": 5, "q20_string_funcs": 5, "q21_date_funcs": 5,
+    "q22_case_when": 5, "q23_json_extract": 5, "q24_array_funcs": 5,
+    "q25_keyset_page": 5, "q26_asof_join": 5, "q27_range_join": 5,
+    "q28_exists_subquery_agg": 5, "q29_tumbling_window": 5,
+    "q30_dedup_exact": 5, "q31_jaccard_pairs": 5, "q32_minhash_lsh": 5,
+    "q33_simhash_pairs": 5, "q34_embedding_neardup": 5,
+    "q36_repetition_metrics": 5, "q37_shingle_jaccard": 5,
+    "q40_knn_bruteforce": 5, "q41_knn_lsh": 5, "q42_knn_ivf": 5,
+    "q43_knn_pq": 5, "q44_label_centroids": 5, "q45_ann_recall": 5,
+    "q48_pagerank": 5, "q50_token_stats": 5, "q51_quality_metrics": 2,
     "q52_lang_facet": 2, "q53_fingerprint_groups": 2,
     # round 3
     "q101_domain_quota": 3, "q102_sequence_packing": 3,
@@ -123,13 +113,18 @@ _LAST_VERIFIED: dict[str, int] = {
     "q140_heavy_hitters": 4, "q141_prefix_filter_jaccard": 4,
     "q142_asof_join_forward": 4, "q143_event_transitions": 4,
     "q67_hll_sketch_distinct": 4, "q87_approx_count_distinct": 4,
+    # round 5
+    "q144_char_entropy": 5, "q145_winsorized_stats": 5, "q146_token_jsd": 5,
+    "q147_kmv_sketch_overlap": 5, "q148_weighted_reservoir": 5,
+    "q149_vocab_oov": 5, "q150_matryoshka_recall": 5, "q151_fd_audit": 5,
+    "q152_dup_spans": 5,
 }
 
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
     never_checked = [
-        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R5
+        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R6
     ]
     verified = sorted(
         (n for n in names if n in _LAST_VERIFIED),
@@ -137,7 +132,7 @@ def _ordered() -> list[str]:
     )
     return (
         never_checked
-        + [n for n in names if n in _NEW_IN_R5]
+        + [n for n in names if n in _NEW_IN_R6]
         + verified
     )
 

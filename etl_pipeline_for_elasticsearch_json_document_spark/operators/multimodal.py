@@ -9,12 +9,15 @@ REAL image decode runs JVM-side with zero Python installs:
 production path for image corpora laid out as files (the usual 100 TB
 shape: a manifest + image files on object storage).
 
-For payloads embedded as a ``binary`` column, the plumbing is
-``mapInPandas`` with Arrow-batched transfer, explicit output schema,
-partition-preserving map-only execution: ``decode_images`` uses a
-clearly-marked deterministic fake (keeps oracles exact),
-``decode_images_real`` delegates to PIL when installed and raises
-``NotImplementedError`` at the exact plug-in point otherwise.
+For payloads embedded as a ``binary`` column there is ALSO a real
+no-install route: :func:`decode_embedded_images` stages the bytes to
+files (executor-side, map-only) and reads them back through the same JVM
+``image`` source — parity with :func:`decode_image_files` pinned in
+tests on stdlib-crafted PNGs. The ``mapInPandas`` plumbing remains for
+codec libraries: ``decode_images`` uses a clearly-marked deterministic
+fake (keeps oracles exact), ``decode_images_real`` delegates to PIL when
+installed and raises ``NotImplementedError`` at the exact plug-in point
+otherwise (fallback-only now that the staging route exists).
 
 At 100 TB: binary payloads ride in parquet alongside metadata; decode is
 map-only (no shuffle), so throughput scales linearly with executors, and
@@ -140,6 +143,54 @@ def decode_images_real(df: DataFrame, payload_col: str, id_col: str = "doc_id") 
             yield out
 
     return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+def decode_embedded_images(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str = "doc_id",
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """REAL decode for payloads already embedded in a ``binary`` column,
+    with NO Python codec: stage each payload to a file (executor-side,
+    map-only — ids become filenames), then decode the staged directory
+    through the same JVM ``image`` source as :func:`decode_image_files`.
+    Output matches :func:`decode_images_real`: (doc_id, width, height,
+    n_pixels); undecodable payloads are dropped inside the scan
+    (``dropInvalid`` — crawled-corpus default).
+
+    ``stage_dir`` must be visible to both writers and the subsequent scan
+    — on a real cluster that means shared storage (HDFS/NFS/object-store
+    mount); on local mode any temp dir works. The staging write is one
+    extra sequential read+write of the payload bytes — the price of
+    keeping the decoder JVM-side with zero installs; when PIL/libvips IS
+    available, :func:`decode_images_real` skips the round trip.
+    """
+    import os
+    import tempfile
+
+    spark = df.sparkSession
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix="etl_pipeline_img_stage_")
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(stage_dir, exist_ok=True)
+        n = 0
+        for pdf in batches:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                with open(os.path.join(stage_dir, f"{int(doc_id)}.img"), "wb") as f:
+                    f.write(bytes(payload))
+            n += len(pdf)
+        yield pd.DataFrame({"staged": [n]})
+
+    # materialize the staging pass (map-only; count forces every partition)
+    df.select(id_col, payload_col).mapInPandas(stage, "staged long").count()
+
+    return decode_image_files(spark, stage_dir, drop_invalid=True).select(
+        F.regexp_extract(F.col("origin"), r"(\d+)\.img$", 1).cast("long").alias("doc_id"),
+        "width",
+        "height",
+        "n_pixels",
+    )
 
 
 def audio_chunk_plan(

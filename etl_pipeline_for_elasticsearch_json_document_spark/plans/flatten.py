@@ -185,7 +185,11 @@ def _dispatch(dt: DataType, path: Path, name: str, depth: int, ctx: _Ctx) -> Non
                 return  # array never present in the data → no columns
             min_sz, max_sz = info
         elif name not in ctx.lengths:
-            ctx.pending_lengths[name] = path
+            # setdefault = first-wins: when two schema paths collide to one
+            # flattened name, the column set keeps the first path, so the
+            # first path's size range must drive how many index columns the
+            # collided name gets (ADVICE r5).
+            ctx.pending_lengths.setdefault(name, path)
             return
         else:
             info = ctx.lengths[name]
@@ -423,15 +427,30 @@ def _name_frags_sql(frags: list) -> str:
     return rendered[0] if len(rendered) == 1 else f"concat({', '.join(rendered)})"
 
 
+#: Probe-key delimiter: joins RAW schema path steps (field names + runtime
+#: indices), NOT flattened display names — two schema paths whose
+#: pascal-cased names collide (first-wins in the column set) must keep
+#: SEPARATE probe entries, or the groupBy would merge their size ranges and
+#: the collided name could gain index columns the per-level planner (and the
+#: reference's first-wins column set) never emits (ADVICE r5).
+_PROBE_SEP = "\x1f"
+
+
+def _probe_key(path: Path) -> str:
+    """Raw-path probe key matching ``_probe_struct``'s runtime ``k``."""
+    return _PROBE_SEP.join(str(s) for s in path)
+
+
 def _probe_struct(
     st: StructType, sql: Optional[str], frags: list, depth: int,
     sep: str, max_depth: int, ctr: list,
 ) -> list[str]:
     """Entry-array expressions (each ``array<struct<k string, sz int>>``)
-    enumerating every concrete array-of-struct instance under ``st``."""
+    enumerating every concrete array-of-struct instance under ``st``.
+    ``k`` is the raw schema path (see ``_probe_key``), not the display name."""
     outs: list[str] = []
     for f in st.fields:
-        seg = to_pascal_case(f.name)
+        seg = f.name
         child_frags = frags + [("lit", (sep if frags else "") + seg)]
         child_sql = _qid(f.name) if sql is None else f"{sql}.{_qid(f.name)}"
         dt = f.dataType
@@ -467,11 +486,12 @@ def _probe_struct(
     return outs
 
 
-def _probe_lengths(df: DataFrame, sep: str, max_depth: int) -> dict[str, tuple[int, int]]:
-    """Run the single discovery job; returns flattened-name → (min, max)
-    observed size for every array-of-struct instance PRESENT in ≥1 row.
-    Names absent from the result are absent from the data (→ no columns)."""
-    entries = _probe_struct(df.schema, None, [], 0, sep, max_depth, [0])
+def _probe_lengths(df: DataFrame, max_depth: int) -> dict[str, tuple[int, int]]:
+    """Run the single discovery job; returns raw-path probe key (see
+    ``_probe_key``) → (min, max) observed size for every array-of-struct
+    instance PRESENT in ≥1 row. Keys absent from the result are absent from
+    the data (→ no columns)."""
+    entries = _probe_struct(df.schema, None, [], 0, _PROBE_SEP, max_depth, [0])
     if not entries:
         return {}
     src = entries[0] if len(entries) == 1 else f"concat({', '.join(entries)})"
@@ -588,10 +608,12 @@ def _plan_specs(
                 break
             if probe is None:
                 queried_data = True
-                probe = _probe_lengths(df, sep, max_depth)
-            for name in ctx.pending_lengths:
-                # absent from the probe ⇒ array never present ⇒ no columns
-                lengths[name] = probe.get(name)
+                probe = _probe_lengths(df, max_depth)
+            for name, path in ctx.pending_lengths.items():
+                # absent from the probe ⇒ array never present ⇒ no columns;
+                # looked up by RAW schema path so name-colliding paths keep
+                # their own size ranges (first-wins handled downstream)
+                lengths[name] = probe.get(_probe_key(path))
     else:
         # Schemas with MapType: array index ranges / map key sets via one
         # aggregation per array-nesting level (map keys need plan-time

@@ -44,9 +44,12 @@ pd AS (
   FROM cnt GROUP BY doc_id, lang),
 ent AS (
   SELECT doc_id, lang,
+         -- + 0.0 normalizes -0.0: a one-distinct-char doc folds to -(1)*log2(1)
+         -- = -0.0 here (list_reduce has no seed) but +0.0 in Spark's
+         -- 0.0-seeded aggregate(); the hash compare is bit-sensitive.
          round(list_reduce(
              list_transform(ns, x -> -(x / nt) * log2(x / nt)),
-             (a, b) -> a + b), 6) AS entropy
+             (a, b) -> a + b) + 0.0, 6) AS entropy
   FROM pd)
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -226,11 +229,13 @@ def q147(spark, sf_dir):
         "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
     )
     w = Window.partitionBy("event_type").orderBy("h")
+    # No .cache(): the sketch is K rows per type and rebuilt cheaply; caching
+    # here leaked blocks into executor storage for the rest of the session
+    # every time the query gate ran (ADVICE r5).
     kmv = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KMV_K)
         .select("event_type", "h")
-        .cache()
     )
     types = du.select("event_type").distinct()
     pairs = (
@@ -439,7 +444,10 @@ folded AS (
          list(term ORDER BY w) AS ts
   FROM terms GROUP BY lang_a, lang_b)
 SELECT lang_a, lang_b, n_shared_tokens,
-       round(list_reduce(ts, (a, b) -> a + b), 6) AS jsd
+       -- + 0.0 guards the seedless list_reduce against -0.0 like q144's
+       -- entropy fold (benign today — JSD terms are non-negative — but the
+       -- hash compare is bit-sensitive, so normalize at the source).
+       round(list_reduce(ts, (a, b) -> a + b) + 0.0, 6) AS jsd
 FROM folded
 """,
     doc="Jensen-Shannon divergence between every language pair's token "

@@ -71,20 +71,20 @@ class EsBulkWriter(DataSourceWriter):
         return _Staged(staged_path=staged, final_path=os.path.join(self.path, name), rows=n)
 
     def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        # A zero-partition DataFrame runs no write() tasks, so the directory
+        # may not exist yet when commit() fires — overwrite of an empty frame
+        # must still clear stale files and drop _SUCCESS, not crash.
+        os.makedirs(self.path, exist_ok=True)
         keep = {m.final_path for m in messages if m is not None}
         if self.overwrite:
             # mode("overwrite") contract: committed part files from prior
             # writes must not survive — an ingest fleet replaying the dir
             # would ship stale bulk payloads. Staged files (this job's or a
-            # concurrent abort's) are left for their owner's commit/abort.
+            # concurrent abort's) carry a _staging_ prefix, so the part-
+            # prefix test already excludes them.
             for f in os.listdir(self.path):
                 p = os.path.join(self.path, f)
-                if (
-                    f.startswith("part-")
-                    and f.endswith(".ndjson")
-                    and p not in keep
-                    and not f.startswith("_staging_")
-                ):
+                if f.startswith("part-") and f.endswith(".ndjson") and p not in keep:
                     os.remove(p)
         for m in messages:
             if m is not None:

@@ -51,6 +51,30 @@ class HttpEsClient:
         returns (``hits.hits[*]._source``), so callers are tier-agnostic."""
         return self._post_json(f"/{index}/_search", body)
 
+    def search_pit(self, body: dict[str, Any]) -> dict[str, Any]:
+        """``POST /_search`` (no index in the path — the PIT id in the body
+        already pins the index + snapshot, and real ES rejects an index
+        path combined with a ``pit`` clause)."""
+        return self._post_json("/_search", body)
+
+    def open_pit(self, index: str, keep_alive: str = "2m") -> str:
+        """``POST /{index}/_pit?keep_alive=...`` → the point-in-time id.
+        A PIT freezes the visible doc set, which is what makes SLICED reads
+        of a live index consistent: real ES only honors ``slice`` on a PIT
+        or scroll context, and concurrent writes during a sliced read would
+        otherwise tear across pages."""
+        return self._request(
+            "POST", f"/{index}/_pit?keep_alive={keep_alive}", None, "application/json"
+        )["id"]
+
+    def close_pit(self, pit_id: str) -> None:
+        """``DELETE /_pit`` — free the snapshot's server-side resources
+        (PITs also auto-expire after ``keep_alive``)."""
+        self._request(
+            "DELETE", "/_pit", json.dumps({"id": pit_id}).encode("utf-8"),
+            "application/json",
+        )
+
     def count(self, index: str, body: Optional[dict[str, Any]] = None) -> dict[str, Any]:
         """``POST /{index}/_count`` → ``{"count": N}`` (reference's
         total-documents pre-check)."""

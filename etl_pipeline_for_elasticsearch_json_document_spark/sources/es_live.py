@@ -27,13 +27,25 @@ caps out::
 reader's column; byte-parity of the two paths is pinned in
 tests/test_es_live.py.
 
-Operational notes for a real cluster: ES requires ``slice`` on a
-point-in-time or scroll context for strict snapshot isolation — the
-request body here carries the identical shape, so wiring a PIT id in is
-one extra option; the loopback fake accepts ``slice`` on plain
-``_search``. Each slice's ``search_after`` cursor restarts independently,
-so a failed/speculated task re-reads only its own slice (idempotent:
-hits are keyed by ``_id``).
+Snapshot isolation: ES only honors ``slice`` on a point-in-time (or
+scroll) context — a sliced read of a live, actively-written index could
+otherwise tear across pages. So for ``slices > 1`` this source OPENS A
+PIT on the driver in ``partitions()`` (one ``POST /{index}/_pit``), ships
+the id inside every ``_SlicePartition``, and each executor attaches
+``{"pit": {"id": ...}}`` to its requests (sent to ``POST /_search`` —
+body-only, as real ES requires with a PIT). All slices therefore read ONE
+frozen doc set; concurrent ``_bulk`` writes during the scan are invisible
+(pinned in tests/test_es_live.py against the fake cluster's PIT
+semantics). The PIT expires server-side after ``pit_keep_alive``
+(default ``5m``; raise it for long scans — there is no reader-close hook
+in the DataSource API, so expiry is the cleanup path). A caller may also
+pass a pre-opened ``pit_id`` to coordinate several reads on one snapshot.
+A single-slice read without PIT keeps the reference's plain live-index
+``search_after`` semantics (``ElasticSearch ETL.py:220-267``).
+
+Each slice's ``search_after`` cursor restarts independently, so a
+failed/speculated task re-reads only its own slice (idempotent: hits are
+keyed by ``_id``; under a PIT the retry is also byte-identical).
 """
 
 from __future__ import annotations
@@ -52,6 +64,7 @@ SCHEMA = "_index string, _id string, sort_json string, source_json string"
 class _SlicePartition(InputPartition):
     slice_id: int
     n_slices: int
+    pit_id: str | None
 
 
 class EsLiveReader(DataSourceReader):
@@ -72,10 +85,25 @@ class EsLiveReader(DataSourceReader):
             if s.strip()
         ]
         self.query = json.loads(options.get("query", '{"match_all": {}}'))
+        #: pre-opened PIT id (coordinate several reads on one snapshot) —
+        #: when absent and slices > 1, partitions() opens one itself
+        self.pit_id = options.get("pit_id")
+        self.pit_keep_alive = options.get("pit_keep_alive", "5m")
+        #: "true" forces a PIT even for a single-slice read (snapshot-
+        #: consistent sequential scan); "false" + slices>1 is rejected by
+        #: the protocol itself, so there is no unsafe combination to offer
+        self.force_pit = options.get("pit", "").lower() == "true"
 
     def partitions(self):
-        # one Spark task per ES slice — the unit of read parallelism
-        return [_SlicePartition(i, self.n_slices) for i in range(self.n_slices)]
+        # one Spark task per ES slice — the unit of read parallelism.
+        # slices > 1 REQUIRES a snapshot context (real ES rejects slice on
+        # a plain _search): open the PIT here, once, driver-side.
+        pit_id = self.pit_id
+        if pit_id is None and (self.n_slices > 1 or self.force_pit):
+            pit_id = HttpEsClient(self.url).open_pit(
+                self.index, keep_alive=self.pit_keep_alive
+            )
+        return [_SlicePartition(i, self.n_slices, pit_id) for i in range(self.n_slices)]
 
     def read(self, partition: _SlicePartition):
         # executor-side: an independent search_after loop over ONE slice.
@@ -88,12 +116,18 @@ class EsLiveReader(DataSourceReader):
         }
         if partition.n_slices > 1:
             base["slice"] = {"id": partition.slice_id, "max": partition.n_slices}
+        if partition.pit_id is not None:
+            base["pit"] = {"id": partition.pit_id, "keep_alive": self.pit_keep_alive}
         after = None
         while True:
             body = dict(base)
             if after is not None:
                 body["search_after"] = after
-            hits = client.search(index=self.index, body=body)["hits"]["hits"]
+            if partition.pit_id is not None:
+                # PIT searches are body-only: the id pins index + snapshot
+                hits = client.search_pit(body)["hits"]["hits"]
+            else:
+                hits = client.search(index=self.index, body=body)["hits"]["hits"]
             if not hits:
                 return
             for hit in hits:

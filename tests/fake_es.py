@@ -17,6 +17,12 @@ with no Elasticsearch install. Semantics mirrored from the real API:
   document ``_id`` (real ES slices scrolls/PITs the same way): the N
   slices are disjoint and their union is the full index, so N clients can
   page concurrently — the server side of the distributed ``es_live`` read
+- ``POST /{index}/_pit`` opens a point-in-time: the doc set is FROZEN at
+  open, searches carrying ``"pit": {"id": ...}`` go to ``POST /_search``
+  (no index path — mirroring real ES, which rejects the combination) and
+  read the snapshot; ``DELETE /_pit`` closes it. As in real ES, ``slice``
+  is REJECTED on a plain ``_search`` without a PIT context — a sliced
+  read of a live index can tear across pages, so the protocol refuses it
 """
 
 from __future__ import annotations
@@ -36,6 +42,9 @@ class _State:
         #: when > 0, that many _bulk requests are rejected with 429 before
         #: accepting — simulates a throttling cluster for retry tests
         self.throttle_next_bulks = 0
+        #: pit id → (index name, frozen copy of its docs at PIT-open time)
+        self.pits: dict[str, tuple[str, dict[str, dict]]] = {}
+        self.pit_seq = 0
 
 
 def _slice_of(doc_id: str, n: int) -> int:
@@ -76,8 +85,22 @@ class _Handler(BaseHTTPRequestHandler):
         return self.rfile.read(int(self.headers.get("Content-Length", 0)))
 
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
-        parts = [p for p in self.path.split("/") if p]
-        if parts and parts[-1] == "_bulk":
+        path = self.path.split("?", 1)[0]
+        parts = [p for p in path.split("/") if p]
+        if len(parts) == 2 and parts[1] == "_pit":
+            with self.state.lock:
+                self.state.pit_seq += 1
+                pit_id = f"pit-{self.state.pit_seq}"
+                # freeze: deep-enough copy (docs are never mutated in place)
+                self.state.pits[pit_id] = (
+                    parts[0],
+                    dict(self.state.indices.get(parts[0], {})),
+                )
+            self._reply({"id": pit_id})
+        elif len(parts) == 1 and parts[0] == "_search":
+            # body-only search: the PIT id pins index + snapshot
+            self._search(None, json.loads(self._body() or b"{}"))
+        elif parts and parts[-1] == "_bulk":
             with self.state.lock:
                 throttled = self.state.throttle_next_bulks > 0
                 if throttled:
@@ -119,13 +142,46 @@ class _Handler(BaseHTTPRequestHandler):
                 i += 2
         self._reply({"errors": False, "items": items})
 
-    def _search(self, index: str, body: dict[str, Any]) -> None:
+    def do_DELETE(self) -> None:  # noqa: N802 (http.server API)
+        path = self.path.split("?", 1)[0]
+        parts = [p for p in path.split("/") if p]
+        if parts == ["_pit"]:
+            pit_id = json.loads(self._body() or b"{}").get("id")
+            with self.state.lock:
+                existed = self.state.pits.pop(pit_id, None) is not None
+            self._reply({"succeeded": existed, "num_freed": int(existed)})
+        else:
+            self._reply({"error": f"unsupported path {self.path}"}, status=400)
+
+    def _search(self, index: str | None, body: dict[str, Any]) -> None:
         spec = _sort_spec(body)
         size = int(body.get("size", 10))
         after = body.get("search_after")
         sl = body.get("slice")
-        with self.state.lock:
-            docs = list(self.state.indices.get(index, {}).items())
+        pit = body.get("pit")
+        if pit is not None and index is not None:
+            # real ES: "[indices] cannot be used with point in time"
+            self._reply({"error": "pit cannot be combined with an index path"}, status=400)
+            return
+        if pit is not None:
+            with self.state.lock:
+                entry = self.state.pits.get(pit.get("id"))
+            if entry is None:
+                self._reply({"error": "pit not found or expired"}, status=404)
+                return
+            index, snapshot = entry
+            docs = list(snapshot.items())
+        else:
+            if sl is not None:
+                # real ES: slice is only valid on a PIT or scroll context —
+                # a sliced read of a live index can tear across pages
+                self._reply(
+                    {"error": "slice requires a point-in-time or scroll context"},
+                    status=400,
+                )
+                return
+            with self.state.lock:
+                docs = list(self.state.indices.get(index, {}).items())
         if sl is not None:
             sl_id, sl_max = int(sl["id"]), int(sl["max"])
             if not (0 <= sl_id < sl_max):

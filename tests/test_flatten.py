@@ -373,11 +373,12 @@ def test_flatten_map_schema_iterative_branch(spark):
 
 def test_probe_discovery_matches_per_level_aggs(spark):
     """The single-job probe must return exactly what the per-level
-    aggregation loop measured: per concrete instance name, (min over rows
-    where present, max), absent arrays omitted."""
+    aggregation loop measured: per concrete instance RAW PATH, (min over
+    rows where present, max), absent arrays omitted."""
     import json as _json
 
     from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import (
+        _probe_key,
         _probe_lengths,
     )
 
@@ -388,13 +389,40 @@ def test_probe_discovery_matches_per_level_aggs(spark):
     ]
     rdd = spark.sparkContext.parallelize([_json.dumps(d) for d in docs], 2)
     df = spark.read.json(rdd)
-    got = _probe_lengths(df, "_", 20)
+    got = _probe_lengths(df, 20)
     assert got == {
-        "A": (0, 2),          # sizes 2, 1, 0
-        "A_0_B": (1, 2),      # present in docs 1-2 with sizes 2 and 1
-        "A_1_B": (0, 0),      # only doc 1 has a[1]; its b is empty
-        "Solo": (1, 1),       # absent rows don't contribute
+        _probe_key(("a",)): (0, 2),           # sizes 2, 1, 0
+        _probe_key(("a", 0, "b")): (1, 2),    # present in docs 1-2, sizes 2 / 1
+        _probe_key(("a", 1, "b")): (0, 0),    # only doc 1 has a[1]; its b empty
+        _probe_key(("solo",)): (1, 1),        # absent rows don't contribute
     }
+
+
+def test_probe_name_collision_keeps_separate_ranges(spark):
+    """ADVICE r5: two schema paths whose FLATTENED NAMES collide (here
+    ``x[0].y`` and ``x_0.y`` both render as ``X_0_Y``) must keep SEPARATE
+    probe entries — r5's name-keyed probe merged their size ranges, so the
+    collided name could gain index columns neither path justifies."""
+    import json as _json
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.plans.flatten import (
+        _probe_key,
+        _probe_lengths,
+    )
+
+    docs = [
+        {
+            "x": [{"y": [{"v": 1}]}],
+            "x_0": {"y": [{"v": 7}, {"v": 8}, {"v": 9}]},
+        }
+    ]
+    rdd = spark.sparkContext.parallelize([_json.dumps(d) for d in docs], 1)
+    df = spark.read.json(rdd)
+    got = _probe_lengths(df, 20)
+    assert got[_probe_key(("x",))] == (1, 1)
+    # name-colliding instances measured independently, not merged to (1, 3)
+    assert got[_probe_key(("x", 0, "y"))] == (1, 1)
+    assert got[_probe_key(("x_0", "y"))] == (3, 3)
 
 
 def test_dedup_close_default_star(spark):

@@ -152,6 +152,38 @@ def test_image_source_real_decode(spark, tmp_path):
     assert got["b.png"]["n_pixels"] == 32 * 16
 
 
+def test_decode_embedded_images_parity_with_file_decode(spark, tmp_path):
+    """The embedded-binary-column decode (stage-to-files → JVM image
+    source; VERDICT r5 item 7) must report the same dimensions as decoding
+    the same PNGs laid out as files — and drop undecodable payloads inside
+    the scan, like the file path does."""
+    pngs = {1: _make_png(7, 5), 2: _make_png(32, 16), 3: b"corrupt payload"}
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in pngs.items()], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.decode_embedded_images(
+            df, "payload", stage_dir=str(tmp_path / "stage")
+        ).collect()
+    }
+    assert sorted(got) == [1, 2]  # the corrupt payload is dropped in-scan
+    assert (got[1]["width"], got[1]["height"]) == (7, 5)
+    assert (got[2]["width"], got[2]["height"], got[2]["n_pixels"]) == (32, 16, 512)
+
+    d = tmp_path / "files"
+    d.mkdir()
+    for i, p in pngs.items():
+        (d / f"{i}.img").write_bytes(p)
+    file_rows = {
+        int(r["origin"].rsplit("/", 1)[-1].split(".")[0]): r
+        for r in multimodal.decode_image_files(spark, str(d)).collect()
+    }
+    assert {
+        i: (r["width"], r["height"]) for i, r in file_rows.items()
+    } == {i: (got[i]["width"], got[i]["height"]) for i in got}
+
+
 def test_image_source_drops_invalid_files(spark, tmp_path):
     """A crawled corpus always carries corrupt payloads: dropInvalid must
     skip them inside the scan rather than failing the job."""

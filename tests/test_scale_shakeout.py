@@ -71,6 +71,28 @@ def test_band_join_output_balance(corpus):
     assert bal["ratio"] <= 10, bal
 
 
+def test_star_edges_linear_bound_at_scale(corpus):
+    """The 100 TB claim's empirical teeth at the replicated scale: the star
+    edge relation is bounded by bands×docs (each doc emits ≤1 edge per band
+    — none when it IS the bucket min), and on a clique-heavy corpus it sits
+    NEAR that ceiling (≥10-doc cliques ⇒ ≤1 min per 10 docs per bucket), so
+    the bound is tight, not vacuous. The pair path on the same corpus would
+    grow quadratically in clique size (100× here, ~10¹¹× on a 1M-doc
+    boilerplate bucket)."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.dedup import (
+        lsh_bucket_edges,
+    )
+
+    docs, n_orig = corpus
+    n = n_orig * REPLICAS
+    bands = 4
+    edges = lsh_bucket_edges(docs, "doc_id", "text", num_hashes=16, bands=bands).count()
+    assert edges <= bands * n
+    # per band: edges = n - n_buckets, and cliques ≥ REPLICAS docs keep
+    # n_buckets ≤ n/REPLICAS ⇒ edges ≥ bands·n·(1 − 1/REPLICAS)
+    assert edges >= bands * n * (1 - 1 / REPLICAS)
+
+
 def test_bucket_star_components_equal_pair_components(spark, sf_dir):
     # A star to the bucket min spans exactly the bucket clique's component,
     # so closing over star edges (O(n·bands)) must produce the same
