@@ -49,7 +49,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Queries first registered in round 6 — ordered after block (1). All are
 #: locally oracle-green at sf0.01 AND sf0.001 (scripts/compare_oracle.py).
-_NEW_IN_R6: set[str] = set()
+_NEW_IN_R6: set[str] = {
+    "q153_bloom_decontaminate", "q154_line_dedup_rebuild",
+    "q155_char_lm_score", "q156_zipf_slope", "q157_normalized_dedup",
+    "q158_incremental_dedup",
+}
 
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {

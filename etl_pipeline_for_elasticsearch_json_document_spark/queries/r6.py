@@ -1,0 +1,490 @@
+"""Round-6 query registrations: Bloom-filter decontamination (with
+measured false-positive cost vs the exact check), CCNet-style line-level
+dedup with document REASSEMBLY, a character-bigram language-model quality
+score (perplexity-proxy filter), Zipf-slope corpus statistics,
+normalization-aware exact dedup, and incremental (new-batch-vs-corpus)
+ingestion dedup.
+
+Every query follows the registry's cross-engine determinism rules
+(registry.py docstring). Floating-point outputs are either single
+divisions of exact integer/decimal aggregates or DECIMAL sums of
+pre-rounded 6-dp terms (a rounded 6-dp double is exactly representable in
+DECIMAL(18,6), so the sum is exact and partition-order-independent) —
+never raw double sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_for_elasticsearch_json_document_spark.queries.registry import query
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q153: Bloom-filter decontamination with measured false-positive cost
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+# k=3 hash positions = three disjoint 8-hex slices of the gram's md5,
+# reduced mod m — the standard multi-hash construction, derived from one
+# digest (no per-hash rehashing of the text)
+_BLOOM_POS_SPARK = [
+    f"pmod(conv(substring(gh, {1 + 8 * j}, 8), 16, 10), {_BLOOM_M})" for j in range(3)
+]
+_BLOOM_POS_DUCK = [
+    f"CAST(('0x' || substring(gh, {1 + 8 * j}, 8)) AS BIGINT) % {_BLOOM_M}"
+    for j in range(3)
+]
+
+
+@query(
+    "q153_bloom_decontaminate",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS gram
+      FROM toks),
+h AS (SELECT doc_id, source, md5(gram) AS gh FROM g),
+te AS (SELECT DISTINCT gh FROM h WHERE doc_id % 10 = 0),
+bits AS (SELECT DISTINCT p FROM (
+           SELECT {_BLOOM_POS_DUCK[0]} AS p FROM te
+           UNION ALL SELECT {_BLOOM_POS_DUCK[1]} FROM te
+           UNION ALL SELECT {_BLOOM_POS_DUCK[2]} FROM te)),
+tr AS (
+  SELECT doc_id, source,
+         max(CASE WHEN {_BLOOM_POS_DUCK[0]} IN (SELECT p FROM bits)
+                   AND {_BLOOM_POS_DUCK[1]} IN (SELECT p FROM bits)
+                   AND {_BLOOM_POS_DUCK[2]} IN (SELECT p FROM bits)
+              THEN 1 ELSE 0 END) AS bloom_hit,
+         max(CASE WHEN gh IN (SELECT gh FROM te) THEN 1 ELSE 0 END) AS exact_hit
+  FROM h WHERE doc_id % 10 <> 0 GROUP BY doc_id, source)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_train_docs,
+       CAST(sum(bloom_hit) AS BIGINT) AS bloom_flagged,
+       CAST(sum(exact_hit) AS BIGINT) AS exact_flagged,
+       CAST(sum(CASE WHEN bloom_hit = 1 AND exact_hit = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS false_positives
+FROM tr GROUP BY source
+""",
+    doc="Decontamination via a Bloom filter of the held-out set's word "
+    "5-grams (m=4096 bits, k=3 md5-slice hashes), with the exact-membership "
+    "check run alongside so the FALSE-POSITIVE price of the sketch is "
+    "measured, not assumed — the go/no-go report before swapping the exact "
+    "semi-join for a bloom at scale. Scale: the bit set is ≤m rows and "
+    "BROADCAST (a real bitset is m/8 bytes — the relation here keeps the "
+    "oracle exact); the train corpus reduces to (doc, gram-hash) postings "
+    "map-side and never shuffles text; membership tests are broadcast "
+    "joins. Contrast q100 (exact n-gram join) and q110 (MinHash fuzzy): "
+    "bloom trades a tunable FP rate for an O(m) memory footprint "
+    "independent of test-set size.",
+)
+def q153(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+                )
+            )
+        ).alias("gram"),
+    ).select("doc_id", "source", F.md5("gram").alias("gh"))
+    te = grams.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
+    pos_cols = [F.expr(p) for p in _BLOOM_POS_SPARK]
+    bits = (
+        te.select(F.explode(F.array(*pos_cols)).alias("p")).distinct()
+    )
+    tr = grams.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        "source",
+        "gh",
+        *[F.expr(p).alias(f"p{j}") for j, p in enumerate(_BLOOM_POS_SPARK)],
+    )
+    # three broadcast membership probes = the bitset lookups; a gram is
+    # bloom-positive only when ALL k positions are set
+    for j in range(3):
+        tr = tr.join(
+            F.broadcast(bits.withColumnRenamed("p", f"p{j}").withColumn(f"b{j}", F.lit(1))),
+            f"p{j}",
+            "left",
+        )
+    tr = tr.join(
+        F.broadcast(te.withColumn("ex", F.lit(1))), "gh", "left"
+    )
+    flags = tr.groupBy("doc_id", "source").agg(
+        F.max(
+            F.when(
+                F.col("b0").isNotNull() & F.col("b1").isNotNull() & F.col("b2").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("bloom_hit"),
+        F.max(F.when(F.col("ex").isNotNull(), 1).otherwise(0)).alias("exact_hit"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_train_docs"),
+        F.sum("bloom_hit").cast("bigint").alias("bloom_flagged"),
+        F.sum("exact_hit").cast("bigint").alias("exact_flagged"),
+        F.sum(F.when((F.col("bloom_hit") == 1) & (F.col("exact_hit") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("false_positives"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154: CCNet-style line-level dedup with document reassembly
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q154_line_dedup_rebuild",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+seg AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[i*12+1:i*12+12], ' ') AS s
+  FROM w, unnest(range(0, CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS t(i)),
+fp AS (SELECT doc_id, pos, s, md5(lower(s)) AS f FROM seg),
+boiler AS (SELECT f FROM fp GROUP BY f HAVING count(DISTINCT doc_id) >= 3),
+marked AS (
+  SELECT doc_id, pos, s,
+         CASE WHEN f IN (SELECT f FROM boiler) THEN 0 ELSE 1 END AS keep
+  FROM fp)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       round(sum(keep) / CAST(count(*) AS DOUBLE), 6) AS kept_ratio,
+       md5(array_to_string(list(CASE WHEN keep = 1 THEN s END ORDER BY pos) FILTER (WHERE keep = 1), ' '))
+         AS rebuilt_md5
+FROM marked GROUP BY doc_id
+""",
+    doc="CCNet-style segment-level dedup WITH REASSEMBLY: 12-word segments "
+    "whose normalized fingerprint appears in ≥3 distinct docs (corpus "
+    "boilerplate — headers, navigation, legal footers) are cut, and each "
+    "document is REBUILT from its kept segments in position order (md5 of "
+    "the rebuilt text pins byte-exact reassembly). q38 only reports the "
+    "duplicated fingerprints; this is the operator that actually edits the "
+    "corpus. Scale: segments shuffle as (doc_id, pos, 16-byte fp); the "
+    "boilerplate set is a groupBy on fps (map-side combined) and lives as "
+    "16-byte keys; reassembly is one per-doc sort of kept segments — "
+    "bounded by doc length, never cross-doc.",
+)
+def q154(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(ws) / F.lit(12.0)).cast("long")
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0).cast("long"), n_seg - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    seg = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, (i * 12 + 1).cast("int"), 12), " "))
+        ).alias("pos", "s"),
+    ).withColumn("f", F.md5(F.lower(F.col("s"))))
+    boiler = (
+        seg.groupBy("f")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("f")
+    )
+    marked = seg.join(
+        F.broadcast(boiler.withColumn("hit", F.lit(1))), "f", "left"
+    ).withColumn("keep", F.when(F.col("hit").isNotNull(), 0).otherwise(1))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.round(F.sum("keep") / F.count("*").cast("double"), 6).alias("kept_ratio"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep") == 1, F.struct("pos", "s"))
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                " ",
+            )
+        ).alias("rebuilt_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155: character-bigram LM quality score (perplexity-proxy filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q155_char_lm_score",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(text)), i -> substring(text, i, 2))) AS b
+  FROM documents WHERE length(text) >= 2),
+cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+ctx AS (SELECT substring(b, 1, 1) AS c1, sum(c) AS t FROM cnt GROUP BY c1),
+lp AS (SELECT b, round(log2(c / CAST(t AS DOUBLE)), 6) AS logp
+       FROM cnt JOIN ctx ON substring(b, 1, 1) = c1),
+docsc AS (
+  SELECT doc_id, lang,
+         round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS score
+  FROM bg JOIN lp USING (b) GROUP BY doc_id, lang)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logp,
+       round(min(score), 6) AS min_logp,
+       round(max(score), 6) AS max_logp
+FROM docsc GROUP BY lang
+""",
+    doc="Character-bigram language-model scoring — the classic KenLM-style "
+    "perplexity-proxy quality filter, self-trained on the corpus: per-doc "
+    "mean log2 P(c2|c1), rolled up by language (junk/binary text scores "
+    "far below the language's band). Determinism: each bigram's logp is "
+    "rounded to 6dp FIRST (exactly representable in DECIMAL(18,6)), so "
+    "per-doc and per-lang sums are exact decimal adds — "
+    "partition-order-independent with no ordered fold needed. Scale: the "
+    "model is alphabet² rows (broadcast); docs reduce to (doc, bigram) "
+    "pairs joined map-side; one partial-agg per doc then per lang.",
+)
+def q155(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("b"),
+    )
+    cnt = bg.groupBy("b").agg(F.count("*").alias("c"))
+    ctx = cnt.groupBy(F.substring("b", 1, 1).alias("c1")).agg(F.sum("c").alias("t"))
+    lp = cnt.join(ctx, F.substring(F.col("b"), 1, 1) == F.col("c1")).select(
+        "b", F.round(F.log2(F.col("c") / F.col("t").cast("double")), 6).alias("logp")
+    )
+    docsc = (
+        bg.join(F.broadcast(lp), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("logp").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+            ).alias("score")
+        )
+    )
+    return docsc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_logp"),
+        F.round(F.min("score"), 6).alias("min_logp"),
+        F.round(F.max("score"), 6).alias("max_logp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156: Zipf-slope corpus statistic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_zipf_slope",
+    oracle="""
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT lang, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY lang, w),
+ranked AS (
+  SELECT lang, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS r
+  FROM freq),
+pts AS (
+  SELECT lang,
+         CAST(round(ln(r), 6) AS DECIMAL(18,6)) AS x,
+         CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS y
+  FROM ranked WHERE r <= 50),
+m AS (
+  SELECT lang, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_points,
+       round(CAST((n * sxy - sx * sy) AS DOUBLE)
+             / CAST((n * sxx - sx * sx) AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE) - CAST((n * sxy - sx * sy) AS DOUBLE)
+             / CAST((n * sxx - sx * sx) AS DOUBLE) * CAST(sx AS DOUBLE)) / n, 6)
+         AS intercept
+FROM m
+""",
+    doc="Zipf's-law slope per language: least-squares fit of ln(freq) vs "
+    "ln(rank) over the top-50 tokens — natural corpora sit near slope −1; "
+    "a flat or cliff-shaped curve flags template/machine-generated text. "
+    "Determinism: ln values are rounded to 6dp then summed as DECIMALs "
+    "(exact, order-free); the slope is a single double expression over "
+    "those exact moments — the q129 exact-moment-regression pattern. "
+    "Scale: per-lang token counts partial-aggregate map-side; only the "
+    "top-50-per-lang relation (langs×50 rows) reaches the fit.",
+)
+def q156(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    freq = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("w"))
+    pts = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 50)
+        .select(
+            "lang",
+            F.round(F.log(F.col("r").cast("double")), 6).cast("decimal(18,6)").alias("x"),
+            F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(18,6)").alias("y"),
+        )
+    )
+    m = pts.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return m.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157: normalization-aware exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q157_normalized_dedup",
+    oracle="""
+WITH n AS (
+  SELECT doc_id, source,
+         md5(text) AS rh,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS nh
+  FROM documents),
+r AS (SELECT doc_id, source,
+             CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY rh) THEN 1 ELSE 0 END AS raw_dup,
+             CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY nh) THEN 1 ELSE 0 END AS norm_dup
+      FROM n)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(raw_dup) AS BIGINT) AS raw_dups,
+       CAST(sum(norm_dup) AS BIGINT) AS norm_dups,
+       CAST(sum(norm_dup) - sum(raw_dup) AS BIGINT) AS extra_caught
+FROM r GROUP BY source
+""",
+    doc="Normalization-aware exact dedup: documents hashed RAW and after "
+    "casefold + punctuation-strip + whitespace-collapse; per source, how "
+    "many docs each hash level would remove (keep = min doc_id per group). "
+    "extra_caught is the yield of normalizing before hashing — trivial "
+    "reformattings (case, punctuation, spacing) that raw md5 dedup (q30) "
+    "misses. Scale: map-only normalize, two 16-byte-key groupBys "
+    "(window-over-hash here ≡ groupBy+join at scale); text never shuffles.",
+)
+def q157(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    n = d.select(
+        "doc_id", "source", F.md5("text").alias("rh"), F.md5(norm).alias("nh")
+    )
+    r = n.select(
+        "source",
+        F.when(F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("rh")), 1)
+        .otherwise(0)
+        .alias("raw_dup"),
+        F.when(F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("nh")), 1)
+        .otherwise(0)
+        .alias("norm_dup"),
+    )
+    return r.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("raw_dup").cast("bigint").alias("raw_dups"),
+        F.sum("norm_dup").cast("bigint").alias("norm_dups"),
+        (F.sum("norm_dup") - F.sum("raw_dup")).cast("bigint").alias("extra_caught"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158: incremental (new-batch-vs-corpus) ingestion dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q158_incremental_dedup",
+    oracle="""
+WITH h AS (SELECT doc_id, source, md5(text) AS fp,
+                  doc_id % 5 = 4 AS incoming
+           FROM documents),
+corpus AS (SELECT DISTINCT fp FROM h WHERE NOT incoming),
+inc AS (
+  SELECT doc_id, source, fp,
+         fp IN (SELECT fp FROM corpus) AS in_corpus,
+         doc_id <> min(doc_id) OVER (PARTITION BY fp) AS later_in_batch
+  FROM h WHERE incoming)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_incoming,
+       CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS dropped_vs_corpus,
+       CAST(sum(CASE WHEN NOT in_corpus AND later_in_batch THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_within_batch,
+       CAST(sum(CASE WHEN NOT in_corpus AND NOT later_in_batch THEN 1 ELSE 0 END) AS BIGINT)
+         AS ingested
+FROM inc GROUP BY source
+""",
+    doc="Incremental ingestion dedup — the shape every CONTINUOUSLY-FED "
+    "training corpus needs: an incoming batch (doc_id%5=4 here) is checked "
+    "against the existing corpus's content hashes, then within itself "
+    "(first occurrence wins); each incoming doc is classified "
+    "dropped-vs-corpus / dropped-within-batch / ingested. Scale: the "
+    "corpus side reduces to DISTINCT 16-byte fps ONCE (at 100 TB this is "
+    "the persisted fingerprint index a real pipeline maintains — or q153's "
+    "bloom in front of it); the batch side is small and its window is "
+    "per-fp. Precedence is deterministic: corpus match outranks "
+    "within-batch.",
+)
+def q158(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", "source", F.md5("text").alias("fp"), (F.col("doc_id") % 5 == 4).alias("incoming")
+    )
+    corpus = h.filter(~F.col("incoming")).select("fp").distinct()
+    inc = (
+        h.filter(F.col("incoming"))
+        .join(corpus.withColumn("in_corpus", F.lit(True)), "fp", "left")
+        .withColumn("in_corpus", F.coalesce(F.col("in_corpus"), F.lit(False)))
+        .withColumn(
+            "later_in_batch",
+            F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("fp")),
+        )
+    )
+    return inc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_incoming"),
+        F.sum(F.when(F.col("in_corpus"), 1).otherwise(0)).cast("bigint").alias("dropped_vs_corpus"),
+        F.sum(F.when(~F.col("in_corpus") & F.col("later_in_batch"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_within_batch"),
+        F.sum(F.when(~F.col("in_corpus") & ~F.col("later_in_batch"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ingested"),
+    )

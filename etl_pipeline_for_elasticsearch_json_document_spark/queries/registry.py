@@ -49,6 +49,7 @@ def all_queries() -> dict[str, Query]:
         llm,
         r4,
         r5,
+        r6,
         relational,
     )
 
