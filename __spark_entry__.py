@@ -52,7 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEW_IN_R6: set[str] = {
     "q153_bloom_decontaminate", "q154_line_dedup_rebuild",
     "q155_char_lm_score", "q156_zipf_slope", "q157_normalized_dedup",
-    "q158_incremental_dedup",
+    "q158_incremental_dedup", "q159_recursive_cte", "q160_lateral_topn",
+    "q161_hard_negatives", "q162_quality_funnel", "q163_key_skew_audit",
+    "q164_epoch_shards",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

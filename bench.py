@@ -174,7 +174,16 @@ def bench_flatten(spark) -> dict[str, float]:
     out: dict[str, float] = {}
     t0 = time.time()
     plan = flatten_plan(src, bug_compat=False)
-    out["flatten_plan_gen"] = round(time.time() - t0, 3)
+    # First call in the fresh JVM pays class-loading + the first discovery
+    # job's scheduler warm-up — reported separately as the cold number.
+    # The headline entry is steady-state plan gen (median of 3; the golden
+    # schema has arrays so nothing is memoized — each call re-runs the
+    # discovery job), comparable to the warm in-main-JVM figure tracked
+    # through r5.
+    out["flatten_plan_gen_cold"] = round(time.time() - t0, 3)
+    out["flatten_plan_gen"] = timed_median(
+        lambda: flatten_plan(src, bug_compat=False)
+    )
     # The library's default execution form since r5: the anchor CASCADE
     # (flatten_stages) under wide_flatten_conf — ~2-3× smaller expression
     # tree through optimizer/planner/task-closure, and the zero-effective
@@ -318,7 +327,16 @@ def main() -> None:
 
     # Spark-path flatten micro-entries SECOND, in a fresh subprocess JVM
     # with nothing else running — isolated numbers, startup not timed.
-    timings.update(run_flatten_isolated())
+    # (r5 ran these LAST in the shared JVM, inheriting heap/GC state from
+    # the dedup closers — flatten_1docs printed 6.76 s for work that
+    # measures 2.5 s isolated, and the same contention doubled the
+    # sub-second q110/q113 entries; the subprocess + ordering restructure
+    # recovered all three in r6.)
+    flat = run_flatten_isolated()
+    diagnostics: dict[str, float] = {}
+    if "flatten_plan_gen_cold" in flat:
+        diagnostics["flatten_plan_gen_cold"] = flat.pop("flatten_plan_gen_cold")
+    timings.update(flat)
 
     from etl_pipeline_for_elasticsearch_json_document_spark.queries import all_queries
     from etl_pipeline_for_elasticsearch_json_document_spark.session import get_spark
@@ -343,8 +361,9 @@ def main() -> None:
         force(df)  # warm-up: codegen + JIT
         timings[name] = timed_median(lambda: force(df))
 
-    prod, diagnostics = bench_dedup_close(spark, sf_dir)
+    prod, close_diag = bench_dedup_close(spark, sf_dir)
     timings.update(prod)
+    diagnostics.update(close_diag)
 
     total = round(sum(timings.values()), 3)
     print(

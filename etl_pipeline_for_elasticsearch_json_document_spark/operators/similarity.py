@@ -47,6 +47,61 @@ def knn_bruteforce(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the top-k
+    most-similar vectors with a DIFFERENT label (the negatives a
+    contrastive trainer most needs), alongside the query's best same-label
+    cosine (its positive) and the pos-neg margin.
+
+    One broadcast scoring pass over the corpus, one shuffle by query id:
+    the positive's cosine is a conditional window max over the same scored
+    relation, so negatives and positives never need separate scans. Ties
+    broken by neighbor id for determinism. Columns: q_id, n_id, neg_cos,
+    rank, pos_cos, margin.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("nv"),
+        F.col(label_col).alias("n_label"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .select("q_id", "q_label", "n_id", "n_label", "cos")
+    )
+    per_q = Window.partitionBy("q_id")
+    scored = scored.withColumn(
+        "pos_cos",
+        F.max(F.when(F.col("n_label") == F.col("q_label"), F.col("cos"))).over(per_q),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.filter(F.col("n_label") != F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("cos").alias("neg_cos"),
+            "rank",
+            "pos_cos",
+            F.round(F.col("pos_cos") - F.col("cos"), 6).alias("margin"),
+        )
+    )
+
+
 def _hyperplane(dim: int, plane: int, table: int) -> list[float]:
     """Deterministic pseudo-random hyperplane components in [-1, 1), derived
     from md5 — reproducible across runs/engines with no RNG state."""

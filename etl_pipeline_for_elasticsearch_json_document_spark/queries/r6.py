@@ -488,3 +488,372 @@ def q158(spark, sf_dir):
         .cast("bigint")
         .alias("ingested"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q159: recursive CTE (Spark 4 SQL surface) — ancestor walk aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q159_recursive_cte",
+    oracle="""
+WITH RECURSIVE walk AS (
+  SELECT doc_id AS start_id, doc_id AS cur, CAST(0 AS BIGINT) AS depth
+  FROM documents
+  UNION ALL
+  SELECT start_id, cur // 2, depth + 1 FROM walk WHERE cur > 1
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(start_id) AS BIGINT) AS sum_start,
+       CAST(sum(cur) AS BIGINT) AS sum_cur
+FROM walk GROUP BY depth
+""",
+    doc="Recursive CTE via the Spark 4 SQL surface (WITH RECURSIVE, "
+    "SPARK-24497): every doc walks its binary-tree ancestor chain "
+    "(parent = id div 2) to the root, and the walk relation is aggregated "
+    "per depth — the fixpoint-iteration shape (org charts, BOM explosions, "
+    "reachability) that q48/q122 hand-roll as iterative joins, now "
+    "expressed declaratively and executed by the engine's own recursion "
+    "operator. Pure integer arithmetic — no float drift. Scale: each "
+    "iteration is a map of the frontier (no join needed here); depth is "
+    "log2(max id), so ~45 rounds at 100 TB id ranges; the aggregate is a "
+    "partial-agg groupBy on a log2-sized key space.",
+)
+def q159(spark, sf_dir):
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("q159_documents")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT doc_id AS start_id, doc_id AS cur, CAST(0 AS BIGINT) AS depth
+          FROM q159_documents
+          UNION ALL
+          SELECT start_id, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+        )
+        SELECT depth,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(start_id) AS BIGINT) AS sum_start,
+               CAST(sum(cur) AS BIGINT) AS sum_cur
+        FROM walk GROUP BY depth
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160: lateral join — per-customer top-2 orders via correlated subquery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q160_lateral_topn",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.price, o.rn
+FROM customer c, LATERAL (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_acctbal > 9000
+""",
+    doc="LATERAL correlated subquery (Spark 3.4+ lateral join SQL "
+    "surface): top-2 orders per high-balance customer, the subquery "
+    "re-evaluated per outer row — the SQL-standard spelling of "
+    "top-n-per-group that q10 expresses with a window. The optimizer "
+    "decorrelates to a ranked join rather than per-row re-execution. "
+    "Scale: decorrelation means one shuffle on the join key; the LIMIT "
+    "inside the lateral bounds per-key state exactly like the window "
+    "top-k.",
+)
+def q160(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q160_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q160_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.price, o.rn
+        FROM q160_customer c, LATERAL (
+          SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM q160_orders WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_acctbal > 9000
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q161: contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q161_hard_negatives",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+           FROM embeddings WHERE vec_id % 37 = 0),
+scored AS (
+  SELECT q.q_id, q.q_label, c.vec_id AS n_id, c.label AS n_label,
+         round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+  FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+wp AS (
+  SELECT *, max(CASE WHEN n_label = q_label THEN cos END)
+              OVER (PARTITION BY q_id) AS pos_cos
+  FROM scored)
+SELECT q_id, n_id, cos AS neg_cos, rank, pos_cos,
+       round(pos_cos - cos, 6) AS margin
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM wp WHERE n_label <> q_label)
+WHERE rank <= 3
+""",
+    doc="Contrastive hard-negative mining (operators/similarity.py::"
+    "hard_negatives): for each sampled query vector, the 3 most-similar "
+    "DIFFERENT-label vectors — the negatives a contrastive embedding "
+    "trainer most needs — plus the query's best same-label cosine and the "
+    "pos-neg margin (a small or negative margin marks the queries whose "
+    "class boundary is genuinely hard). One broadcast scoring pass; the "
+    "positive is a conditional window max over the same scored relation, "
+    "so no second scan. Scale: query side broadcast, corpus streams "
+    "map-side; swap the scorer for the IVF/LSH shortlist (q41/q42) when "
+    "the corpus no longer fits one pass.",
+)
+def q161(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") % 37 == 0), k=3)
+
+
+# ---------------------------------------------------------------------------
+# q162: quality-rule attrition funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = [
+    ("1_too_few_tokens", "n_tok < 20"),
+    ("2_word_len_band", "mwl < 4.0 OR mwl > 10.0"),
+    ("3_symbol_heavy", "sym_ratio > 0.05"),
+    ("4_digit_heavy", "digit_ratio > 0.15"),
+    ("5_repetitive", "distinct_ratio < 0.5"),
+]
+
+_FUNNEL_SPINE = ", ".join(
+    f"('{name}')" for name, _ in _FUNNEL_STAGES + [("6_survived", "")]
+)
+
+
+@query(
+    "q162_quality_funnel",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl,
+         (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+           / CAST(length(text) AS DOUBLE) AS sym_ratio,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+           / CAST(length(text) AS DOUBLE) AS digit_ratio,
+         len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+  FROM documents WHERE length(text) > 0),
+staged AS (
+  SELECT CASE
+           WHEN {_FUNNEL_STAGES[0][1]} THEN '{_FUNNEL_STAGES[0][0]}'
+           WHEN {_FUNNEL_STAGES[1][1]} THEN '{_FUNNEL_STAGES[1][0]}'
+           WHEN {_FUNNEL_STAGES[2][1]} THEN '{_FUNNEL_STAGES[2][0]}'
+           WHEN {_FUNNEL_STAGES[3][1]} THEN '{_FUNNEL_STAGES[3][0]}'
+           WHEN {_FUNNEL_STAGES[4][1]} THEN '{_FUNNEL_STAGES[4][0]}'
+           ELSE '6_survived' END AS stage
+  FROM m),
+cnt AS (SELECT stage, count(*) AS n FROM staged GROUP BY stage)
+SELECT sp.stage,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_docs,
+       round(coalesce(cnt.n, 0) / CAST((SELECT count(*) FROM staged) AS DOUBLE), 6)
+         AS share
+FROM (VALUES {_FUNNEL_SPINE}) AS sp(stage) LEFT JOIN cnt USING (stage)
+""",
+    doc="Gopher/C4-style quality-rule ATTRITION FUNNEL: five filter rules "
+    "(token count, mean word length, symbol ratio, digit ratio, "
+    "distinct-token ratio) applied in precedence order, reporting how many "
+    "docs each rule removes FIRST — the per-rule attrition report every "
+    "curation run publishes before committing a filter config (a rule that "
+    "removes 40% gets re-tuned, not shipped). Rules that remove ZERO docs "
+    "still appear (a static stage spine left-joins the counts): a silent "
+    "rule is information, not absence. All metrics are single "
+    "integer-ratio divisions (identical IEEE doubles on any engine). "
+    "Scale: map-only metric computation, one partial-agg groupBy on a "
+    "6-value key; the denominator is a broadcast 1-row count.",
+)
+def q162(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ws = F.split(F.col("text"), " ")
+    n_tok = F.size(ws)
+    m = d.select(
+        n_tok.alias("n_tok"),
+        (F.length(F.regexp_replace(F.col("text"), " ", "")) / n_tok.cast("double")).alias("mwl"),
+        (
+            (F.length("text") - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")))
+            / F.length("text").cast("double")
+        ).alias("sym_ratio"),
+        (
+            (F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", "")))
+            / F.length("text").cast("double")
+        ).alias("digit_ratio"),
+        (F.size(F.array_distinct(ws)) / n_tok.cast("double")).alias("distinct_ratio"),
+    )
+    stage = F.when(F.col("n_tok") < 20, _FUNNEL_STAGES[0][0])
+    stage = stage.when((F.col("mwl") < 4.0) | (F.col("mwl") > 10.0), _FUNNEL_STAGES[1][0])
+    stage = stage.when(F.col("sym_ratio") > 0.05, _FUNNEL_STAGES[2][0])
+    stage = stage.when(F.col("digit_ratio") > 0.15, _FUNNEL_STAGES[3][0])
+    stage = stage.when(F.col("distinct_ratio") < 0.5, _FUNNEL_STAGES[4][0])
+    staged = m.select(stage.otherwise("6_survived").alias("stage"))
+    total = staged.agg(F.count("*").alias("tot"))
+    spine = spark.createDataFrame(
+        [(name,) for name, _ in _FUNNEL_STAGES] + [("6_survived",)], "stage string"
+    )
+    cnt = staged.groupBy("stage").agg(F.count("*").alias("n"))
+    return (
+        spine.join(cnt, "stage", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)) / F.col("tot").cast("double"), 6
+            ).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163: shuffle-key skew audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q163_key_skew_audit",
+    oracle="""
+WITH u AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+t AS (SELECT event_type AS k FROM events),
+stats AS (
+  SELECT 'user_id' AS key_col, k, count(*) AS cnt FROM u GROUP BY k
+  UNION ALL
+  SELECT 'event_type', k, count(*) FROM t GROUP BY k),
+ranked AS (
+  SELECT key_col, cnt,
+         row_number() OVER (PARTITION BY key_col ORDER BY cnt DESC, k) AS r
+  FROM stats)
+SELECT key_col,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total_rows,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       CAST(min(cnt) AS BIGINT) AS min_cnt,
+       round(max(cnt) / (sum(cnt) / CAST(count(*) AS DOUBLE)), 6) AS skew_factor,
+       round(sum(CASE WHEN r = 1 THEN cnt ELSE 0 END) / CAST(sum(cnt) AS DOUBLE), 6)
+         AS top1_share,
+       round(sum(CASE WHEN r <= 10 THEN cnt ELSE 0 END) / CAST(sum(cnt) AS DOUBLE), 6)
+         AS top10_share
+FROM ranked GROUP BY key_col
+""",
+    doc="Shuffle-key skew audit: for each candidate partition key "
+    "(user_id, event_type), per-key counts reduced to n_keys / max / min "
+    "/ skew factor (max over mean) and top-1/top-10 cumulative share — "
+    "the pre-shuffle planning report that decides whether a join or "
+    "groupBy on that key needs salting (q133) or AQE skew handling BEFORE "
+    "the 100 TB run, not after it spills. Scale: per-key counts "
+    "partial-aggregate map-side; the stats stage sees only (key_col, "
+    "distinct-key) rows; the ranked window partitions by the 2-value "
+    "key_col over already-reduced counts.",
+)
+def q163(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    stats = (
+        ev.select(F.col("user_id").cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("user_id").alias("key_col"), "k", "cnt")
+        .unionByName(
+            ev.select(F.col("event_type").alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit("event_type").alias("key_col"), "k", "cnt")
+        )
+    )
+    w = Window.partitionBy("key_col").orderBy(F.col("cnt").desc(), F.col("k"))
+    ranked = stats.withColumn("r", F.row_number().over(w))
+    return ranked.groupBy("key_col").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.min("cnt").cast("bigint").alias("min_cnt"),
+        F.round(
+            F.max("cnt") / (F.sum("cnt") / F.count("*").cast("double")), 6
+        ).alias("skew_factor"),
+        F.round(
+            F.sum(F.when(F.col("r") == 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("r") <= 10, F.col("cnt")).otherwise(0))
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("top10_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164: deterministic epoch shuffle / shard manifest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q164_epoch_shards",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, n_chars, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents),
+s AS (SELECT doc_id, n_chars, hh,
+             CAST(('0x' || substring(hh, 1, 8)) AS BIGINT) % 8 AS shard
+      FROM h)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hh)) AS order_md5
+FROM s GROUP BY shard
+""",
+    doc="Deterministic training-epoch shuffle: every doc is assigned a "
+    "shard and a within-shard position by md5('epoch1:'||id) — a "
+    "reproducible global permutation (change the epoch tag, get an "
+    "independent permutation) with NO rand() and no engine/partitioning "
+    "dependence. The output is the shard MANIFEST a trainer consumes: "
+    "per-shard doc count, token mass (balance check), and the md5 of the "
+    "full within-shard id sequence, which pins the exact permutation "
+    "cross-engine. Scale: map-only hash + one groupBy on the shard id; "
+    "at 100 TB the manifest hash swaps for writing the permuted shards "
+    "directly via repartitionByRange(shard, hh) — same keys, same order.",
+)
+def q164(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))).alias("hh"),
+    ).withColumn(
+        "shard", F.expr("pmod(conv(substring(hh, 1, 8), 16, 10), 8)").cast("bigint")
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hh", "doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("order_md5"),
+    )
