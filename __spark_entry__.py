@@ -54,7 +54,8 @@ _NEW_IN_R6: set[str] = {
     "q155_char_lm_score", "q156_zipf_slope", "q157_normalized_dedup",
     "q158_incremental_dedup", "q159_recursive_cte", "q160_lateral_topn",
     "q161_hard_negatives", "q162_quality_funnel", "q163_key_skew_audit",
-    "q164_epoch_shards",
+    "q164_epoch_shards", "q165_vocab_coverage", "q166_source_overlap",
+    "q167_truncation_loss", "q168_lsh_param_sweep",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

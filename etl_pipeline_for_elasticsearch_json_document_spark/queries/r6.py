@@ -857,3 +857,311 @@ def q164(spark, sf_dir):
             )
         ).alias("order_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q165: vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_vocab_coverage",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w),
+ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM freq),
+tot AS (SELECT sum(c) AS total_tokens, count(*) AS n_distinct FROM ranked)
+SELECT k,
+       CAST(least(k, (SELECT n_distinct FROM tot)) AS BIGINT) AS vocab_size,
+       CAST((SELECT sum(c) FROM ranked WHERE r <= k) AS BIGINT) AS covered_tokens,
+       CAST((SELECT total_tokens FROM tot) AS BIGINT) AS total_tokens,
+       round((SELECT sum(c) FROM ranked WHERE r <= k)
+             / CAST((SELECT total_tokens FROM tot) AS DOUBLE), 6) AS covered_share
+FROM (VALUES (100), (1000), (5000)) AS ks(k)
+""",
+    doc="Vocabulary coverage curve: share of all token OCCURRENCES covered "
+    "by the top-K most frequent types, for K in {100, 1000, 5000} — the "
+    "vocab-size planning curve behind every closed-vocab tokenizer / "
+    "OOV-budget decision (pairs with q149's fixed-vocab OOV check). "
+    "Scale: token counts partial-aggregate map-side; the ranked relation "
+    "is vocabulary-sized, the curve is 3 conditional sums over it. "
+    "Integer counts + single divisions — engine-exact.",
+)
+def q165(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w")))
+    )
+    ks = spark.createDataFrame([(100,), (1000,), (5000,)], "k int")
+    stats = ranked.agg(
+        F.sum("c").alias("total_tokens"), F.count("*").alias("n_distinct")
+    )
+    per_k = (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("c").alias("covered_tokens"))
+    )
+    return (
+        ks.join(per_k, "k", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "k",
+            F.least(F.col("k").cast("bigint"), F.col("n_distinct")).alias("vocab_size"),
+            F.col("covered_tokens").cast("bigint").alias("covered_tokens"),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.col("covered_tokens") / F.col("total_tokens").cast("double"), 6
+            ).alias("covered_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166: cross-source duplication overlap matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q166_source_overlap",
+    oracle="""
+WITH g AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(ws[i:i+7], ' ')) AS fp
+  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents) t,
+       unnest(range(1, len(ws) - 6)) AS u(i)),
+per_src AS (SELECT source, count(*) AS n_fps FROM g GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+  FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT p.src_a, p.src_b,
+       CAST(p.shared AS BIGINT) AS shared_fps,
+       CAST(pa.n_fps AS BIGINT) AS fps_a,
+       CAST(pb.n_fps AS BIGINT) AS fps_b,
+       round(p.shared / CAST(pa.n_fps + pb.n_fps - p.shared AS DOUBLE), 6)
+         AS jaccard
+FROM pairs p
+JOIN per_src pa ON pa.source = p.src_a
+JOIN per_src pb ON pb.source = p.src_b
+""",
+    doc="Cross-source duplication matrix: per source pair, shared word-"
+    "8-gram fingerprints and fingerprint-set Jaccard — the provenance "
+    "report that shows WHICH feeds mirror/scrape each other, so dedup "
+    "keeps the canonical source and sampling (q115) doesn't double-weight "
+    "syndicated content. Only sources that actually share a fingerprint "
+    "appear (a zero row would be a |sources|² blowup at scale). Scale: "
+    "the postings relation is (16-byte fp, source) distinct pairs; the "
+    "self-join shuffles on fp and emits a pair only where a fp is "
+    "multi-source; per-source totals broadcast back onto the "
+    "|sources|²-bounded pair relation.",
+)
+def q166(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    g = (
+        d.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"
+                )
+            ).alias("gram"),
+        )
+        .select("source", F.md5("gram").alias("fp"))
+        .distinct()
+    )
+    per_src = g.groupBy("source").agg(F.count("*").alias("n_fps"))
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_src.withColumnRenamed("source", "src_a").withColumnRenamed("n_fps", "fps_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(per_src.withColumnRenamed("source", "src_b").withColumnRenamed("n_fps", "fps_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("bigint").alias("shared_fps"),
+            F.col("fps_a").cast("bigint").alias("fps_a"),
+            F.col("fps_b").cast("bigint").alias("fps_b"),
+            F.round(
+                F.col("shared")
+                / (F.col("fps_a") + F.col("fps_b") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167: context-length truncation-loss report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_truncation_loss",
+    oracle="""
+WITH lens AS (SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents),
+ctx AS (SELECT * FROM (VALUES (64), (128), (256)) AS c(ctx))
+SELECT lang, ctx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n_tok > ctx THEN n_tok - ctx ELSE 0 END) AS BIGINT)
+         AS lost_tokens,
+       round(sum(CASE WHEN n_tok > ctx THEN n_tok - ctx ELSE 0 END)
+             / CAST(sum(n_tok) AS DOUBLE), 6) AS lost_share,
+       CAST(sum(CASE WHEN n_tok > ctx THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_truncated
+FROM lens CROSS JOIN ctx
+GROUP BY lang, ctx
+""",
+    doc="Context-length truncation-loss report: for candidate context "
+    "sizes {64, 128, 256}, the token mass and doc count a hard-truncation "
+    "policy would cut, per language — the capacity-planning table that "
+    "decides context length and whether chunking (q104) or packing "
+    "(q102) is needed instead of truncation. Scale: per-doc lengths are "
+    "map-only; the ctx spine is a broadcast 3-row relation; one "
+    "partial-agg groupBy on (lang, ctx). Integer sums + single "
+    "divisions — engine-exact.",
+)
+def q167(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select("lang", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+    ctx = spark.createDataFrame([(64,), (128,), (256,)], "ctx int")
+    lost = F.when(F.col("n_tok") > F.col("ctx"), F.col("n_tok") - F.col("ctx")).otherwise(0)
+    return (
+        lens.crossJoin(F.broadcast(ctx))
+        .groupBy("lang", "ctx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(lost).cast("bigint").alias("lost_tokens"),
+            F.round(F.sum(lost) / F.sum("n_tok").cast("double"), 6).alias("lost_share"),
+            F.sum(F.when(F.col("n_tok") > F.col("ctx"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_truncated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168: LSH band/row parameter sweep
+# ---------------------------------------------------------------------------
+
+
+def _lsh_sweep_oracle(num_hashes: int = 16, band_cfgs: tuple[int, ...] = (2, 4, 8)) -> str:
+    """Replays the md5-string minhash family (same construction as q32's
+    oracle / operators/dedup.py) and derives the band buckets of EVERY
+    config from one signature CTE; bucket identity is component-tuple
+    equality (band index included on both engines), so counts agree
+    regardless of each engine's key function."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import dedup
+
+    mins = ",\n  ".join(
+        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
+        for k in range(num_hashes)
+    )
+    cfg_selects = []
+    for bands in band_cfgs:
+        rows = num_hashes // bands
+        band_exprs = ", ".join(
+            "concat_ws('|', '"
+            + str(b)
+            + "', "
+            + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+            + ")"
+            for b in range(bands)
+        )
+        cfg_selects.append(
+            f"SELECT {bands} AS bands, doc_id, "
+            f"unnest(list_value({band_exprs})) AS bucket FROM sig"
+        )
+    allb = "\nUNION ALL\n".join(cfg_selects)
+    return f"""
+WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sig AS (SELECT doc_id,
+  {mins}
+  FROM words GROUP BY doc_id),
+allb AS (
+{allb}
+),
+buckets AS (SELECT bands, bucket, count(*) AS s FROM allb GROUP BY bands, bucket)
+SELECT bands,
+       CAST({num_hashes} / bands AS BIGINT) AS rows_per_band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN s > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets,
+       CAST(sum(s * (s - 1) / 2) AS BIGINT) AS candidate_pairs,
+       CAST(max(s) AS BIGINT) AS max_bucket
+FROM buckets GROUP BY bands
+"""
+
+
+@query(
+    "q168_lsh_param_sweep",
+    oracle=_lsh_sweep_oracle(),
+    doc="LSH band/row parameter sweep: from ONE 16-component minhash "
+    "signature relation, the band buckets of THREE configs (2×8, 4×4, "
+    "8×2 bands×rows) and each config's candidate-pair volume, multi-doc "
+    "bucket count, and worst bucket size — the tuning report that prices "
+    "recall (more bands → more candidates) against join cost BEFORE "
+    "running the dedup pass (complements q132, which calibrates the "
+    "estimator's accuracy after choosing a config). Scale: signatures are "
+    "map-only (q32's path); each config's bucket census is a partial-agg "
+    "groupBy on band keys; nothing quadratic is materialized — "
+    "candidate_pairs is computed FROM bucket sizes, which is exactly why "
+    "this report can run where the join itself could not.",
+)
+def q168(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import dedup
+
+    num_hashes = 16
+    sigs = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=num_hashes
+    )
+    cfgs = []
+    for bands in (2, 4, 8):
+        rows = num_hashes // bands
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)],
+                )
+                for b in range(bands)
+            ]
+        )
+        cfgs.append(
+            sigs.select(
+                F.lit(bands).alias("bands"),
+                "doc_id",
+                F.explode(band_keys).alias("bucket"),
+            )
+        )
+    allb = cfgs[0].unionByName(cfgs[1]).unionByName(cfgs[2])
+    buckets = allb.groupBy("bands", "bucket").agg(F.count("*").alias("s"))
+    return buckets.groupBy("bands").agg(
+        (F.lit(num_hashes) / F.col("bands").cast("bigint")).cast("bigint").alias("rows_per_band"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("s") > 1, 1).otherwise(0)).cast("bigint").alias("n_multi_buckets"),
+        F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("bigint").alias("candidate_pairs"),
+        F.max("s").cast("bigint").alias("max_bucket"),
+    )
