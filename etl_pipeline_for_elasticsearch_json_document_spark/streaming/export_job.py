@@ -89,6 +89,33 @@ def run_export_stream(
     # overwritten; a new lineage's batch 0 is new data and must be written,
     # never silently dropped by a stale "epoch 0 already done" row.
     ckpt_id = checkpoint_identity(checkpoint_dir)
+    process_batch = _export_batch_processor(
+        output_dir, audit, ckpt_id, id_col, bug_compat, exactly_once
+    )
+
+    writer = (
+        src.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _export_batch_processor(
+    output_dir: str,
+    audit: AuditLog,
+    ckpt_id: str,
+    id_col: str,
+    bug_compat: bool,
+    exactly_once: bool,
+    parse_batch=None,
+):
+    """The per-micro-batch body shared by every export stream (file-fed or
+    ES-tailed): A18 empty guard → optional source parse → flatten →
+    A16/A17 TSV naming → A20/A21 audit, with the exactly-once replay
+    ledger keyed on (epoch, checkpoint lineage)."""
 
     def _epoch_key(batch_id: int) -> str:
         return f"{batch_id}@{ckpt_id}"
@@ -118,6 +145,8 @@ def run_export_stream(
                     already = 0  # audit table does not exist yet
                 if already:
                     return
+            if parse_batch is not None:  # after the ledger: skipped
+                batch_df = parse_batch(batch_df)  # replays never pay parse
             # The output directory is named by the batch's last cursor id
             # (A17), which must be known before the write — that pre-pass
             # stays, but it is a single-column max, not a full-row scan.
@@ -151,6 +180,64 @@ def run_export_stream(
             audit.failure(start_ts, batch_id=_epoch_key(batch_id), error=e)
             raise
 
+    return process_batch
+
+
+def run_es_tail_export_stream(
+    spark: SparkSession,
+    url: str,
+    index: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    audit_path: str,
+    sort: str = "auditProcessedDateTimeUtc,claimRequestId",
+    id_col: str = "claimRequestId",
+    bug_compat: bool = False,
+    page_size: int = 1000,
+    start_after: str | None = None,
+    exactly_once: bool = True,
+    trigger_available_now: bool = True,
+):
+    """The reference's WHOLE pipeline (``ElasticSearch ETL.py:201-300``)
+    as one always-on stream: the ``es_tail`` source advances the
+    search_after cursor as checkpointed offsets, and every micro-batch
+    runs the same flatten → TSV → audit body as the batch job — so the
+    nightly re-export loop becomes continuous, exactly-once, and
+    restartable from its checkpoint instead of from the top of the index.
+
+    Each batch's ``_source`` payloads are parsed with their OWN inferred
+    schema (``spark.read.json`` over the batch's JSON strings — the
+    reference's per-batch dynamic-schema semantics, A5/A6), then
+    flattened. Scale: parsing and flatten are executor-side per batch;
+    only the cursor rides the driver. ``start_after`` hands off from an
+    ``es_live`` sliced bulk catch-up (JSON sort array, exclusive).
+    """
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_stream import (
+        EsTailDataSource,
+    )
+
+    spark.dataSource.register(EsTailDataSource)
+    reader = (
+        spark.readStream.format("es_tail")
+        .option("url", url)
+        .option("index", index)
+        .option("sort", sort)
+        .option("page_size", str(page_size))
+    )
+    if start_after is not None:
+        reader = reader.option("start_after", start_after)
+    src = reader.load()
+
+    def parse_batch(batch_df: DataFrame) -> DataFrame:
+        strs = batch_df.select("source_json").rdd.map(lambda r: r[0])
+        return batch_df.sparkSession.read.json(strs)
+
+    audit = AuditLog(spark, audit_path)
+    ckpt_id = checkpoint_identity(checkpoint_dir)
+    process_batch = _export_batch_processor(
+        output_dir, audit, ckpt_id, id_col, bug_compat, exactly_once,
+        parse_batch=parse_batch,
+    )
     writer = (
         src.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)

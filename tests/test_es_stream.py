@@ -147,3 +147,56 @@ def test_start_after_skips_bulk_backlog(fake_es, tmp_path, spark):
     )
     rows, _ = reader.read(reader.initialOffset())
     assert [json.loads(r[2])[0] for r in rows] == [25, 26, 27, 28, 29]
+
+
+def test_es_tail_export_job_end_to_end(spark, fake_es, tmp_path):
+    """The reference's full pipeline continuously: es_tail source →
+    per-batch dynamic-schema parse → flatten → TSV + audit, exactly-once
+    across two runs on one checkpoint (run 2 exports ONLY the new docs,
+    each run leaves one SUCCESS audit row)."""
+    import glob
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import AuditLog
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.export_job import (
+        run_es_tail_export_stream,
+    )
+
+    index = "etl_docs"
+    _bulk_docs(spark, fake_es, tmp_path, index, 0, 21, "alpha")
+    out = str(tmp_path / "tsv_out")
+    ckpt = str(tmp_path / "etl_ckpt")
+    audit_path = str(tmp_path / "audit")
+
+    def run():
+        q = run_es_tail_export_stream(
+            spark,
+            fake_es,
+            index,
+            out,
+            ckpt,
+            audit_path,
+            sort="doc_id",
+            id_col="doc_id",
+            page_size=8,
+        )
+        q.awaitTermination(120)
+
+    run()
+    dirs1 = sorted(glob.glob(out + "/*.tsv"))
+    assert len(dirs1) == 1
+    exported1 = spark.read.option("sep", "\t").option("header", True).csv(dirs1[0])
+    assert exported1.count() == 21
+    assert exported1.columns == ["Doc_id", "Payload"]  # flatten's naming
+
+    _bulk_docs(spark, fake_es, tmp_path, index, 50, 62, "beta")
+    run()
+    dirs2 = sorted(glob.glob(out + "/*.tsv"))
+    assert len(dirs2) == 2
+    new_dir = [d for d in dirs2 if d not in dirs1][0]
+    exported2 = spark.read.option("sep", "\t").option("header", True).csv(new_dir)
+    assert exported2.count() == 12  # only the new docs — cursor held
+    audit = AuditLog(spark, audit_path).read()
+    ok = audit.filter(F.col("job_status") == "SUCCESS")
+    assert ok.count() == 2
+    counts = sorted(r["record_count_loaded"] for r in ok.collect())
+    assert counts == [12, 21]
