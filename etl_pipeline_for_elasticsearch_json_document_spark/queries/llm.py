@@ -1795,12 +1795,17 @@ def q113(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum(part).alias("s"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    # Top-k via orderBy+limit — compiles to TakeOrderedAndProject (each
+    # task keeps its local top-10, driver merges k×tasks rows), NOT a
+    # single-partition global window over every scored doc; the rank
+    # window then runs on the bounded 10-row result only.
+    top = (
         scored.select("doc_id", F.round("s", 6).alias("score"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
     )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 @query(

@@ -1,0 +1,103 @@
+"""Plan linter: each rule fires on a crafted scale-hostile plan and
+stays silent on the idiomatic alternative; assert_scalable gates on the
+allow-set contract; headline production queries come out clean."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+from pyspark.sql.window import Window
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.plan_lint import (
+    assert_scalable,
+    lint_plan,
+)
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+
+
+def _rules(df):
+    return {f["rule"] for f in lint_plan(df)}
+
+
+def test_cartesian_product_flagged(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    # small crossJoins compile to BNLJ (broadcastable side); a true
+    # CartesianProduct needs both sides non-broadcastable
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "cartesian-product" in _rules(a.crossJoin(b))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "nested-loop-join" in _rules(a.crossJoin(b))
+    # equi-join on the same relations: clean
+    assert _rules(a.join(b, a.id == b.id2)) & {"cartesian-product", "nested-loop-join"} == set()
+
+
+def test_nested_loop_join_flagged(spark):
+    a = spark.range(100).toDF("x")
+    b = spark.range(100).toDF("y")
+    nonequi = a.join(F.broadcast(b), F.col("x") < F.col("y"))
+    assert "nested-loop-join" in _rules(nonequi)
+
+
+def test_python_row_udf_flagged_arrow_not(spark):
+    rowudf = F.udf(lambda s: s.upper(), StringType(), useArrow=False)
+    df = spark.range(5).select(rowudf(F.col("id").cast("string")).alias("u"))
+    assert "python-row-udf" in _rules(df)
+    arrowudf = F.udf(lambda s: s.upper(), StringType(), useArrow=True)
+    df2 = spark.range(5).select(arrowudf(F.col("id").cast("string")).alias("u"))
+    assert "python-row-udf" not in _rules(df2)
+
+
+def test_single_partition_and_global_sort_flagged(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    # window without partitionBy: everything through one task
+    w = o.withColumn("r", F.row_number().over(Window.orderBy("o_orderkey")))
+    assert "single-partition" in _rules(w)
+    # partitioned window: clean
+    wp = o.withColumn(
+        "r", F.row_number().over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))
+    )
+    assert "single-partition" not in _rules(wp)
+    # unbounded global sort flagged; bounded top-k (TakeOrderedAndProject) not
+    assert "global-sort" in _rules(o.orderBy("o_totalprice"))
+    assert "global-sort" not in _rules(o.orderBy("o_totalprice").limit(10))
+
+
+def test_assert_scalable_contract(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    bad = a.crossJoin(b)  # compiles to BNLJ at this size
+    with pytest.raises(AssertionError, match="nested-loop-join"):
+        assert_scalable(bad)
+    allowed = assert_scalable(bad, allow={"nested-loop-join"})
+    assert [f["rule"] for f in allowed] == ["nested-loop-join"]
+    assert assert_scalable(a.join(b, a.id == b.id2)) == []
+
+
+def test_headline_queries_lint_clean(spark, sf_dir):
+    """The bench's production-path queries carry no scale-hostile plan
+    shapes at all — the generic linter agrees with the per-query plan
+    audits in tests/test_plans.py."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.queries import all_queries
+
+    q = all_queries()
+    # q113's corpus stats are a broadcast 1-ROW aggregate crossJoined onto
+    # the postings — a BNLJ by plan shape, bounded by contract (the
+    # documented broadcast-scalar pattern); everything else is fully clean
+    allowances = {"q113_bm25_topk": {"nested-loop-join"}}
+    for name in (
+        "q01_pricing_summary",
+        "q03_revenue_topn",
+        "q26_asof_join",
+        "q30_dedup_exact",
+        "q32_minhash_lsh",
+        "q77_latest_by_key",
+        "q100_decontaminate",
+        "q110_fuzzy_decontaminate",
+        "q113_bm25_topk",
+    ):
+        assert_scalable(q[name].fn(spark, sf_dir), allow=allowances.get(name, set()))
