@@ -55,7 +55,10 @@ _NEW_IN_R6: set[str] = {
     "q158_incremental_dedup", "q159_recursive_cte", "q160_lateral_topn",
     "q161_hard_negatives", "q162_quality_funnel", "q163_key_skew_audit",
     "q164_epoch_shards", "q165_vocab_coverage", "q166_source_overlap",
-    "q167_truncation_loss", "q168_lsh_param_sweep",
+    "q167_truncation_loss", "q168_lsh_param_sweep", "q169_lang_confusion",
+    "q170_deletion_manifest", "q171_temperature_mix", "q172_degenerate_runs",
+    "q173_label_shard_balance", "q174_dedup_growth_curve",
+    "q175_length_calibration", "q176_domain_overlap",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

@@ -163,8 +163,9 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_segments,
        CAST(sum(keep) AS BIGINT) AS n_kept,
        round(sum(keep) / CAST(count(*) AS DOUBLE), 6) AS kept_ratio,
-       md5(array_to_string(list(CASE WHEN keep = 1 THEN s END ORDER BY pos) FILTER (WHERE keep = 1), ' '))
-         AS rebuilt_md5
+       md5(coalesce(array_to_string(
+           list(CASE WHEN keep = 1 THEN s END ORDER BY pos) FILTER (WHERE keep = 1),
+           ' '), '')) AS rebuilt_md5
 FROM marked GROUP BY doc_id
 """,
     doc="CCNet-style segment-level dedup WITH REASSEMBLY: 12-word segments "
@@ -1164,4 +1165,574 @@ def q168(spark, sf_dir):
         F.sum(F.when(F.col("s") > 1, 1).otherwise(0)).cast("bigint").alias("n_multi_buckets"),
         F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("bigint").alias("candidate_pairs"),
         F.max("s").cast("bigint").alias("max_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169: language-ID confusion margins
+# ---------------------------------------------------------------------------
+
+_LANG_PROFILES = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "los", "las", "es", "y"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _lang_confusion_oracle() -> str:
+    score = {
+        lang: "sum(CASE WHEN w IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + ") THEN 1 ELSE 0 END)"
+        for lang, words in _LANG_PROFILES.items()
+    }
+    scores = ",\n         ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    langs = sorted(_LANG_PROFILES)
+    pred_branches = "\n           ".join(
+        f"WHEN s_{lang} >= s_" + f" AND s_{lang} >= s_".join(o for o in langs if o != lang)
+        + f" THEN '{lang}'"
+        for lang in langs[:-1]
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+sc AS (SELECT doc_id, lang,
+         {scores}
+       FROM tok GROUP BY doc_id, lang),
+p AS (
+  SELECT lang,
+         CASE
+           {pred_branches}
+           ELSE '{langs[-1]}' END AS pred_lang,
+         list_sort([s_de, s_en, s_es, s_fr])[4]
+           - list_sort([s_de, s_en, s_es, s_fr])[3] AS margin
+  FROM sc)
+SELECT lang, pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(margin) / CAST(count(*) AS DOUBLE), 6) AS avg_margin,
+       CAST(sum(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous
+FROM p GROUP BY lang, pred_lang
+"""
+
+
+@query(
+    "q169_lang_confusion",
+    oracle=_lang_confusion_oracle(),
+    doc="Language-ID confusion matrix WITH decision margins: stopword-"
+    "profile scores per language, argmax prediction (alphabetical "
+    "tie-break), and the top1−top2 score margin — the report that "
+    "separates confidently-wrong from barely-decided (margin 0 rows are "
+    "the docs a better classifier or human pass should revisit; q55 only "
+    "reports the facet). Scale: token stream reduces to 4 conditional "
+    "sums per doc map-side; the matrix is a |langs|²-bounded groupBy. "
+    "Margins are integer subtractions of integer sums — engine-exact; "
+    "the second-max comes from a sorted 4-element array on BOTH engines.",
+)
+def q169(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    aggs = [
+        F.sum(
+            F.when(F.col("w").isin(*_LANG_PROFILES[lang]), 1).otherwise(0)
+        ).alias(f"s_{lang}")
+        for lang in sorted(_LANG_PROFILES)
+    ]
+    sc = tok.groupBy("doc_id", "lang").agg(*aggs)
+    langs = sorted(_LANG_PROFILES)
+    pred = None
+    for lang in langs[:-1]:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(langs[-1])
+    arr = F.array_sort(F.array(*[F.col(f"s_{lang}") for lang in langs]))
+    p = sc.select(
+        "lang",
+        pred.alias("pred_lang"),
+        (F.get(arr, 3) - F.get(arr, 2)).alias("margin"),
+    )
+    return p.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.sum("margin") / F.count("*").cast("double"), 6).alias("avg_margin"),
+        F.sum(F.when(F.col("margin") == 0, 1).otherwise(0)).cast("bigint").alias("n_ambiguous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170: targeted-deletion (right-to-be-forgotten) manifest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q170_deletion_manifest",
+    oracle="""
+WITH req AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 13),
+cls AS (
+  SELECT d.source, d.doc_id,
+         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS del
+  FROM documents d LEFT JOIN req r ON d.doc_id = r.doc_id)
+SELECT source,
+       CAST(sum(del) AS BIGINT) AS n_deleted,
+       CAST(sum(1 - del) AS BIGINT) AS n_retained,
+       md5(coalesce(array_to_string(
+           list(CAST(doc_id AS VARCHAR) ORDER BY doc_id) FILTER (WHERE del = 1),
+           ','), '')) AS deleted_ids_md5
+FROM cls GROUP BY source
+""",
+    doc="Targeted-deletion audit manifest (the right-to-be-forgotten / "
+    "takedown operator every training-data pipeline must run): documents "
+    "matching a deletion-request key set are classified out, and the "
+    "manifest records per source how many were deleted/retained plus an "
+    "md5 over the ORDERED deleted-id list — the verifiable receipt that "
+    "exactly the requested ids (and nothing else) left the corpus. "
+    "Scale: the request list is broadcast (it is small by nature); the "
+    "corpus streams through one left-join + groupBy; the manifest hash "
+    "orders only within-group deleted ids. The retained side of the same "
+    "plan IS the next corpus snapshot — one pass for audit + rewrite.",
+)
+def q170(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    req = d.filter(F.col("doc_id") % 97 == 13).select("doc_id")
+    cls = d.select("source", "doc_id").join(
+        F.broadcast(req.withColumn("del", F.lit(1))), "doc_id", "left"
+    ).withColumn("del", F.coalesce(F.col("del"), F.lit(0)))
+    return cls.groupBy("source").agg(
+        F.sum("del").cast("bigint").alias("n_deleted"),
+        F.sum(1 - F.col("del")).cast("bigint").alias("n_retained"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("del") == 1, F.col("doc_id")))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("deleted_ids_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171: temperature-scaled multilingual mixture weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_temperature_mix",
+    oracle="""
+WITH per_lang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_docs) AS n FROM per_lang),
+w AS (
+  SELECT lang, n_docs,
+         round(n_docs / CAST(n AS DOUBLE), 6) AS p_raw,
+         CAST(round(pow(n_docs / CAST(n AS DOUBLE), 0.3), 6) AS DECIMAL(18, 6)) AS wt
+  FROM per_lang, tot),
+z AS (SELECT sum(wt) AS z FROM w)
+SELECT lang, n_docs, p_raw,
+       round(CAST(wt AS DOUBLE) / CAST(z AS DOUBLE), 6) AS p_temp,
+       round(CAST(wt AS DOUBLE) / CAST(z AS DOUBLE)
+             / (n_docs / CAST((SELECT n FROM tot) AS DOUBLE)), 6) AS upsample
+FROM w, z
+""",
+    doc="Temperature-scaled multilingual sampling weights (the mT5/XLM-R "
+    "alpha=0.3 recipe): per-language raw share p, tempered weight p^alpha "
+    "renormalized, and the implied upsample factor q/p — the table that "
+    "turns a skewed crawl into the language mix the training run actually "
+    "samples. Low-resource langs get upsample>1, the head gets <1. "
+    "Determinism: pow() terms are rounded to 6 dp THEN summed as "
+    "DECIMAL(18,6) (exact, order-independent); every output is a single "
+    "division of those exact quantities. Scale: reduces to one "
+    "|langs|-row relation immediately — corpus text never shuffles; the "
+    "1-row normalizer Z and total broadcast everywhere.",
+)
+def q171(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = per_lang.agg(F.sum("n_docs").alias("n"))
+    w = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n").cast("double"), 6).alias("p_raw"),
+        F.round(F.pow(F.col("n_docs") / F.col("n").cast("double"), F.lit(0.3)), 6)
+        .cast("decimal(18,6)")
+        .alias("wt"),
+        F.col("n"),
+    )
+    z = w.agg(F.sum("wt").alias("z"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "p_raw",
+        F.round(F.col("wt").cast("double") / F.col("z").cast("double"), 6).alias("p_temp"),
+        F.round(
+            (F.col("wt").cast("double") / F.col("z").cast("double"))
+            / (F.col("n_docs") / F.col("n").cast("double")),
+            6,
+        ).alias("upsample"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172: degenerate-text detection via token run lengths
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q172_degenerate_runs",
+    oracle="""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+pos AS (
+  SELECT doc_id, source, ws[i] AS w, i AS pos
+  FROM toks, unnest(range(1, len(ws) + 1)) AS r(i)),
+runs AS (
+  SELECT doc_id, source, w,
+         pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS grp
+  FROM pos),
+run_len AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS rl
+  FROM runs GROUP BY doc_id, source, w, grp),
+per_doc AS (
+  SELECT r.doc_id, r.source, max(r.rl) AS max_run, t.n, t.top_cnt
+  FROM run_len r
+  JOIN (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+               max(cnt) AS top_cnt
+        FROM (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+              FROM pos GROUP BY doc_id, w) c
+        GROUP BY doc_id) t ON r.doc_id = t.doc_id
+  GROUP BY r.doc_id, r.source, t.n, t.top_cnt)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_run_flagged,
+       CAST(sum(CASE WHEN top_cnt * 5 >= n THEN 1 ELSE 0 END) AS BIGINT) AS n_dominance_flagged,
+       CAST(max(max_run) AS BIGINT) AS worst_run,
+       round(sum(CAST(round(top_cnt / CAST(n AS DOUBLE), 6) AS DECIMAL(18, 6)))
+             / CAST(count(*) AS DOUBLE), 6) AS avg_dominance
+FROM per_doc GROUP BY source
+""",
+    doc="Degenerate-generation detector: per doc, the LONGEST consecutive "
+    "same-token run (gaps-and-islands: pos minus per-token row_number "
+    "groups a run; run length = group size) and top-token dominance "
+    "(max token count / doc length) — the two signatures of looping "
+    "model output ('the the the...' runs; one token eating >=20% of a "
+    "doc) that distinct-ratio metrics like q36 dilute away. Per-source "
+    "counts of run-flagged (run >= 3) and dominance-flagged (5*top >= n, "
+    "kept integral so the flag is engine-exact) docs. Scale: the token "
+    "stream partitions by (doc, token) for the run grouping and by doc "
+    "for totals — both partial-aggregate shuffles bounded by token "
+    "count; windows are within-doc, never global. avg_dominance sums "
+    "pre-rounded DECIMAL terms then divides once.",
+)
+def q172(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w"),
+    ).select("doc_id", "source", "w", (F.col("pos0") + 1).alias("pos"))
+    runs = pos.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id", "w").orderBy("pos")
+        ),
+    )
+    run_len = runs.groupBy("doc_id", "source", "w", "grp").agg(
+        F.count("*").cast("bigint").alias("rl")
+    )
+    cnt = pos.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("cnt"))
+    totals = cnt.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n"), F.max("cnt").alias("top_cnt")
+    )
+    per_doc = (
+        run_len.groupBy("doc_id", "source")
+        .agg(F.max("rl").alias("max_run"))
+        .join(totals, "doc_id")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("max_run") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_run_flagged"),
+        F.sum(F.when(F.col("top_cnt") * 5 >= F.col("n"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dominance_flagged"),
+        F.max("max_run").cast("bigint").alias("worst_run"),
+        F.round(
+            F.sum(
+                F.round(F.col("top_cnt") / F.col("n").cast("double"), 6).cast(
+                    "decimal(18,6)"
+                )
+            )
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_dominance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173: label x shard chi-square balance audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q173_label_shard_balance",
+    oracle="""
+WITH o AS (
+  SELECT label, vec_id % 8 AS shard, CAST(count(*) AS BIGINT) AS o
+  FROM embeddings GROUP BY label, vec_id % 8),
+rl AS (SELECT label, CAST(sum(o) AS BIGINT) AS rl FROM o GROUP BY label),
+cl AS (SELECT shard, CAST(sum(o) AS BIGINT) AS cl FROM o GROUP BY shard),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+t AS (
+  SELECT o.label, o.shard,
+         CAST(round(
+           CAST(o.o * n.n - rl.rl * cl.cl AS DOUBLE)
+           * CAST(o.o * n.n - rl.rl * cl.cl AS DOUBLE)
+           / (CAST(n.n AS DOUBLE) * rl.rl * cl.cl), 6) AS DECIMAL(18, 6)) AS term,
+         round(abs(o.o * n.n - rl.rl * cl.cl) / CAST(n.n AS DOUBLE), 6) AS dev
+  FROM o, rl, cl, n WHERE o.label = rl.label AND o.shard = cl.shard)
+SELECT label,
+       CAST((SELECT rl FROM rl r WHERE r.label = t.label) AS BIGINT) AS n_vecs,
+       round(CAST(sum(term) AS DOUBLE), 6) AS chi2_contrib,
+       round(max(dev), 6) AS max_abs_dev
+FROM t GROUP BY label
+""",
+    doc="Shard-balance audit as a chi-square contingency: labels x shards "
+    "(shard = vec_id % 8, the epoch-shard key), per-cell term "
+    "(o*N - rowTot*colTot)^2 / (N*rowTot*colTot) — algebraically "
+    "(o-e)^2/e with the expectation kept in INTEGER products so the only "
+    "float ops are one IEEE multiply and one divide per cell (engine-"
+    "exact), then a DECIMAL sum of 6-dp-rounded terms. A label whose "
+    "chi2_contrib spikes is concentrated in some shards — training on "
+    "shard-sequential order would see it in bursts. Scale: the "
+    "contingency is |labels|x|shards| rows after one partial-agg "
+    "groupBy; row/col totals re-aggregate THAT relation, never the "
+    "corpus; everything downstream is broadcast-sized.",
+)
+def q173(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    o = e.groupBy(
+        "label", (F.col("vec_id") % 8).alias("shard")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rl = o.groupBy("label").agg(F.sum("o").cast("bigint").alias("rl"))
+    cl = o.groupBy("shard").agg(F.sum("o").cast("bigint").alias("cl"))
+    n = o.agg(F.sum("o").cast("bigint").alias("n"))
+    num = (F.col("o") * F.col("n") - F.col("rl") * F.col("cl")).cast("double")
+    t = (
+        o.join(F.broadcast(rl), "label")
+        .join(F.broadcast(cl), "shard")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "label",
+            "rl",
+            F.round(
+                num * num / (F.col("n").cast("double") * F.col("rl") * F.col("cl")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("term"),
+            F.round(
+                F.abs(F.col("o") * F.col("n") - F.col("rl") * F.col("cl"))
+                / F.col("n").cast("double"),
+                6,
+            ).alias("dev"),
+        )
+    )
+    return t.groupBy("label").agg(
+        F.max("rl").cast("bigint").alias("n_vecs"),
+        F.round(F.sum("term").cast("double"), 6).alias("chi2_contrib"),
+        F.round(F.max("dev"), 6).alias("max_abs_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q174: duplication growth curve over ingestion order
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q174_dedup_growth_curve",
+    oracle="""
+WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+firsts AS (SELECT fp, min(doc_id) AS first_doc FROM fp GROUP BY fp),
+db AS (SELECT CAST(doc_id // 100 AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM fp GROUP BY doc_id // 100),
+nb AS (SELECT CAST(first_doc // 100 AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_new
+       FROM firsts GROUP BY first_doc // 100),
+cur AS (
+  SELECT db.bucket, db.n_docs, coalesce(nb.n_new, 0) AS n_new
+  FROM db LEFT JOIN nb ON db.bucket = nb.bucket)
+SELECT bucket, n_docs, CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+       CAST(sum(n_new) OVER (ORDER BY bucket) AS BIGINT) AS cum_new,
+       round(sum(n_new) OVER (ORDER BY bucket)
+             / CAST(sum(n_docs) OVER (ORDER BY bucket) AS DOUBLE), 6)
+         AS distinct_ratio
+FROM cur
+""",
+    doc="Duplication growth curve: with doc_id as ingestion order, how the "
+    "cumulative distinct-content ratio decays as the corpus grows — each "
+    "100-doc bucket reports new-fingerprint count and the running "
+    "distinct/total ratio. A flattening curve says the crawl is "
+    "re-fetching what it already has (diminishing returns — the "
+    "measurement behind 'stop crawling this source'). Scale: fingerprints "
+    "reduce map-side to (fp, min doc_id); both bucket relations are "
+    "corpus/100 rows; the only window runs over THAT bounded bucket "
+    "relation, not over documents. Ratios are single divisions of exact "
+    "BIGINT cumulative sums.",
+)
+def q174(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5("text").alias("fp"))
+    firsts = fp.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    db = fp.groupBy(F.floor(F.col("doc_id") / 100).alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    nb = firsts.groupBy(F.floor(F.col("first_doc") / 100).alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    cur = db.join(nb, "bucket", "left").select(
+        "bucket", "n_docs", F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return cur.select(
+        "bucket",
+        "n_docs",
+        "n_new",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_new"),
+        F.round(
+            F.sum("n_new").over(w) / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175: cross-source length-calibration table (tie-stable global deciles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q175_length_calibration",
+    oracle="""
+WITH vc AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY n_chars),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+dec AS (
+  SELECT v, least(CAST(10 * (sum(c) OVER (ORDER BY v) - c) // n.n AS BIGINT), 9)
+           AS decile
+  FROM vc, n),
+cls AS (
+  SELECT d.source, dec.decile FROM documents d JOIN dec ON d.n_chars = dec.v),
+src AS (SELECT source, CAST(count(*) AS BIGINT) AS src_n FROM documents GROUP BY source)
+SELECT c.source, c.decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) / CAST(max(s.src_n) AS DOUBLE), 6) AS share
+FROM cls c JOIN src s ON c.source = s.source
+GROUP BY c.source, c.decile
+""",
+    doc="Cross-source length-calibration: each document's n_chars is mapped "
+    "to a GLOBAL decile and the table reports, per source, how its mass "
+    "spreads across those deciles — a source bunched in deciles 0-2 "
+    "contributes systematically shorter docs than the corpus norm (the "
+    "check run before trusting a shared length/quality threshold across "
+    "feeds). Deciles are TIE-STABLE by construction: computed per "
+    "DISTINCT VALUE as floor(10 * count_strictly_below / N) — identical "
+    "docs can never straddle a decile boundary, so no engine-specific "
+    "ntile tie-break leaks in, and the only window runs over the "
+    "distinct-value relation (bounded by value cardinality), never a "
+    "global per-doc sort. Docs join back by value (broadcast-sized map).",
+)
+def q175(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    vc = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    n = vc.agg(F.sum("c").cast("bigint").alias("n"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    dec = vc.crossJoin(F.broadcast(n)).select(
+        "v",
+        F.least(
+            F.floor(10 * (F.sum("c").over(w) - F.col("c")) / F.col("n")), F.lit(9)
+        )
+        .cast("bigint")
+        .alias("decile"),
+    )
+    cls = d.join(F.broadcast(dec), d["n_chars"] == dec["v"]).select("source", "decile")
+    src = d.groupBy("source").agg(F.count("*").cast("bigint").alias("src_n"))
+    return (
+        cls.join(F.broadcast(src), "source")
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.count("*") / F.max("src_n").cast("double"), 6).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176: n-gram overlap with a target domain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q176_domain_overlap",
+    oracle="""
+WITH toks AS (SELECT doc_id, source, lang, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT source, lang,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))) AS gh
+      FROM toks),
+sg AS (SELECT DISTINCT source, gh FROM g),
+target AS (SELECT DISTINCT gh FROM g WHERE lang = 'en')
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gh IN (SELECT gh FROM target) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_target,
+       round(sum(CASE WHEN gh IN (SELECT gh FROM target) THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS overlap
+FROM sg GROUP BY source
+""",
+    doc="Domain-affinity score: per source, the fraction of its DISTINCT "
+    "word-3-gram fingerprints that also occur in the target domain "
+    "(here: the English-language slice) — the cheap distributional-"
+    "closeness proxy used to rank candidate feeds for domain-targeted "
+    "data selection (a lexical cousin of importance-resampling "
+    "selection). Scale: 3-grams hash to 16-byte md5 map-side and "
+    "per-doc/per-source DISTINCTs are partial-aggregated before any "
+    "shuffle; the target set is source-independent and the membership "
+    "test is one left-semi-style join keyed on the hash — text itself "
+    "never shuffles.",
+)
+def q176(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "source",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+                    " i -> md5(concat_ws(' ', slice(split(text, ' '), i, 3))))"
+                )
+            )
+        ).alias("gh"),
+    )
+    sg = g.select("source", "gh").distinct()
+    target = g.filter(F.col("lang") == "en").select("gh").distinct()
+    hit = sg.join(
+        target.withColumn("in_t", F.lit(1)), "gh", "left"
+    ).select("source", F.coalesce("in_t", F.lit(0)).alias("in_t"))
+    return hit.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum("in_t").cast("bigint").alias("n_in_target"),
+        F.round(F.sum("in_t") / F.count("*").cast("double"), 6).alias("overlap"),
     )

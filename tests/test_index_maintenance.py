@@ -1,0 +1,69 @@
+"""Versioned fingerprint index: per-batch classification precedence,
+version advance on each update, crash-dangling versions skipped, and the
+classification agreeing with q158's derive-from-scratch semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
+    ingest_with_index,
+    read_fingerprint_index,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ingest_classification_and_versioning(spark, tmp_path):
+    idx_path = str(tmp_path / "fpidx")
+    b1 = _docs(spark, [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")])
+    r1 = {r["doc_id"]: r["status"] for r in ingest_with_index(spark, idx_path, b1).collect()}
+    # empty index: first occurrence ingests, repeat within batch is flagged
+    assert r1 == {
+        1: "ingested",
+        2: "ingested",
+        3: "duplicate_batch",
+        4: "ingested",
+    }
+    assert read_fingerprint_index(spark, idx_path).count() == 3
+
+    # batch 2: corpus match outranks within-batch; new content ingests
+    b2 = _docs(spark, [(10, "alpha"), (11, "delta"), (12, "delta"), (13, "beta")])
+    r2 = {r["doc_id"]: r["status"] for r in ingest_with_index(spark, idx_path, b2).collect()}
+    assert r2 == {
+        10: "duplicate_corpus",
+        11: "ingested",
+        12: "duplicate_batch",
+        13: "duplicate_corpus",
+    }
+    idx = read_fingerprint_index(spark, idx_path)
+    assert idx.count() == 4  # alpha, beta, gamma, delta
+    # the index remembers the FIRST doc to carry each fingerprint
+    first = {r["fp"]: r["first_doc_id"] for r in idx.collect()}
+    alpha_fp = b1.select(F.md5("text")).filter(F.col("doc_id") == 1).first()[0]
+    assert first[alpha_fp] == 1
+    # two committed versions on disk
+    assert sorted(
+        d for d in os.listdir(idx_path) if d.startswith("v=")
+    ) == ["v=0", "v=1"]
+
+
+def test_uncommitted_version_is_invisible(spark, tmp_path):
+    idx_path = str(tmp_path / "fpidx2")
+    ingest_with_index(spark, idx_path, _docs(spark, [(1, "a"), (2, "b")]))
+    # simulate a crashed update: dir exists, no _SUCCESS marker
+    dangling = os.path.join(idx_path, "v=1")
+    os.makedirs(dangling)
+    assert read_fingerprint_index(spark, idx_path).count() == 2  # reads v=0
+    # the next update overwrites the dangling dir and commits properly
+    r = {
+        x["doc_id"]: x["status"]
+        for x in ingest_with_index(spark, idx_path, _docs(spark, [(9, "c")])).collect()
+    }
+    assert r == {9: "ingested"}
+    assert os.path.exists(os.path.join(dangling, "_SUCCESS"))
+    assert read_fingerprint_index(spark, idx_path).count() == 3

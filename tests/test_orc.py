@@ -66,3 +66,22 @@ def test_orc_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert plan.split("PartitionFilters")[1][:200].count("l_returnflag") >= 1
     expect = li.filter(F.col("l_returnflag") == "R").count()
     assert q.count() == expect
+
+
+def test_avro_roundtrip_where_deployed(spark, tmp_path):
+    """spark-avro is an EXTERNAL module (not in the pyspark wheel); this
+    container has no jar, so the write raises and the test documents the
+    gate — where the jar is deployed the roundtrip parity runs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    path = str(tmp_path / "avro")
+    try:
+        df.write.mode("overwrite").format("avro").save(path)
+    except Exception as e:
+        assert "Failed to find data source: avro" in str(e)
+        pytest.skip("spark-avro jar not deployed in this container (external module)")
+    back = spark.read.format("avro").load(path)
+    assert back.count() == 10
+    assert sorted(r["v"] for r in back.collect()) == [i * 2 for i in range(10)]
