@@ -1,0 +1,114 @@
+"""Streaming fingerprint-index ingest: per-micro-batch classification
+against the pre-batch index version, one version advance per batch, and
+exactly-once semantics under foreachBatch replay (marker-first ledger)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
+    read_fingerprint_index,
+)
+from etl_pipeline_for_elasticsearch_json_document_spark.streaming.index_ingest import (
+    _index_batch_processor,
+    run_index_ingest_stream,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").json(path)
+
+
+def test_stream_classifies_and_advances_index(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # one file per micro-batch (maxFilesPerTrigger=1) => deterministic
+    # batch boundaries; file names order the batches
+    _write_batch(spark, src, [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = run_index_ingest_stream(stream, idx, out, ckpt)
+    q.awaitTermination(120)
+
+    res = spark.read.parquet(out)
+    r1 = {r["doc_id"]: r["status"] for r in res.collect()}
+    assert r1 == {1: "ingested", 2: "ingested", 3: "duplicate_batch"}
+    assert read_fingerprint_index(spark, idx).count() == 2
+
+    # second run over NEW data: corpus matches outrank within-batch dups
+    _write_batch(spark, src, [(10, "alpha"), (11, "delta"), (12, "delta")])
+    q = run_index_ingest_stream(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src),
+        idx,
+        out,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    res = spark.read.parquet(out)
+    r2 = {r["doc_id"]: r["status"] for r in res.collect()}
+    assert r2 == {
+        1: "ingested",
+        2: "ingested",
+        3: "duplicate_batch",
+        10: "duplicate_corpus",
+        11: "ingested",
+        12: "duplicate_batch",
+    }
+    idx_df = read_fingerprint_index(spark, idx)
+    assert idx_df.count() == 3  # alpha, beta, delta
+    # alpha is remembered under its FIRST ever doc id
+    firsts = {r["fp"]: r["first_doc_id"] for r in idx_df.collect()}
+    alpha_fp = spark.createDataFrame([(1, "alpha")], SCHEMA).select(
+        F.md5("text")
+    ).first()[0]
+    assert firsts[alpha_fp] == 1
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """Replaying the SAME (lineage, batch) after the index advanced must
+    reproduce the original classification byte-for-byte and must not
+    advance the index again — the marker pins the base version."""
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    proc = _index_batch_processor(idx, out, ckpt_id="lineageA")
+
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], SCHEMA)
+    proc(b0, 0)
+    first = sorted(
+        (r["doc_id"], r["status"])
+        for r in spark.read.parquet(os.path.join(out, "batch=lineageA-0")).collect()
+    )
+    assert first == [(1, "ingested"), (2, "ingested")]
+    assert read_fingerprint_index(spark, idx).count() == 2
+
+    # crash-replay of batch 0: without the ledger, both docs would now be
+    # flagged duplicate_corpus against the index THEY populated
+    proc(b0, 0)
+    replay = sorted(
+        (r["doc_id"], r["status"])
+        for r in spark.read.parquet(os.path.join(out, "batch=lineageA-0")).collect()
+    )
+    assert replay == first
+    versions = sorted(
+        d for d in os.listdir(idx) if d.startswith("v=")
+    )
+    assert versions == ["v=0"]  # no double-advance
+
+    # a DIFFERENT lineage's batch 0 is new data, not a replay
+    proc2 = _index_batch_processor(idx, out, ckpt_id="lineageB")
+    proc2(spark.createDataFrame([(5, "alpha"), (6, "gamma")], SCHEMA), 0)
+    r = {
+        x["doc_id"]: x["status"]
+        for x in spark.read.parquet(os.path.join(out, "batch=lineageB-0")).collect()
+    }
+    assert r == {5: "duplicate_corpus", 6: "ingested"}
+    assert read_fingerprint_index(spark, idx).count() == 3
