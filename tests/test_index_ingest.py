@@ -112,3 +112,87 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     }
     assert r == {5: "duplicate_corpus", 6: "ingested"}
     assert read_fingerprint_index(spark, idx).count() == 3
+
+
+def test_es_tail_feeds_index_ingest(spark, tmp_path):
+    """The full live-dedup story: tail the (fake) ES cluster as a stream
+    and classify every arriving document against the persistent
+    fingerprint index — duplicates across separate stream RUNS are
+    caught because the index, not the stream, carries the memory."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks import (
+        elasticsearch as es_sink,
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_stream import (
+        EsTailDataSource,
+    )
+    from tests.fake_es import start_fake_es
+
+    server, base_url = start_fake_es()
+    try:
+        spark.dataSource.register(EsTailDataSource)
+        index_name = "live_docs"
+
+        def _bulk(lo, hi, payload_of):
+            docs = spark.createDataFrame(
+                [(i, payload_of(i)) for i in range(lo, hi)],
+                "doc_id long, payload string",
+            )
+            out = str(tmp_path / f"bulk_{lo}_{hi}")
+            es_sink.write_bulk_files(docs.coalesce(1), out, index_name, id_col="doc_id")
+            es_sink.replay_bulk_files(out, base_url)
+
+        def _drain():
+            stream = (
+                spark.readStream.format("es_tail")
+                .option("url", base_url)
+                .option("index", index_name)
+                .option("sort", "doc_id")
+                .option("page_size", "16")
+                .load()
+                .select(
+                    F.col("_id").cast("long").alias("doc_id"),
+                    F.get_json_object("source_json", "$.payload").alias("payload"),
+                )
+            )
+            q = run_index_ingest_stream(
+                stream,
+                str(tmp_path / "fpidx"),
+                str(tmp_path / "cls"),
+                str(tmp_path / "ckpt_es"),
+                id_col="doc_id",
+                text_col="payload",
+            )
+            q.awaitTermination(120)
+
+        # run 1: ids 0..9, payload repeats every 4 => 4 distinct contents
+        _bulk(0, 10, lambda i: f"content-{i % 4}")
+        _drain()
+        res = spark.read.parquet(str(tmp_path / "cls"))
+        by_status = {
+            r["status"]: r["n"]
+            for r in res.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_status == {"ingested": 4, "duplicate_batch": 6}
+        assert read_fingerprint_index(spark, str(tmp_path / "fpidx")).count() == 4
+
+        # run 2 (same checkpoint): new ids, 2 contents already in the
+        # corpus + 2 genuinely new => the index remembers across runs
+        _bulk(100, 104, lambda i: f"content-{i % 2}" if i < 102 else f"new-{i}")
+        _drain()
+        res2 = spark.read.parquet(str(tmp_path / "cls"))
+        new_rows = {
+            r["doc_id"]: r["status"]
+            for r in res2.filter(F.col("doc_id") >= 100).collect()
+        }
+        assert new_rows == {
+            100: "duplicate_corpus",
+            101: "duplicate_corpus",
+            102: "ingested",
+            103: "ingested",
+        }
+        assert read_fingerprint_index(spark, str(tmp_path / "fpidx")).count() == 6
+    finally:
+        server.shutdown()
+        server.server_close()
