@@ -80,6 +80,11 @@ class HttpEsClient:
         total-documents pre-check)."""
         return self._post_json(f"/{index}/_count", body or {})
 
+    def mapping(self, index: str) -> dict[str, Any]:
+        """``GET /{index}/_mapping`` — the index's field-type mapping
+        (the schema source for :mod:`.es_mapping`)."""
+        return self._request("GET", f"/{index}/_mapping", None, "application/json")
+
     def bulk_ndjson(
         self,
         payload: str,

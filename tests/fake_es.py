@@ -67,6 +67,47 @@ def _sort_spec(body: dict[str, Any]) -> list[tuple[str, bool]]:
     return spec
 
 
+def _es_type_of(value: Any) -> dict[str, Any]:
+    """Dynamic-mapping type for one JSON value (real ES's defaults:
+    JSON string → text with a .keyword subfield, integer → long,
+    decimal → float, bool → boolean, object → recursed properties;
+    JSON arrays are typed by their elements — arrays are invisible to
+    ES mappings)."""
+    if isinstance(value, bool):
+        return {"type": "boolean"}
+    if isinstance(value, int):
+        return {"type": "long"}
+    if isinstance(value, float):
+        return {"type": "float"}
+    if isinstance(value, dict):
+        return {"properties": _merge_properties([value])}
+    if isinstance(value, list):
+        for v in value:
+            if v is not None:
+                return _es_type_of(v)
+        return {}
+    return {
+        "type": "text",
+        "fields": {"keyword": {"type": "keyword", "ignore_above": 256}},
+    }
+
+
+def _merge_properties(docs: list[dict]) -> dict[str, Any]:
+    props: dict[str, Any] = {}
+    for doc in docs:
+        for field, value in doc.items():
+            if value is None or field in props:
+                continue  # first-typed wins, like real ES dynamic mapping
+            t = _es_type_of(value)
+            if t:
+                props[field] = t
+    return props
+
+
+def _dynamic_mapping(docs: list[dict]) -> dict[str, Any]:
+    return {"properties": _merge_properties(docs)} if docs else {}
+
+
 class _Handler(BaseHTTPRequestHandler):
     state: _State  # assigned by start_fake_es
 
@@ -141,6 +182,17 @@ class _Handler(BaseHTTPRequestHandler):
                 items.append({op: {"_index": index, "_id": str(doc_id), "status": 200}})
                 i += 2
         self._reply({"errors": False, "items": items})
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        path = self.path.split("?", 1)[0]
+        parts = [p for p in path.split("/") if p]
+        if len(parts) == 2 and parts[1] == "_mapping":
+            index = parts[0]
+            with self.state.lock:
+                docs = list(self.state.indices.get(index, {}).values())
+            self._reply({index: {"mappings": _dynamic_mapping(docs)}})
+        else:
+            self._reply({"error": f"unsupported path {self.path}"}, status=400)
 
     def do_DELETE(self) -> None:  # noqa: N802 (http.server API)
         path = self.path.split("?", 1)[0]
