@@ -58,7 +58,8 @@ _NEW_IN_R6: set[str] = {
     "q167_truncation_loss", "q168_lsh_param_sweep", "q169_lang_confusion",
     "q170_deletion_manifest", "q171_temperature_mix", "q172_degenerate_runs",
     "q173_label_shard_balance", "q174_dedup_growth_curve",
-    "q175_length_calibration", "q176_domain_overlap",
+    "q175_length_calibration", "q176_domain_overlap", "q177_code_switching",
+    "q178_canary_scan",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

@@ -1736,3 +1736,197 @@ def q176(spark, sf_dir):
         F.sum("in_t").cast("bigint").alias("n_in_target"),
         F.round(F.sum("in_t") / F.count("*").cast("double"), 6).alias("overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q177: code-switching (intra-document language shift) matrix
+# ---------------------------------------------------------------------------
+
+
+def _half_scores_duck(half_expr: str) -> str:
+    return ",\n         ".join(
+        f"sum(CASE WHEN {half_expr} AND w IN ("
+        + ", ".join(f"'{t}'" for t in _LANG_PROFILES[lang])
+        + f") THEN 1 ELSE 0 END) AS {{h}}_s_{lang}"
+        for lang in sorted(_LANG_PROFILES)
+    )
+
+
+def _argmax_duck(prefix: str) -> str:
+    langs = sorted(_LANG_PROFILES)
+    branches = "\n           ".join(
+        f"WHEN {prefix}_s_{lang} >= {prefix}_s_"
+        + f" AND {prefix}_s_{lang} >= {prefix}_s_".join(
+            o for o in langs if o != lang
+        )
+        + f" THEN '{lang}'"
+        for lang in langs[:-1]
+    )
+    return f"CASE\n           {branches}\n           ELSE '{langs[-1]}' END"
+
+
+def _code_switch_oracle() -> str:
+    first = _half_scores_duck("pos * 2 <= n").format(h="a")
+    second = _half_scores_duck("pos * 2 > n").format(h="b")
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (
+  SELECT doc_id, ws[i] AS w, i AS pos, len(ws) AS n
+  FROM toks, unnest(range(1, len(ws) + 1)) AS r(i)),
+sc AS (SELECT doc_id,
+         {first},
+         {second}
+       FROM pos GROUP BY doc_id),
+p AS (SELECT {_argmax_duck('a')} AS lang_head,
+             {_argmax_duck('b')} AS lang_tail
+      FROM sc)
+SELECT lang_head, lang_tail,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang_head, lang_tail
+"""
+
+
+@query(
+    "q177_code_switching",
+    oracle=_code_switch_oracle(),
+    doc="Code-switching / language-shift matrix: each document's token "
+    "stream is split at its midpoint (pos*2 <= n, an integer predicate — "
+    "no float boundary), each half classified by stopword-profile argmax "
+    "(alphabetical tie-break, same rule as q169), and the (head-lang, "
+    "tail-lang) transition matrix reported. Off-diagonal mass is the "
+    "language-mixing rate — docs a single whole-doc language label "
+    "(q55/q169) silently mislabels, which poisons per-language sampling "
+    "weights (q171) and lang-conditioned filters. Scale: the token "
+    "stream reduces map-side to 8 conditional sums per doc; the matrix "
+    "is |langs|²-bounded. Every comparison is integer.",
+)
+def q177(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    # token count computed BEFORE the explode: the midpoint predicate is
+    # then map-side arithmetic — no per-doc window over the token stream
+    pos = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w"),
+    ).select("doc_id", "w", (F.col("pos0") + 1).alias("pos"), "n")
+    langs = sorted(_LANG_PROFILES)
+    aggs = []
+    for prefix, pred in (("a", F.col("pos") * 2 <= F.col("n")),
+                         ("b", F.col("pos") * 2 > F.col("n"))):
+        for lang in langs:
+            aggs.append(
+                F.sum(
+                    F.when(pred & F.col("w").isin(*_LANG_PROFILES[lang]), 1)
+                    .otherwise(0)
+                ).alias(f"{prefix}_s_{lang}")
+            )
+    sc = pos.groupBy("doc_id").agg(*aggs)
+
+    def argmax(prefix):
+        pred = None
+        for lang in langs[:-1]:
+            cond = None
+            for other in langs:
+                if other == lang:
+                    continue
+                c = F.col(f"{prefix}_s_{lang}") >= F.col(f"{prefix}_s_{other}")
+                cond = c if cond is None else (cond & c)
+            pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+        return pred.otherwise(langs[-1])
+
+    p = sc.select(argmax("a").alias("lang_head"), argmax("b").alias("lang_tail"))
+    return p.groupBy("lang_head", "lang_tail").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178: canary-marker contamination scan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q178_canary_scan",
+    oracle="""
+WITH test_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 5),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) - 4),
+             i -> array_to_string(string_split(text, ' ')[i:i+5], ' '))) AS gram
+  FROM test_docs),
+ranked AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rk
+  FROM grams GROUP BY doc_id, gram),
+canaries AS (SELECT doc_id AS canary_doc, gram AS canary FROM ranked WHERE rk = 1),
+hits AS (
+  SELECT c.canary_doc, c.canary,
+         CASE WHEN d.doc_id % 97 <> 5 AND contains(d.text, c.canary)
+              THEN 1 ELSE 0 END AS hit,
+         CASE WHEN d.doc_id % 97 <> 5 THEN
+           (len(d.text) - len(replace(d.text, c.canary, ''))) // len(c.canary)
+         ELSE 0 END AS occ
+  FROM canaries c, documents d)
+SELECT canary_doc, canary,
+       CAST(sum(hit) AS BIGINT) AS n_docs_hit,
+       CAST(sum(occ) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY canary_doc, canary
+""",
+    doc="Canary contamination scan: each held-out document (doc_id%97=5) "
+    "contributes its most-frequent word-6-gram as a canary marker "
+    "(deterministic argmax: count desc, gram asc), and the training "
+    "corpus is swept for verbatim occurrences — hit-doc count plus total "
+    "occurrence count via the replace-length identity "
+    "(len - len(replace))//len(canary), exact integer arithmetic on both "
+    "engines. This is the memorization-audit primitive (canary strings "
+    "planted or discovered, then searched verbatim); q100/q110 measure "
+    "n-gram OVERLAP, this measures literal substring presence including "
+    "across token boundaries. Scale: the canary set is K rows and "
+    "BROADCAST against the corpus scan (one pass, no shuffle of text); "
+    "per-test-doc argmax is a bounded window over that doc's own grams.",
+)
+def q178(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    test_docs = d.filter(F.col("doc_id") % 97 == 5)
+    grams = test_docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 5, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 6)))"
+            )
+        ).alias("gram"),
+    )
+    ranked = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram"))
+        ),
+    )
+    canaries = ranked.filter(F.col("rk") == 1).select(
+        F.col("doc_id").alias("canary_doc"), F.col("gram").alias("canary")
+    )
+    train = F.col("doc_id") % 97 != 5
+    hits = d.crossJoin(F.broadcast(canaries)).select(
+        "canary_doc",
+        "canary",
+        F.when(train & F.col("text").contains(F.col("canary")), 1)
+        .otherwise(0)
+        .alias("hit"),
+        F.when(
+            train,
+            F.floor(
+                (F.length("text") - F.length(F.replace(F.col("text"), F.col("canary"))))
+                / F.length("canary")
+            ),
+        )
+        .otherwise(0)
+        .alias("occ"),
+    )
+    return hits.groupBy("canary_doc", "canary").agg(
+        F.sum("hit").cast("bigint").alias("n_docs_hit"),
+        F.sum("occ").cast("bigint").alias("n_occurrences"),
+    )
