@@ -1,0 +1,136 @@
+"""Incremental rollup: batch-by-batch updates equal the one-shot
+aggregate exactly, non-decomposable measures are refused, crashed
+versions stay invisible, and the merge plan never rescans history."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.rollup_maintenance import (
+    read_rollup,
+    update_rollup,
+)
+
+SCHEMA = "day string, event_type string, value long"
+MEASURES = {
+    "n_events": ("count", "*"),
+    "total": ("sum", "value"),
+    "vmin": ("min", "value"),
+    "vmax": ("max", "value"),
+}
+KEYS = ["day", "event_type"]
+
+B1 = [("d1", "click", 5), ("d1", "click", 7), ("d1", "view", 1)]
+B2 = [("d1", "click", 2), ("d2", "view", 9), ("d2", "view", 3)]
+B3 = [("d2", "view", 11), ("d3", "buy", 4)]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_equals_one_shot(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    assert read_rollup(spark, path) is None
+    for b in (B1, B2, B3):
+        update_rollup(spark, path, spark.createDataFrame(b, SCHEMA), KEYS, MEASURES)
+    standing = read_rollup(spark, path)
+
+    allb = spark.createDataFrame(B1 + B2 + B3, SCHEMA)
+    oneshot = allb.groupBy(*KEYS).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("value").cast("long").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    assert _rows(standing) == _rows(oneshot)
+    # three committed versions, one per batch
+    assert sorted(d for d in os.listdir(path) if d.startswith("v=")) == [
+        "v=0",
+        "v=1",
+        "v=2",
+    ]
+
+
+def test_non_decomposable_measure_refused(spark, tmp_path):
+    with pytest.raises(ValueError, match="not decomposable"):
+        update_rollup(
+            spark,
+            str(tmp_path / "r"),
+            spark.createDataFrame(B1, SCHEMA),
+            KEYS,
+            {"bad": ("median", "value")},
+        )
+
+
+def test_crashed_version_invisible_then_overwritten(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    update_rollup(spark, path, spark.createDataFrame(B1, SCHEMA), KEYS, MEASURES)
+    os.makedirs(os.path.join(path, "v=1"))  # dangling: no _SUCCESS
+    v0 = _rows(read_rollup(spark, path))
+    assert v0 and all(r[0] == "d1" for r in v0)  # still reads v=0
+    update_rollup(spark, path, spark.createDataFrame(B2, SCHEMA), KEYS, MEASURES)
+    assert os.path.exists(os.path.join(path, "v=1", "_SUCCESS"))
+    got = {(r["day"], r["event_type"]): r["total"] for r in read_rollup(spark, path).collect()}
+    assert got == {("d1", "click"): 14, ("d1", "view"): 1, ("d2", "view"): 12}
+
+
+def test_update_plan_reads_standing_not_history(spark, tmp_path):
+    """The merge scans (standing rollup ∪ new batch) only — exactly one
+    parquet scan of the LATEST version, none of the older ones."""
+    path = str(tmp_path / "rollup")
+    for b in (B1, B2):
+        update_rollup(spark, path, spark.createDataFrame(b, SCHEMA), KEYS, MEASURES)
+    standing = read_rollup(spark, path)
+    files = standing.inputFiles()
+    assert files and all("v=1" in f for f in files)
+    assert not any("v=0" in f for f in files)
+
+
+def test_streamed_rollup_matches_batch_and_survives_replay(spark, tmp_path):
+    """File-fed stream (one file per micro-batch) builds the same rollup
+    as the one-shot aggregate; a crash-replay of a batch neither
+    double-counts nor diverges (marker-first ledger)."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.rollup_job import (
+        _rollup_batch_processor,
+        run_rollup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    for b in (B1, B2, B3):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode("append").json(src)
+    path = str(tmp_path / "rollup_s")
+    q = run_rollup_stream(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src),
+        path,
+        str(tmp_path / "ckpt"),
+        KEYS,
+        MEASURES,
+    )
+    q.awaitTermination(120)
+    oneshot = spark.createDataFrame(B1 + B2 + B3, SCHEMA).groupBy(*KEYS).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("value").cast("long").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    assert _rows(read_rollup(spark, path)) == _rows(oneshot)
+
+    # direct crash-replay of the LAST batch via the exposed processor:
+    # same lineage + batch id => fully-applied, must be a no-op
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.identity import (
+        checkpoint_identity,
+    )
+
+    ckpt_id = checkpoint_identity(str(tmp_path / "ckpt"))
+    proc = _rollup_batch_processor(path, ckpt_id, KEYS, MEASURES)
+    last_batch = sorted(int(m.rsplit("-", 1)[1]) for m in os.listdir(
+        os.path.join(path, "_ledger")) if m.startswith(ckpt_id))[-1]
+    before = _rows(read_rollup(spark, path))
+    proc(spark.createDataFrame(B3, SCHEMA), last_batch)
+    assert _rows(read_rollup(spark, path)) == before
+    versions = sorted(d for d in os.listdir(path) if d.startswith("v="))
+    assert versions == ["v=0", "v=1", "v=2"]
