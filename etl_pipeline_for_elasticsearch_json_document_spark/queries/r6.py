@@ -1930,3 +1930,197 @@ def q178(spark, sf_dir):
         F.sum("hit").cast("bigint").alias("n_docs_hit"),
         F.sum("occ").cast("bigint").alias("n_occurrences"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q179: quality-filter redundancy matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q179_filter_redundancy",
+    oracle="""
+WITH fp AS (SELECT md5(text) AS f, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY md5(text)),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+dom AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+               CAST(sum(cnt) AS BIGINT) AS n
+        FROM (SELECT doc_id, w, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(ws) AS w FROM tok) GROUP BY doc_id, w)
+        GROUP BY doc_id),
+p25 AS (SELECT CAST(max(n_chars) AS BIGINT) AS cutoff FROM (
+          SELECT n_chars, sum(1) OVER (ORDER BY n_chars, doc_id) AS rn
+          FROM documents) WHERE rn * 4 <= (SELECT count(*) FROM documents)),
+flags AS (
+  SELECT CASE WHEN d.n_chars <= p25.cutoff THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN fp.c > 1 THEN 1 ELSE 0 END AS f_dup,
+         CASE WHEN dom.top_cnt * 5 >= dom.n THEN 1 ELSE 0 END AS f_dom
+  FROM documents d
+  JOIN fp ON md5(d.text) = fp.f
+  JOIN dom ON d.doc_id = dom.doc_id
+  CROSS JOIN p25),
+cells AS (SELECT f_short, f_dup, f_dom, CAST(count(*) AS BIGINT) AS n
+          FROM flags GROUP BY f_short, f_dup, f_dom)
+SELECT 'short' AS filter_a, 'dup' AS filter_b,
+       CAST(sum(CASE WHEN f_short = 1 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN f_dup = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(sum(CASE WHEN f_short = 1 AND f_dup = 1 THEN n ELSE 0 END) AS BIGINT) AS n_both
+FROM cells
+UNION ALL
+SELECT 'short', 'dom',
+       CAST(sum(CASE WHEN f_short = 1 THEN n ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN f_dom = 1 THEN n ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN f_short = 1 AND f_dom = 1 THEN n ELSE 0 END) AS BIGINT)
+FROM cells
+UNION ALL
+SELECT 'dup', 'dom',
+       CAST(sum(CASE WHEN f_dup = 1 THEN n ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN f_dom = 1 THEN n ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN f_dup = 1 AND f_dom = 1 THEN n ELSE 0 END) AS BIGINT)
+FROM cells
+""",
+    doc="Quality-filter redundancy matrix: three standard filters — "
+    "short (n_chars in the exact bottom quartile, tie-stable cutoff via "
+    "the (n_chars, doc_id)-ordered running count), exact-duplicate "
+    "(fingerprint multiplicity > 1), and dominance (top token >= 20%) — "
+    "evaluated as flags per doc, then every PAIR's removal-set overlap "
+    "reported. High |A∩B|/|A| says filter A is redundant given B: run "
+    "the cheap one first, or drop one entirely. Scale: the per-doc flag "
+    "relation collapses immediately into the 2³-cell contingency; all "
+    "pair overlaps derive from those 8 rows — adding a 4th filter costs "
+    "one column, not another corpus pass.",
+)
+def q179(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = d.groupBy(F.md5("text").alias("f")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    dom = cnt.groupBy("doc_id").agg(
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+        F.sum("cnt").cast("bigint").alias("n"),
+    )
+    # exact bottom-quartile cutoff, tie-stable: the largest n_chars whose
+    # (n_chars, doc_id)-ordered rank satisfies rn*4 <= N. The window runs
+    # over the docs relation once; at 100 TB swap for the distinct-value
+    # cumulative trick (q175) — same cutoff by construction.
+    n_total = d.count()
+    ranked = d.select(
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+    )
+    cutoff = ranked.filter(F.col("rn") * 4 <= n_total).agg(
+        F.max("n_chars").cast("bigint").alias("cutoff")
+    )
+    flags = (
+        d.join(fp, F.md5(d["text"]) == fp["f"])
+        .join(dom, "doc_id")
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            F.when(F.col("n_chars") <= F.col("cutoff"), 1).otherwise(0).alias("f_short"),
+            F.when(F.col("c") > 1, 1).otherwise(0).alias("f_dup"),
+            F.when(F.col("top_cnt") * 5 >= F.col("n"), 1).otherwise(0).alias("f_dom"),
+        )
+    )
+    cells = flags.groupBy("f_short", "f_dup", "f_dom").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+    def pair(a, b, name_a, name_b):
+        return cells.agg(
+            F.lit(name_a).alias("filter_a"),
+            F.lit(name_b).alias("filter_b"),
+            F.sum(F.when(F.col(a) == 1, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col(b) == 1, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when((F.col(a) == 1) & (F.col(b) == 1), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_both"),
+        )
+
+    return (
+        pair("f_short", "f_dup", "short", "dup")
+        .unionByName(pair("f_short", "f_dom", "short", "dom"))
+        .unionByName(pair("f_dup", "f_dom", "dup", "dom"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180: event-type co-occurrence PMI (association mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q180_event_cooccurrence",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY event_type),
+n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT p.type_a, p.type_b, p.n_both, ca.c AS n_a, cb.c AS n_b,
+       round(log2(CAST(p.n_both AS DOUBLE) * n.n / (ca.c * cb.c)), 6) AS pmi
+FROM pairs p
+JOIN tc ca ON p.type_a = ca.event_type
+JOIN tc cb ON p.type_b = cb.event_type
+CROSS JOIN n
+""",
+    doc="Event-type co-occurrence PMI: which behaviors cluster in the "
+    "same users (basket-analysis over the event stream — the q105 "
+    "bigram-lift idea lifted from adjacent tokens to per-user event "
+    "sets). PMI = log2(P(a,b)/(P(a)P(b))) with every probability a "
+    "ratio of exact BIGINT user counts — one double expression per "
+    "OUTPUT row, rounded at 6 dp. Scale: the user×type relation is "
+    "DISTINCT-collapsed first (bounded by users × |types|); the "
+    "self-join runs per user over their own bounded type set "
+    "(|types|² per user, |types| small by nature), then collapses to "
+    "the |types|²-row matrix. The corpus-scale event stream is touched "
+    "exactly once.",
+)
+def q180(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("c"))
+    n = e.agg(F.countDistinct("user_id").cast("bigint").alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    ca = tc.select(F.col("event_type").alias("type_a"), F.col("c").alias("n_a"))
+    cb = tc.select(F.col("event_type").alias("type_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log2(F.col("n_both").cast("double") * F.col("n") / (F.col("n_a") * F.col("n_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -49,6 +49,12 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "single-partition": "cumulative window over DISTINCT n_chars values",
     },
     "q178_canary_scan": {"nested-loop-join": "K-row canary set broadcast"},
+    "q179_filter_redundancy": {
+        "nested-loop-join": "1-row quartile-cutoff broadcast",
+        "single-partition": "exact-quartile ranking window; docstring documents "
+        "the q175 distinct-value swap at scale",
+    },
+    "q180_event_cooccurrence": {"nested-loop-join": "1-row user-count broadcast"},
     # bounded / surface-demo single-partition + global-sort shapes
     "q12_rank_dense": {
         "single-partition": "global rank/ntile SQL surface over the supplier dim; "
