@@ -117,6 +117,34 @@ def discover_schema(
     return mapping_to_schema(client.mapping(index), array_fields)
 
 
+def scan_typed(
+    spark: Any,
+    url: str,
+    index: str,
+    array_fields: Iterable[str] = (),
+    **scan_options: str,
+) -> DataFrame:
+    """One-call typed live scan: discover the index's mapping, run the
+    sliced ``es_live`` scan, and parse ``source_json`` into typed columns
+    — the reader a user of the reference actually wants ("give me this
+    index as a typed DataFrame"). ``scan_options`` pass through to the
+    es_live DataSource (``slices``, ``pit``, ``page_size``, ``sort``...).
+    """
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_http import (
+        HttpEsClient,
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_live import (
+        EsLiveDataSource,
+    )
+
+    schema = discover_schema(HttpEsClient(url), index, array_fields)
+    spark.dataSource.register(EsLiveDataSource)
+    reader = spark.read.format("es_live").option("url", url).option("index", index)
+    for k, v in scan_options.items():
+        reader = reader.option(k, v)
+    return typed_source(reader.load(), schema)
+
+
 def typed_source(
     df: DataFrame,
     schema: T.StructType,

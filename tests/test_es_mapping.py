@@ -133,3 +133,38 @@ def test_discover_and_parse_live(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_scan_typed_one_call(spark, tmp_path):
+    """scan_typed = discover mapping + sliced live scan + typed parse in
+    one call — the index arrives as a typed DataFrame."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks import (
+        elasticsearch as es_sink,
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_mapping import (
+        scan_typed,
+    )
+    from tests.fake_es import start_fake_es
+
+    server, base_url = start_fake_es()
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"name-{i}", float(i) / 4, i % 2 == 0) for i in range(37)],
+            "doc_id long, name string, score double, ok boolean",
+        )
+        out = str(tmp_path / "bulk")
+        es_sink.write_bulk_files(docs.coalesce(1), out, "typed_scan", id_col="doc_id")
+        es_sink.replay_bulk_files(out, base_url)
+
+        typed = scan_typed(
+            spark, base_url, "typed_scan", slices="3", sort="doc_id", page_size="16"
+        )
+        assert set(typed.columns) == {"_index", "_id", "doc_id", "name", "score", "ok"}
+        dt = dict(typed.dtypes)
+        assert dt["doc_id"] == "bigint" and dt["ok"] == "boolean"
+        rows = {r["doc_id"]: (r["name"], r["ok"]) for r in typed.collect()}
+        assert len(rows) == 37
+        assert rows[6] == ("name-6", True) and rows[7] == ("name-7", False)
+    finally:
+        server.shutdown()
+        server.server_close()
