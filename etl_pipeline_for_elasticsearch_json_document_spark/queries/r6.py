@@ -2124,3 +2124,139 @@ def q180(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q181: transitive false-merge audit of LSH dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def _false_merge_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import dedup
+
+    rows = num_hashes // bands
+    mins = ",\n  ".join(
+        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
+        for k in range(num_hashes)
+    )
+    band_exprs = ",\n   ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + "))"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE
+words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+sig AS (SELECT doc_id,
+  {mins}
+  FROM words GROUP BY doc_id),
+banded AS (SELECT doc_id, unnest(list_value(
+   {band_exprs})) AS bucket FROM sig),
+star AS (SELECT doc_id AS b_id, min(doc_id) OVER (PARTITION BY bucket) AS a_id FROM banded),
+edges AS (SELECT a_id AS u, b_id AS v FROM star WHERE a_id <> b_id
+          UNION ALL SELECT b_id, a_id FROM star WHERE a_id <> b_id),
+reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+),
+cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM cl GROUP BY cluster_id),
+nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY doc_id),
+pairs AS (SELECT cluster_id, doc_id FROM cl WHERE doc_id <> cluster_id),
+inter AS (
+  SELECT p.cluster_id, p.doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM pairs p
+  JOIN words wa ON wa.doc_id = p.cluster_id
+  JOIN words wb ON wb.doc_id = p.doc_id AND wb.w = wa.w
+  GROUP BY p.cluster_id, p.doc_id),
+jac AS (
+  SELECT p.cluster_id, p.doc_id,
+         round(coalesce(i.c, 0)
+               / CAST(na.n + nb.n - coalesce(i.c, 0) AS DOUBLE), 6) AS j
+  FROM pairs p
+  LEFT JOIN inter i ON p.cluster_id = i.cluster_id AND p.doc_id = i.doc_id
+  JOIN nw na ON na.doc_id = p.cluster_id
+  JOIN nw nb ON nb.doc_id = p.doc_id)
+SELECT s.sz AS cluster_size,
+       CAST(count(DISTINCT j.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(CAST(j.j AS DECIMAL(18, 6))) / CAST(count(*) AS DOUBLE), 6)
+         AS avg_jaccard,
+       CAST(sum(CASE WHEN j.j < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_half
+FROM jac j JOIN sizes s ON j.cluster_id = s.cluster_id
+GROUP BY s.sz
+"""
+
+
+@query(
+    "q181_false_merge_audit",
+    oracle=_false_merge_oracle(),
+    doc="Transitive false-merge audit: LSH + closure dedup (q103's exact "
+    "pipeline) merges docs that may share NO direct bucket — this query "
+    "prices that, computing the EXACT word-set Jaccard between every "
+    "cluster member and its representative (the doc that replaces it "
+    "after dedup), bucketed by cluster size. avg_jaccard falling and "
+    "n_below_half rising with cluster size is the chain-merge "
+    "pathology — the evidence for band/row retuning (q168) or a "
+    "verify-pass (q132) before deleting. Scale: pairs are "
+    "member→representative stars (one per dropped doc, linear); the "
+    "intersection join moves (doc, word-hash) postings of CLUSTERED "
+    "docs only, never all-pairs. Cites reference scan loop "
+    "(`ElasticSearch ETL.py:220-267`) only for data shape — the audit "
+    "itself has no reference analog.",
+)
+def q181(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import dedup, graph
+
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.lsh_bucket_edges(d, "doc_id", "text", num_hashes=16, bands=4)
+    cl = graph.dedup_clusters(edges, d, id_col="doc_id").select("doc_id", "cluster_id")
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").cast("bigint").alias("sz"))
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    nw = words.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    pairs = cl.filter(F.col("doc_id") != F.col("cluster_id"))
+    wa = words.select(F.col("doc_id").alias("cluster_id"), "w")
+    wb = words.select(F.col("doc_id").alias("doc_id"), "w")
+    inter = (
+        pairs.join(wa, "cluster_id")
+        .join(wb, ["doc_id", "w"])
+        .groupBy("cluster_id", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    na = nw.select(F.col("doc_id").alias("cluster_id"), F.col("n").alias("na"))
+    nb = nw.select("doc_id", F.col("n").alias("nb"))
+    jac = (
+        pairs.join(inter, ["cluster_id", "doc_id"], "left")
+        .join(na, "cluster_id")
+        .join(nb, "doc_id")
+        .select(
+            "cluster_id",
+            F.round(
+                F.coalesce("c", F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce("c", F.lit(0))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("j"),
+        )
+    )
+    return (
+        jac.join(sizes, "cluster_id")
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("j").cast("decimal(18,6)")) / F.count("*").cast("double"),
+                6,
+            ).alias("avg_jaccard"),
+            F.sum(F.when(F.col("j") < 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below_half"),
+        )
+    )
