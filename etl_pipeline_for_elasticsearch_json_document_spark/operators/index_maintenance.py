@@ -41,6 +41,26 @@ def _committed_versions(index_path: str) -> list[int]:
     return sorted(out)
 
 
+def prune_versions(path: str, keep_last: int = 2) -> list[int]:
+    """Garbage-collect old committed versions of a ``v=N/`` store (this
+    index or a rollup — same layout), keeping the newest ``keep_last``.
+
+    ``keep_last`` must be >= 2 for streams: a crash-replayed micro-batch
+    re-reads its BASE version, which is one behind the latest. Dangling
+    uncommitted dirs are untouched (the next writer overwrites them).
+    Returns the removed version numbers.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _committed_versions(path)
+    doomed = versions[:-keep_last]
+    for v in doomed:
+        shutil.rmtree(os.path.join(path, f"v={v}"))
+    return doomed
+
+
 def read_fingerprint_index(spark: SparkSession, index_path: str) -> DataFrame:
     """The current committed index (empty with the right schema if none)."""
     versions = _committed_versions(index_path)

@@ -29,6 +29,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
+    prune_versions,  # noqa: F401  (same v=N/ layout — re-exported for rollups)
+)
+
 #: measure -> (per-batch aggregate, merge aggregate). count merges as sum.
 _MEASURES = {
     "count": (lambda c: F.count(c).cast("bigint"), F.sum),

@@ -67,3 +67,33 @@ def test_uncommitted_version_is_invisible(spark, tmp_path):
     assert r == {9: "ingested"}
     assert os.path.exists(os.path.join(dangling, "_SUCCESS"))
     assert read_fingerprint_index(spark, idx_path).count() == 3
+
+
+def test_prune_versions_keeps_replay_window(spark, tmp_path):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
+        prune_versions,
+    )
+
+    idx_path = str(tmp_path / "fpidx3")
+    for i, t in enumerate(["a", "b", "c", "d"]):
+        ingest_with_index(spark, idx_path, _docs(spark, [(i, t)]))
+    assert sorted(d for d in os.listdir(idx_path) if d.startswith("v=")) == [
+        "v=0", "v=1", "v=2", "v=3",
+    ]
+    removed = prune_versions(idx_path, keep_last=2)
+    assert removed == [0, 1]
+    assert sorted(d for d in os.listdir(idx_path) if d.startswith("v=")) == [
+        "v=2", "v=3",
+    ]
+    # the live index is intact and updates keep working after GC
+    assert read_fingerprint_index(spark, idx_path).count() == 4
+    r = {
+        x["doc_id"]: x["status"]
+        for x in ingest_with_index(spark, idx_path, _docs(spark, [(9, "a"), (10, "e")])).collect()
+    }
+    assert r == {9: "duplicate_corpus", 10: "ingested"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        prune_versions(idx_path, keep_last=0)
