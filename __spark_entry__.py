@@ -60,7 +60,7 @@ _NEW_IN_R6: set[str] = {
     "q173_label_shard_balance", "q174_dedup_growth_curve",
     "q175_length_calibration", "q176_domain_overlap", "q177_code_switching",
     "q178_canary_scan", "q179_filter_redundancy", "q180_event_cooccurrence",
-    "q181_false_merge_audit",
+    "q181_false_merge_audit", "q182_watermark_audit",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

@@ -2260,3 +2260,86 @@ def q181(spark, sf_dir):
             .alias("n_below_half"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q182: out-of-orderness / watermark-lateness audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q182_watermark_audit",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+  FROM events),
+hw AS (
+  SELECT event_type, tsec,
+         max(tsec) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high_water
+  FROM e),
+lat AS (
+  SELECT event_type,
+         CASE WHEN high_water IS NULL OR high_water <= tsec THEN 0
+              ELSE high_water - tsec END AS lateness
+  FROM hw)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN lateness > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+       CAST(sum(CASE WHEN lateness > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+       CAST(sum(CASE WHEN lateness > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_5m,
+       CAST(max(lateness) AS BIGINT) AS max_lateness_sec,
+       round(sum(lateness) / CAST(count(*) AS DOUBLE), 6) AS avg_lateness_sec
+FROM lat GROUP BY event_type
+""",
+    doc="Watermark-lateness audit: treating event_id as ARRIVAL order, an "
+    "event's lateness is how far its event time sits behind the per-user "
+    "high-water mark at arrival (max prior event time, "
+    "rows-unbounded-to-1-preceding window). The per-type table — "
+    "out-of-order fraction, counts beyond 1m/5m, max and mean lateness — "
+    "is the measurement that PICKS the `withWatermark` delay for every "
+    "streaming job in streaming/: a watermark below max observed "
+    "lateness silently drops those events; one far above it holds state "
+    "for nothing. Timestamps floor to whole seconds on both engines "
+    "(Spark unix_timestamp truncates, DuckDB epoch() keeps fractions). "
+    "Scale: one per-user window in arrival order (partitioned, never "
+    "global), then a partial-agg groupBy to |event_types| rows.",
+)
+def q182(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("tsec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hw = e.select("event_type", "tsec", F.max("tsec").over(w).alias("high_water"))
+    lat = hw.select(
+        "event_type",
+        F.when(
+            F.col("high_water").isNull() | (F.col("high_water") <= F.col("tsec")), 0
+        )
+        .otherwise(F.col("high_water") - F.col("tsec"))
+        .alias("lateness"),
+    )
+    return lat.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("lateness") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_out_of_order"),
+        F.sum(F.when(F.col("lateness") > 60, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late_1m"),
+        F.sum(F.when(F.col("lateness") > 300, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late_5m"),
+        F.max("lateness").cast("bigint").alias("max_lateness_sec"),
+        F.round(F.sum("lateness") / F.count("*").cast("double"), 6).alias(
+            "avg_lateness_sec"
+        ),
+    )
