@@ -25,7 +25,8 @@ Measurement policy (r6 revision):
     no meaning.
   * DIAGNOSTIC entries (the quadratic ``dedup_close_pairs`` pricing the
     star-vs-pairs gap; the ×10-replicated ``dedup_close_x10`` scale
-    stress) are reported under ``"diagnostics"`` and are NOT summed into
+    stress; the ``rollup_inc/full_step*`` incremental-vs-recompute cost
+    curves) are reported under ``"diagnostics"`` and are NOT summed into
     ``value`` — r5 summed the pairs diagnostic into headline_total and the
     52→60 "regression" was entirely that entry (VERDICT r5 #3).
 
@@ -295,6 +296,76 @@ def bench_dedup_close(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, f
     return prod, diag
 
 
+def bench_rollup(spark, sf_dir: str) -> dict[str, float]:
+    """DIAGNOSTIC: incremental rollup maintenance vs naive recompute over
+    a growing history — the events table split into 8 arrival batches.
+
+    What scales is the PER-STEP cost curve, so that is what's reported
+    (history = events ×100, ~15M rows, split into 8 arrival batches):
+
+    - ``rollup_inc_step1`` / ``rollup_inc_step8``: fold batch i into the
+      standing table — O(batch + groups) per step, so the two should be
+      FLAT regardless of how much history came before;
+    - ``rollup_full_step1`` / ``rollup_full_step8``: re-aggregate
+      everything-so-far (the reference's recompute-per-tick shape) —
+      O(history), so step8 costs ~8× step1's scan and keeps growing.
+
+    On one node with warm page cache the recompute's absolute numbers
+    stay small; the SLOPE is the honest signal — at 100 TB the flat line
+    is the only one that finishes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.rollup_maintenance import (
+        update_rollup,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    n = base.count()
+    reps = spark.range(100).select(F.col("id").alias("rep"))
+    events = base.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("rep") * F.lit(n)).alias("event_id"),
+        "day",
+        "event_type",
+        "value",
+    )
+    total = 100 * n
+    step = (total // 8) + 1
+    keys = ["day", "event_type"]
+    measures = {"n_events": ("count", "*"), "total": ("sum", "value")}
+    work = tempfile.mkdtemp(prefix="bench_rollup_")
+    out: dict[str, float] = {}
+    try:
+        # untimed warm-up on a scratch path: first-call codegen + parquet
+        # writer init otherwise lands in step1 and fakes a slope
+        update_rollup(
+            spark, os.path.join(work, "warm"), events.limit(1000), keys, measures
+        )
+        for i in range(8):
+            batch = events.filter(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            )
+            t0 = time.time()
+            update_rollup(spark, os.path.join(work, "inc"), batch, keys, measures)
+            if i in (0, 7):
+                out[f"rollup_inc_step{i + 1}"] = round(time.time() - t0, 3)
+        for i in (0, 7):
+            hist = events.filter(F.col("event_id") < (i + 1) * step)
+            t0 = time.time()
+            hist.groupBy(*keys).agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum("value").alias("total"),
+            ).write.mode("overwrite").parquet(os.path.join(work, "full"))
+            out[f"rollup_full_step{i + 1}"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def flatten_subprocess_main() -> None:
     """``bench.py --flatten-subprocess``: the Spark-path flatten
     micro-entries in a JVM of their own (see module docstring). Prints one
@@ -364,6 +435,7 @@ def main() -> None:
     prod, close_diag = bench_dedup_close(spark, sf_dir)
     timings.update(prod)
     diagnostics.update(close_diag)
+    diagnostics.update(bench_rollup(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
