@@ -63,6 +63,16 @@ _NEW_IN_R6: set[str] = {
     "q181_false_merge_audit", "q182_watermark_audit",
 }
 
+#: Queries first registered in round 7 — ordered first (never driver-checked,
+#: newest). All are locally oracle-green at sf0.01 AND sf0.001
+#: (scripts/compare_oracle.py).
+_NEW_IN_R7: set[str] = {
+    "q183_gopher_rules", "q184_dup_ngram_mass", "q185_dsir_importance",
+    "q186_best_of_cluster", "q187_blocking_audit", "q188_embedding_qa",
+    "q189_label_margin_audit", "q190_split_leakage", "q191_rare_ngram_loss",
+    "q192_dedup_signal_agreement",
+}
+
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (stalest — re-verified first)
@@ -135,8 +145,9 @@ _LAST_VERIFIED: dict[str, int] = {
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
+    new = _NEW_IN_R7 | _NEW_IN_R6
     never_checked = [
-        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R6
+        n for n in names if n not in _LAST_VERIFIED and n not in new
     ]
     verified = sorted(
         (n for n in names if n in _LAST_VERIFIED),
@@ -144,6 +155,7 @@ def _ordered() -> list[str]:
     )
     return (
         never_checked
+        + [n for n in names if n in _NEW_IN_R7]
         + [n for n in names if n in _NEW_IN_R6]
         + verified
     )

@@ -89,3 +89,41 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-bucketed (optionally bucket-sorted) table.
+
+    Bucketing is the PRE-PAID shuffle: rows are hash-partitioned on
+    ``keys`` into ``n_buckets`` files at WRITE time, and Spark records the
+    layout in the catalog. Every later equi-join or aggregation on those
+    keys between tables bucketed the same way reads the data already
+    co-partitioned — the plan carries NO Exchange on the bucketed sides
+    (tests/test_layout.py pins this on the physical plan). At 100 TB this
+    converts the nightly fact-to-fact join from two full shuffles of the
+    big tables into a zero-shuffle sort-merge (or zip) join; with
+    ``sort_cols`` the per-bucket sort is also pre-paid, removing the Sort
+    before the merge.
+
+    Sizing rule: n_buckets ≈ table_bytes / target_partition_bytes
+    (128–512 MB); both join sides must use the SAME bucket count (or an
+    integer multiple, with ``spark.sql.bucketing.coalesceBucketsInJoin``)
+    and the SAME keys. Reference analog: the reference has no layout
+    control at all (one pandas frame, `ElasticSearch ETL.py:192`); this is
+    the Spark-native answer to its per-batch file output (A17) for
+    join-heavy downstream use.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -50,6 +50,7 @@ def all_queries() -> dict[str, Query]:
         r4,
         r5,
         r6,
+        r7,
         relational,
     )
 

@@ -55,6 +55,14 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "the q175 distinct-value swap at scale",
     },
     "q180_event_cooccurrence": {"nested-loop-join": "1-row user-count broadcast"},
+    "q185_dsir_importance": {
+        "nested-loop-join": "1-row corpus-total broadcast onto the <=4096-row "
+        "feature table"
+    },
+    "q187_blocking_audit": {
+        "nested-loop-join": "1-row count aggregates crossJoined into the "
+        "3-row audit report"
+    },
     # bounded / surface-demo single-partition + global-sort shapes
     "q12_rank_dense": {
         "single-partition": "global rank/ntile SQL surface over the supplier dim; "
