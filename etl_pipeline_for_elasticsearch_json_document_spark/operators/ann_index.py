@@ -1,0 +1,228 @@
+"""Persistent IVF (inverted-file) ANN index with incremental maintenance.
+
+q42/q138 build their IVF structures per query run; a production
+similarity-search service instead MAINTAINS the index as a versioned
+store and ABSORBS new embedding batches without refitting the codebook —
+this module is that store, the ANN sibling of
+:mod:`index_maintenance` (fingerprints) and
+:mod:`rollup_maintenance` (aggregates).
+
+Layout: ``index_path/v=N/{centroids,postings}/`` parquet dirs plus a
+``v=N/_COMMITTED`` marker written LAST — a version exists only once both
+relations landed, so a crash mid-write leaves a dangling dir that
+readers skip and the next writer overwrites (the staged-commit
+discipline of sinks/compact.py). :func:`index_maintenance.prune_versions`
+GCs this store unchanged (same ``v=N`` layout, ``marker='_COMMITTED'``).
+
+The maintenance contract (pinned in tests/test_ann_index.py):
+
+- **append equivalence** — build(A) then upsert(B) yields exactly the
+  postings of assigning A∪B against the SAME v=0 codebook; incremental
+  ingestion never changes any existing vector's cell.
+- **no silent decay** — :func:`ivf_health` reports per-cell occupancy
+  imbalance and the quantization drift of post-build vectors vs the
+  build set, and flips ``needs_refit`` when either crosses its
+  threshold. Upserts keep the index QUERYABLE while drifting; health is
+  the measurement that schedules the (expensive) refit.
+
+Scale: centroids are k×dim doubles (broadcast-sized, ride the task
+closure exactly as :func:`similarity.kmeans_assign` does); an upsert
+touches the new batch (map-only assignment) plus one postings rewrite —
+at 100 TB swap the rewrite for a partitioned append bucketed by ``cid``
+(same keys, same plans; see :func:`layout.write_bucketed`). Postings are
+(id, cid, dist) — 24 bytes/vector, independent of dim.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+    kmeans_assign,
+    kmeans_fit,
+)
+
+POSTINGS_SCHEMA = "vec_id long, cid long, dist double"
+CENTROIDS_SCHEMA = "cid long, centroid array<double>"
+
+
+def _committed_versions(index_path: str) -> list[int]:
+    if not os.path.isdir(index_path):
+        return []
+    out = []
+    for name in os.listdir(index_path):
+        if name.startswith("v=") and os.path.exists(
+            os.path.join(index_path, name, "_COMMITTED")
+        ):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def _write_version(
+    index_path: str, version: int, centroids: DataFrame, postings: DataFrame
+) -> None:
+    vdir = os.path.join(index_path, f"v={version}")
+    centroids.write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
+    postings.write.mode("overwrite").parquet(os.path.join(vdir, "postings"))
+    with open(os.path.join(vdir, "_COMMITTED"), "w"):
+        pass  # marker LAST: a version is atomic-or-absent
+
+
+def read_ann_index(
+    spark: SparkSession, index_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """The current committed (centroids, postings) pair; empty relations
+    with the right schemas if nothing is committed."""
+    versions = _committed_versions(index_path)
+    if not versions:
+        return (
+            spark.createDataFrame([], CENTROIDS_SCHEMA),
+            spark.createDataFrame([], POSTINGS_SCHEMA),
+        )
+    vdir = os.path.join(index_path, f"v={versions[-1]}")
+    return (
+        spark.read.schema(CENTROIDS_SCHEMA).parquet(os.path.join(vdir, "centroids")),
+        spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(vdir, "postings")),
+    )
+
+
+def ivf_build(
+    spark: SparkSession,
+    index_path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Fit the codebook on ``vectors`` (deterministic Lloyd's — see
+    :func:`similarity.kmeans_fit`), assign the build set, and commit
+    ``v=0``. Returns the build assignment."""
+    cents = kmeans_fit(vectors, id_col, vec_col, k=k, iterations=iterations).select(
+        F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("centroid")
+    )
+    asg = kmeans_assign(
+        vectors,
+        cents.select(F.col("cid").alias(id_col), F.col("centroid").alias(vec_col)),
+        id_col,
+        vec_col,
+    ).select(F.col(id_col).cast("long").alias("vec_id"), "cid", "dist")
+    _write_version(index_path, 0, cents, asg)
+    return asg
+
+
+def ivf_upsert(
+    spark: SparkSession,
+    index_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Absorb a new batch WITHOUT refitting: assign against the current
+    codebook, commit a new version whose postings are the old postings
+    plus the batch (ids already present are replaced — last write wins,
+    the upsert semantic). Returns the batch assignment."""
+    cents, postings = read_ann_index(spark, index_path)
+    if cents.isEmpty():
+        raise ValueError(f"no committed index at {index_path}; run ivf_build first")
+    asg = kmeans_assign(
+        new_vectors,
+        cents.select(F.col("cid").alias(id_col), F.col("centroid").alias(vec_col)),
+        id_col,
+        vec_col,
+    ).select(F.col(id_col).cast("long").alias("vec_id"), "cid", "dist")
+    asg = asg.localCheckpoint(eager=True)  # pin before the store advances
+    merged = postings.join(
+        asg.select(F.col("vec_id").alias("__new_id")),
+        postings["vec_id"] == F.col("__new_id"),
+        "left_anti",
+    ).unionByName(asg)
+    version = _committed_versions(index_path)[-1] + 1
+    _write_version(index_path, version, cents, merged)
+    return asg
+
+
+def ivf_health(
+    spark: SparkSession,
+    index_path: str,
+    imbalance_threshold: float = 4.0,
+    drift_threshold: float = 1.5,
+) -> DataFrame:
+    """One-row index health report: cell occupancy imbalance and the
+    quantization drift of post-build vectors vs the build set.
+
+    - ``imbalance`` = max cell size / mean cell size over the FITTED
+      codebook's k cells (empty cells count as 0 via the centroid join).
+      High imbalance means probes hit one giant cell — IVF pruning decays
+      toward brute force.
+    - ``drift_ratio`` = mean assignment distance of vectors ADDED after
+      the build (absent from the earliest retained version) over the mean
+      distance of build-set vectors. A codebook fitted on yesterday's
+      distribution quantizes today's poorly; ratio >> 1 is that signal.
+      With no post-build vectors the ratio is null and only imbalance can
+      trigger.
+    - ``needs_refit`` = imbalance > threshold OR drift_ratio > threshold.
+
+    Means are single divisions of DECIMAL(18,6) sums of the already-6dp
+    assignment distances — exact and partition-order-independent. The
+    report runs on postings + centroids only (24-byte rows, k-row dim
+    table); raw vectors are never touched.
+    """
+    versions = _committed_versions(index_path)
+    if not versions:
+        raise ValueError(f"no committed index at {index_path}")
+    cents, postings = read_ann_index(spark, index_path)
+    base_dir = os.path.join(index_path, f"v={versions[0]}", "postings")
+    base_ids = (
+        spark.read.schema(POSTINGS_SCHEMA)
+        .parquet(base_dir)
+        .select("vec_id", F.lit(1).alias("__base"))
+    )
+    tagged = postings.join(base_ids, "vec_id", "left").select(
+        "cid",
+        "dist",
+        F.coalesce("__base", F.lit(0)).alias("is_base"),
+    )
+    cells = (
+        cents.select("cid")
+        .join(tagged.groupBy("cid").agg(F.count("*").alias("n")), "cid", "left")
+        .select(F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    occ = cells.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n").alias("n_vectors"),
+        F.max("n").alias("max_cell"),
+    )
+    dist6 = F.col("dist").cast("decimal(18,6)")
+    drift = tagged.agg(
+        (
+            F.sum(F.when(F.col("is_base") == 1, dist6)).cast("double")
+            / F.sum(F.when(F.col("is_base") == 1, 1))
+        ).alias("mean_dist_base"),
+        (
+            F.sum(F.when(F.col("is_base") == 0, dist6)).cast("double")
+            / F.sum(F.when(F.col("is_base") == 0, 1))
+        ).alias("mean_dist_new"),
+    )
+    imb = F.round(F.col("max_cell") / (F.col("n_vectors") / F.col("n_cells")), 6)
+    dr = F.round(F.col("mean_dist_new") / F.col("mean_dist_base"), 6)
+    return (
+        occ.crossJoin(F.broadcast(drift))
+        .select(
+            F.lit(versions[-1]).alias("version"),
+            "n_vectors",
+            "n_cells",
+            "max_cell",
+            imb.alias("imbalance"),
+            F.round("mean_dist_base", 6).alias("mean_dist_base"),
+            F.round("mean_dist_new", 6).alias("mean_dist_new"),
+            dr.alias("drift_ratio"),
+            (
+                (imb > imbalance_threshold)
+                | F.coalesce(dr > drift_threshold, F.lit(False))
+            ).alias("needs_refit"),
+        )
+    )

@@ -29,21 +29,22 @@ from pyspark.sql import functions as F
 INDEX_SCHEMA = "fp string, first_doc_id long"
 
 
-def _committed_versions(index_path: str) -> list[int]:
+def _committed_versions(index_path: str, marker: str = "_SUCCESS") -> list[int]:
     if not os.path.isdir(index_path):
         return []
     out = []
     for name in os.listdir(index_path):
         if name.startswith("v=") and os.path.exists(
-            os.path.join(index_path, name, "_SUCCESS")
+            os.path.join(index_path, name, marker)
         ):
             out.append(int(name[2:]))
     return sorted(out)
 
 
-def prune_versions(path: str, keep_last: int = 2) -> list[int]:
+def prune_versions(path: str, keep_last: int = 2, marker: str = "_SUCCESS") -> list[int]:
     """Garbage-collect old committed versions of a ``v=N/`` store (this
-    index or a rollup — same layout), keeping the newest ``keep_last``.
+    index, a rollup, or the ANN store — same layout; the ANN store's
+    commit marker is ``_COMMITTED``), keeping the newest ``keep_last``.
 
     ``keep_last`` must be >= 2 for streams: a crash-replayed micro-batch
     re-reads its BASE version, which is one behind the latest. Dangling
@@ -54,7 +55,7 @@ def prune_versions(path: str, keep_last: int = 2) -> list[int]:
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    versions = _committed_versions(path)
+    versions = _committed_versions(path, marker)
     doomed = versions[:-keep_last]
     for v in doomed:
         shutil.rmtree(os.path.join(path, f"v={v}"))

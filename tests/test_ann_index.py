@@ -1,0 +1,161 @@
+"""Versioned IVF ANN-index maintenance contract (operators/ann_index.py):
+append equivalence of incremental upserts, crash-safe version commits,
+health-report drift/imbalance triggers, and GC interop.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+    ivf_build,
+    ivf_health,
+    ivf_upsert,
+    read_ann_index,
+)
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
+    prune_versions,
+)
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+    kmeans_assign,
+    kmeans_fit,
+)
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _split(emb):
+    build = emb.filter(F.col("vec_id") < 40)
+    batch = emb.filter(F.col("vec_id") >= 40).limit(1000)
+    return build, batch
+
+
+def test_build_assigns_every_vector(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    build, _ = _split(emb)
+    asg = ivf_build(spark, path, build, k=4)
+    assert asg.count() == build.count()
+    cents, postings = read_ann_index(spark, path)
+    assert cents.count() == 4
+    assert postings.count() == build.count()
+    # the stored assignment IS kmeans_assign against the stored codebook
+    direct = kmeans_assign(
+        build,
+        cents.select(
+            F.col("cid").alias("vec_id"), F.col("centroid").alias("embedding")
+        ),
+    )
+    assert {tuple(r) for r in postings.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
+def test_upsert_append_equivalence(spark, emb, tmp_path):
+    """build(A) + upsert(B) == assign(A∪B) against the v=0 codebook."""
+    path = str(tmp_path / "ivf")
+    build, batch = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    ivf_upsert(spark, path, batch)
+    cents, postings = read_ann_index(spark, path)
+    oneshot = kmeans_assign(
+        build.unionByName(batch),
+        cents.select(
+            F.col("cid").alias("vec_id"), F.col("centroid").alias("embedding")
+        ),
+    )
+    assert {tuple(r) for r in postings.collect()} == {
+        tuple(r) for r in oneshot.collect()
+    }
+
+
+def test_upsert_is_last_write_wins(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    build, _ = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    n0 = read_ann_index(spark, path)[1].count()
+    # re-upserting vectors already indexed must not duplicate postings
+    ivf_upsert(spark, path, build.limit(5))
+    assert read_ann_index(spark, path)[1].count() == n0
+
+
+def test_uncommitted_version_is_skipped(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    build, batch = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    ivf_upsert(spark, path, batch)
+    # simulate a crash: a dangling version dir without the marker
+    os.makedirs(os.path.join(path, "v=9", "postings"))
+    _, postings = read_ann_index(spark, path)
+    assert postings.count() == build.count() + batch.count()
+    h = ivf_health(spark, path).collect()[0]
+    assert h["version"] == 1
+
+
+def test_upsert_without_build_raises(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="ivf_build"):
+        ivf_upsert(spark, str(tmp_path / "missing"), emb)
+
+
+def test_health_report_shape_and_drift(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    build, batch = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    h0 = ivf_health(spark, path).collect()[0]
+    assert h0["n_vectors"] == build.count()
+    assert h0["drift_ratio"] is None  # nothing post-build yet
+    ivf_upsert(spark, path, batch)
+    h1 = ivf_health(spark, path).collect()[0]
+    assert h1["n_vectors"] == build.count() + batch.count()
+    assert h1["drift_ratio"] is not None and h1["drift_ratio"] > 0
+
+
+def test_health_flags_imbalance(spark, emb, tmp_path):
+    """Upserting a pile of copies of one build vector floods one cell —
+    occupancy imbalance crosses the threshold and needs_refit flips."""
+    path = str(tmp_path / "ivf")
+    build, _ = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    one = build.orderBy("vec_id").limit(1)
+    flood = (
+        one.crossJoin(spark.range(200).select(F.col("id").alias("rep")))
+        .select((F.col("vec_id") + 1000 + F.col("rep")).alias("vec_id"), "embedding")
+    )
+    ivf_upsert(spark, path, flood)
+    h = ivf_health(spark, path, imbalance_threshold=3.0).collect()[0]
+    assert h["imbalance"] > 3.0
+    assert h["needs_refit"]
+
+
+def test_prune_versions_interop(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    build, batch = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    ivf_upsert(spark, path, batch.filter(F.col("vec_id") < 50))
+    ivf_upsert(spark, path, batch.filter(F.col("vec_id") >= 50))
+    removed = prune_versions(path, keep_last=2, marker="_COMMITTED")
+    assert removed == [0]
+    _, postings = read_ann_index(spark, path)
+    assert postings.count() == build.count() + batch.count()
+    # health still works with the build version pruned: base = earliest kept
+    assert ivf_health(spark, path).collect()[0]["version"] == 2
+
+
+def test_refit_resets_drift(spark, emb, tmp_path):
+    """The refit loop: when health says refit, rebuilding on the full
+    postings' vectors yields a fresh v=0 store in a new path whose
+    drift is null again — the operational runbook in miniature."""
+    path = str(tmp_path / "ivf")
+    build, batch = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    ivf_upsert(spark, path, batch)
+    path2 = str(tmp_path / "ivf_refit")
+    ivf_build(spark, path2, build.unionByName(batch), k=4)
+    h = ivf_health(spark, path2).collect()[0]
+    assert h["drift_ratio"] is None
+    assert h["n_vectors"] == build.count() + batch.count()
