@@ -1,0 +1,138 @@
+"""Continuous ANN-index maintenance: the versioned IVF store
+(operators/ann_index.py) driven by an embedding stream.
+
+Each micro-batch of vectors is assigned against the codebook as the
+store stood BEFORE the batch and advances the store by exactly one
+version — the streaming twin of :func:`ann_index.ivf_upsert`, running
+forever, completing the maintenance triad (fingerprint index q158 /
+rollup / ANN) on one shared protocol.
+
+Exactly-once under foreachBatch's at-least-once (the
+streaming/index_ingest.py ledger, verbatim): a marker-first ledger under
+``index_path/_ledger/`` pins, per (checkpoint-lineage, batch), the BASE
+store version, before any store write. On replay the marker already
+exists, so the batch re-assigns against the SAME retained base version,
+skips the version commit if it already landed, and overwrites its own
+deterministic output dir. The codebook NEVER changes inside the stream —
+upserts only append postings; :func:`ann_index.ivf_health` is the
+scheduled measurement that decides when to stop the stream, refit
+(``ivf_build`` to a fresh path), and re-point queries.
+
+Reference analog: the reference's pagination loop (`ElasticSearch
+ETL.py:220-267`) ships every batch downstream with no queryable
+structure over history; this keeps a similarity index continuously
+current instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+    CENTROIDS_SCHEMA,
+    POSTINGS_SCHEMA,
+    _committed_versions,
+    _write_version,
+)
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+    kmeans_assign,
+)
+from etl_pipeline_for_elasticsearch_json_document_spark.streaming.identity import (
+    checkpoint_identity,
+)
+
+
+def _write_marker(path: str, base_v: int) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(base_v))
+    os.replace(tmp, path)
+
+
+def _ann_batch_processor(
+    index_path: str,
+    out_path: str,
+    ckpt_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The per-batch body, exposed for direct replay testing."""
+
+    ledger = os.path.join(index_path, "_ledger")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(ledger, exist_ok=True)
+        marker = os.path.join(ledger, f"{ckpt_id}-{batch_id}")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                base_v = int(f.read())
+        else:
+            versions = _committed_versions(index_path)
+            if not versions:
+                raise ValueError(
+                    f"no committed ANN index at {index_path}; run ivf_build "
+                    "before attaching the stream (the codebook is fitted "
+                    "offline, never inside a micro-batch)"
+                )
+            base_v = versions[-1]
+            _write_marker(marker, base_v)
+
+        vdir = os.path.join(index_path, f"v={base_v}")
+        cents = spark.read.schema(CENTROIDS_SCHEMA).parquet(
+            os.path.join(vdir, "centroids")
+        )
+        postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
+            os.path.join(vdir, "postings")
+        )
+        asg = kmeans_assign(
+            batch_df,
+            cents.select(
+                F.col("cid").alias(id_col), F.col("centroid").alias(vec_col)
+            ),
+            id_col,
+            vec_col,
+        ).select(F.col(id_col).cast("long").alias("vec_id"), "cid", "dist")
+        asg = asg.localCheckpoint(eager=True)  # pin before the store advances
+
+        next_v = base_v + 1
+        if next_v not in _committed_versions(index_path):
+            merged = postings.join(
+                asg.select(F.col("vec_id").alias("__new_id")),
+                postings["vec_id"] == F.col("__new_id"),
+                "left_anti",
+            ).unionByName(asg)
+            _write_version(index_path, next_v, cents, merged)
+        # deterministic per-(lineage, batch) dir + overwrite = idempotent
+        asg.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")
+        )
+
+    return process_batch
+
+
+def run_ann_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Attach IVF-store maintenance to a streaming DataFrame of vectors.
+    Returns the StreamingQuery (caller awaits termination)."""
+    ckpt_id = checkpoint_identity(checkpoint_dir)
+    writer = (
+        stream.writeStream.foreachBatch(
+            _ann_batch_processor(index_path, out_path, ckpt_id, id_col, vec_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
