@@ -366,6 +366,51 @@ def bench_rollup(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
+    """DIAGNOSTIC: ANN-store maintenance cost — the build (kmeans fit +
+    assign + commit) vs one incremental upsert of a same-sized batch
+    against the frozen codebook. The upsert should cost a small fraction
+    of the build (map-only assignment + postings merge, no Lloyd
+    iterations); that gap is what the versioned store buys a continuously
+    fed similarity service."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        ivf_build,
+        ivf_health,
+        ivf_upsert,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # codebook fitted on a fixed-size sample (the realistic pattern — a
+    # Lloyd fit never needs the full corpus), then the whole remainder
+    # absorbed in ONE upsert: the upsert entry is the per-batch cost a
+    # continuously fed service pays, and it scales with sf while the
+    # build entry stays ~constant.
+    half = emb.filter(F.col("vec_id") < 200)
+    rest = emb.filter(F.col("vec_id") >= 200)
+    work = tempfile.mkdtemp(prefix="bench_ann_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        ivf_build(spark, f"{work}/ivf", half, k=8)
+        out["ann_ivf_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ivf_upsert(spark, f"{work}/ivf", rest)
+        out["ann_ivf_upsert"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        force(ivf_health(spark, f"{work}/ivf"))
+        out["ann_ivf_health"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def flatten_subprocess_main() -> None:
     """``bench.py --flatten-subprocess``: the Spark-path flatten
     micro-entries in a JVM of their own (see module docstring). Prints one
@@ -436,6 +481,7 @@ def main() -> None:
     timings.update(prod)
     diagnostics.update(close_diag)
     diagnostics.update(bench_rollup(spark, sf_dir))
+    diagnostics.update(bench_ann_index(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

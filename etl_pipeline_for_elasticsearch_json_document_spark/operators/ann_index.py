@@ -42,8 +42,22 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
     kmeans_assign,
+    kmeans_assign_pandas,
     kmeans_fit,
 )
+
+
+def _assign_fn(method: str):
+    """'expr' = kmeans_assign (O(k·dim) inline plan; the oracle-checked
+    small-k form). 'pandas' = kmeans_assign_pandas (Arrow/BLAS; the
+    large-k scale path — plan size O(1) in k). The two agree on cell
+    assignments; dist can differ in the 6th decimal, so pick ONE method
+    per store and keep it for the store's lifetime."""
+    if method == "expr":
+        return kmeans_assign
+    if method == "pandas":
+        return kmeans_assign_pandas
+    raise ValueError(f"unknown assign method {method!r}; use 'expr' or 'pandas'")
 
 POSTINGS_SCHEMA = "vec_id long, cid long, dist double"
 CENTROIDS_SCHEMA = "cid long, centroid array<double>"
@@ -97,14 +111,17 @@ def ivf_build(
     vec_col: str = "embedding",
     k: int = 8,
     iterations: int = 2,
+    assign: str = "expr",
 ) -> DataFrame:
     """Fit the codebook on ``vectors`` (deterministic Lloyd's — see
     :func:`similarity.kmeans_fit`), assign the build set, and commit
-    ``v=0``. Returns the build assignment."""
+    ``v=0``. Returns the build assignment. ``assign`` picks the
+    assignment engine (see :func:`_assign_fn`); use 'pandas' for
+    thousands of cells."""
     cents = kmeans_fit(vectors, id_col, vec_col, k=k, iterations=iterations).select(
         F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("centroid")
     )
-    asg = kmeans_assign(
+    asg = _assign_fn(assign)(
         vectors,
         cents.select(F.col("cid").alias(id_col), F.col("centroid").alias(vec_col)),
         id_col,
@@ -120,15 +137,17 @@ def ivf_upsert(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "expr",
 ) -> DataFrame:
     """Absorb a new batch WITHOUT refitting: assign against the current
     codebook, commit a new version whose postings are the old postings
     plus the batch (ids already present are replaced — last write wins,
-    the upsert semantic). Returns the batch assignment."""
+    the upsert semantic). Returns the batch assignment. ``assign`` must
+    match the method the store was built with (see :func:`_assign_fn`)."""
     cents, postings = read_ann_index(spark, index_path)
     if cents.isEmpty():
         raise ValueError(f"no committed index at {index_path}; run ivf_build first")
-    asg = kmeans_assign(
+    asg = _assign_fn(assign)(
         new_vectors,
         cents.select(F.col("cid").alias(id_col), F.col("centroid").alias(vec_col)),
         id_col,

@@ -159,3 +159,49 @@ def test_refit_resets_drift(spark, emb, tmp_path):
     h = ivf_health(spark, path2).collect()[0]
     assert h["drift_ratio"] is None
     assert h["n_vectors"] == build.count() + batch.count()
+
+
+def test_pandas_assignment_agrees_with_expr(spark, emb):
+    """The Arrow/BLAS large-k path and the inline-expression path pick
+    the same cell for every vector on the real table (dist may differ in
+    the 6th decimal — documented)."""
+    cents = kmeans_fit(emb.filter(F.col("vec_id") < 40), k=4)
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+        kmeans_assign_pandas,
+    )
+
+    a = {r["vec_id"]: r["cid"] for r in kmeans_assign(emb, cents).collect()}
+    b = {r["vec_id"]: r["cid"] for r in kmeans_assign_pandas(emb, cents).collect()}
+    assert a == b
+    d_expr = {r["vec_id"]: r["dist"] for r in kmeans_assign(emb, cents).collect()}
+    d_pd = {r["vec_id"]: r["dist"] for r in kmeans_assign_pandas(emb, cents).collect()}
+    for v in d_expr:
+        assert abs(d_expr[v] - d_pd[v]) < 1e-4
+
+
+def test_pandas_store_append_equivalence(spark, emb, tmp_path):
+    """A store maintained end-to-end with assign='pandas' has the same
+    append-equivalence contract as the expr store."""
+    path = str(tmp_path / "ivf_pd")
+    build, batch = _split(emb)
+    ivf_build(spark, path, build, k=4, assign="pandas")
+    ivf_upsert(spark, path, batch, assign="pandas")
+    cents, postings = read_ann_index(spark, path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+        kmeans_assign_pandas,
+    )
+
+    oneshot = kmeans_assign_pandas(
+        build.unionByName(batch),
+        cents.select(
+            F.col("cid").alias("vec_id"), F.col("centroid").alias("embedding")
+        ),
+    )
+    assert {tuple(r) for r in postings.collect()} == {
+        tuple(r) for r in oneshot.collect()
+    }
+
+
+def test_unknown_assign_method_raises(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="assign method"):
+        ivf_build(spark, str(tmp_path / "x"), emb.limit(8), k=2, assign="nope")
