@@ -217,9 +217,19 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 8,
     iterations: int = 2,
+    assign: str = "expr",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means fit — the codebook trainer that
     produces :func:`knn_ivf`'s centroid table (and PQ sub-codebooks).
+
+    ``assign`` picks the per-iteration assignment engine: ``'expr'``
+    (default) inlines one distance expression per centroid — the
+    oracle-checked small-k form whose plan grows O(k·dim); ``'pandas'``
+    scores each Arrow batch against the broadcast codebook matrix with a
+    BLAS matmul (see :func:`kmeans_assign_pandas`) — plan size O(1) in
+    k, the only fittable form at real IVF cell counts (thousands). Both
+    run the SAME exact-decimal centroid update; they can differ only
+    where a vector is equidistant to two centroids at float precision.
 
     Unlike an operator, a FIT is an iterative algorithm: each Lloyd round
     runs one Spark job and syncs k×dim doubles to the driver (MLlib-style;
@@ -243,15 +253,31 @@ def kmeans_fit(
     centroids: list[list[float]] = [list(r["__v"]) for r in init]
     dim = len(centroids[0])
 
+    if assign not in ("expr", "pandas"):
+        raise ValueError(f"unknown assign method {assign!r}; use 'expr' or 'pandas'")
     for _ in range(iterations):
-        cand = [
-            F.struct(
-                _l2sq(F.col("__v"), F.array(*[F.lit(x) for x in c])).alias("d"),
-                F.lit(ci).alias("c"),
+        if assign == "pandas":
+            cent_df = spark.createDataFrame(
+                [(ci, c) for ci, c in enumerate(centroids)],
+                f"{id_col} long, {vec_col} array<double>",
             )
-            for ci, c in enumerate(centroids)
-        ]
-        asg = v.select(F.least(*cand)["c"].alias("cid"), "__v")
+            asg = kmeans_assign_pandas(
+                v.select(F.col(id_col), F.col("__v").alias(vec_col)),
+                cent_df,
+                id_col,
+                vec_col,
+            ).select("cid", F.col("vec_id").alias("__aid")).join(
+                v.select(F.col(id_col).alias("__aid"), "__v"), "__aid"
+            ).select("cid", "__v")
+        else:
+            cand = [
+                F.struct(
+                    _l2sq(F.col("__v"), F.array(*[F.lit(x) for x in c])).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, c in enumerate(centroids)
+            ]
+            asg = v.select(F.least(*cand)["c"].alias("cid"), "__v")
         sums = (
             asg.select("cid", F.posexplode("__v").alias("dim", "x"))
             .groupBy("cid", "dim")

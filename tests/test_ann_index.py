@@ -205,3 +205,18 @@ def test_pandas_store_append_equivalence(spark, emb, tmp_path):
 def test_unknown_assign_method_raises(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="assign method"):
         ivf_build(spark, str(tmp_path / "x"), emb.limit(8), k=2, assign="nope")
+
+
+def test_pandas_fit_matches_expr_fit(spark, emb):
+    """Both assignment engines drive Lloyd's to the same codebook on the
+    real table (same exact-decimal update; assignments agree)."""
+    a = kmeans_fit(emb, k=4, iterations=2).collect()
+    b = kmeans_fit(emb, k=4, iterations=2, assign="pandas").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pandas_fit_handles_large_k(spark, emb):
+    """k=64 is un-plannable with inline expressions (O(k*dim) plan) but
+    routine for the Arrow path — the store's real IVF regime."""
+    cents = kmeans_fit(emb, k=64, iterations=2, assign="pandas")
+    assert cents.count() == 64
