@@ -245,3 +245,82 @@ def ivf_health(
             ).alias("needs_refit"),
         )
     )
+
+
+def ivf_query(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve top-k L2 neighbors THROUGH the store: each query probes its
+    ``nprobe`` nearest cells, the postings prune ``corpus`` to vectors
+    assigned there, and only those are scored. Columns:
+    ``(q_id, n_id, dist, rank)``; self-matches (same id) are excluded.
+
+    With ``nprobe`` = the store's cell count this is EXACT search (pinned
+    in tests); smaller nprobe trades recall for reading
+    ``~nprobe/n_cells`` of the corpus. At 100 TB the corpus is written
+    partitioned (or bucketed — :func:`layout.write_bucketed`) by ``cid``
+    so the probe is partition pruning at the scan, not a semi-join; the
+    semi-join form here is the layout-agnostic equivalent.
+
+    Determinism: distances are the same index-ordered fold as
+    :func:`similarity.kmeans_assign`, rounded to 6 dp BEFORE every
+    ranking, ties broken on id ascending.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+        _l2sq,
+    )
+
+    cents, postings = read_ann_index(spark, index_path)
+    if cents.isEmpty():
+        raise ValueError(f"no committed index at {index_path}; run ivf_build first")
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "qv",
+            "cid",
+            F.round(_l2sq(F.col("qv"), F.col("centroid")), 6).alias("cdist"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("cdist"), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "qv", "cid")
+    )
+    cand = probes.join(postings.select("vec_id", "cid"), "cid").select(
+        "q_id", "qv", F.col("vec_id").alias("n_id")
+    )
+    scored = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("n_id"),
+                F.col(vec_col).cast("array<double>").alias("nv"),
+            ),
+            "n_id",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id", F.round(_l2sq(F.col("qv"), F.col("nv")), 6).alias("dist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist"), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

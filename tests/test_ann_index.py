@@ -220,3 +220,51 @@ def test_pandas_fit_handles_large_k(spark, emb):
     routine for the Arrow path — the store's real IVF regime."""
     cents = kmeans_fit(emb, k=64, iterations=2, assign="pandas")
     assert cents.count() == 64
+
+
+def test_ivf_query_exact_when_probing_all_cells(spark, emb, tmp_path):
+    """nprobe = n_cells makes the store query EXACT: equal to numpy
+    brute-force L2 top-k (ids and 6-dp distances)."""
+    import numpy as np
+
+    path = str(tmp_path / "ivf")
+    ivf_build(spark, path, emb, k=4)
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        ivf_query,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    got = {}
+    for r in ivf_query(spark, path, qs, emb, k=3, nprobe=4).collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["n_id"], r["dist"]))
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    for qid in range(5):
+        qv = m[ids == qid][0]
+        d = np.round(((m - qv) ** 2).sum(axis=1), 6)
+        order = sorted(
+            (dv, i) for dv, i in zip(d, ids) if i != qid
+        )[:3]
+        want = [(rk + 1, i, dv) for rk, (dv, i) in enumerate(order)]
+        assert sorted(got[qid]) == [
+            (rk, i, pytest.approx(dv, abs=2e-6)) for rk, i, dv in want
+        ]
+
+
+def test_ivf_query_recall_and_pruning(spark, emb, tmp_path):
+    """nprobe=1 reads ~1/n_cells of the corpus and still finds most true
+    neighbors on the real table (clustered data); every returned neighbor
+    must come from a probed cell."""
+    path = str(tmp_path / "ivf")
+    ivf_build(spark, path, emb, k=8)
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        ivf_query,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 20)
+    approx = ivf_query(spark, path, qs, emb, k=3, nprobe=1)
+    exact = ivf_query(spark, path, qs, emb, k=3, nprobe=8)
+    a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.5  # meaningful recall at 1/8 the reads
