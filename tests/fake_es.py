@@ -205,7 +205,56 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._reply({"error": f"unsupported path {self.path}"}, status=400)
 
+    def _aggs(self, index: str | None, body: dict[str, Any]) -> None:
+        """size=0 terms aggregation with optional metric sub-aggs — the
+        slice of the ES aggs DSL the engine pushes down (es_agg.py)."""
+        with self.state.lock:
+            docs = [d for _, d in self.state.indices.get(index, {}).items()]
+        out: dict[str, Any] = {}
+        for name, spec in body["aggs"].items():
+            terms = spec.get("terms")
+            if terms is None:
+                self._reply({"error": f"unsupported agg {name}"}, status=400)
+                return
+            field = terms["field"]
+            size = int(terms.get("size", 10))
+            groups: dict[Any, list[dict]] = {}
+            for d in docs:
+                if field in d:
+                    groups.setdefault(d[field], []).append(d)
+            buckets = []
+            for key in sorted(groups, key=lambda k: (-len(groups[k]), str(k)))[:size]:
+                b: dict[str, Any] = {"key": key, "doc_count": len(groups[key])}
+                for mname, mspec in (spec.get("aggs") or {}).items():
+                    (mtype, marg), = mspec.items()
+                    vals = [
+                        d[marg["field"]]
+                        for d in groups[key]
+                        if marg["field"] in d and d[marg["field"]] is not None
+                    ]
+                    if mtype == "sum":
+                        v: Any = sum(vals)
+                    elif mtype == "min":
+                        v = min(vals) if vals else None
+                    elif mtype == "max":
+                        v = max(vals) if vals else None
+                    elif mtype == "avg":
+                        v = (sum(vals) / len(vals)) if vals else None
+                    elif mtype == "value_count":
+                        v = len(vals)
+                    else:
+                        self._reply({"error": f"unsupported metric {mtype}"}, status=400)
+                        return
+                    b[mname] = {"value": v}
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
+        self._reply({"hits": {"total": {"value": len(docs), "relation": "eq"}, "hits": []},
+                     "aggregations": out})
+
     def _search(self, index: str | None, body: dict[str, Any]) -> None:
+        if body.get("aggs") and int(body.get("size", 10)) == 0:
+            self._aggs(index, body)
+            return
         spec = _sort_spec(body)
         size = int(body.get("size", 10))
         after = body.get("search_after")

@@ -1,0 +1,78 @@
+"""Source-side aggregation pushdown (sources/es_agg.py): the pushed
+terms+metric aggregation returns EXACTLY the buckets a full scan +
+Spark groupBy computes — the pushdown-vs-scan equivalence — plus cap
+and error behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.sinks import elasticsearch as es_sink
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import es_terms_agg
+from tests.fake_es import start_fake_es
+
+
+@pytest.fixture()
+def fake_es():
+    server, base_url = start_fake_es()
+    yield base_url
+    server.shutdown()
+    server.server_close()
+
+
+def _seed(spark, sf_dir, fake_es, tmp_path, index="agg_docs"):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = str(tmp_path / "bulk")
+    es_sink.write_bulk_files(docs.coalesce(2), out, index, id_col="doc_id")
+    es_sink.replay_bulk_files(out, fake_es)
+    return docs
+
+
+def test_pushed_agg_equals_scan_groupby(spark, sf_dir, fake_es, tmp_path):
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    pushed = es_terms_agg(
+        spark,
+        fake_es,
+        "agg_docs",
+        field="lang",
+        metrics={
+            "total_chars": ("sum", "n_chars"),
+            "max_chars": ("max", "n_chars"),
+            "n_vals": ("value_count", "n_chars"),
+        },
+    )
+    scanned = docs.groupBy(F.col("lang").alias("key")).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.max("n_chars").cast("double").alias("max_chars"),
+        F.count("n_chars").alias("n_vals"),
+    )
+    assert {tuple(r) for r in pushed.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
+
+
+def test_terms_size_caps_buckets_by_count(spark, sf_dir, fake_es, tmp_path):
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    top2 = es_terms_agg(spark, fake_es, "agg_docs", field="lang", size=2)
+    want = (
+        docs.groupBy("lang")
+        .count()
+        .orderBy(F.col("count").desc(), "lang")
+        .limit(2)
+        .collect()
+    )
+    got = sorted(top2.collect(), key=lambda r: (-r["doc_count"], r["key"]))
+    assert [(r["key"], r["doc_count"]) for r in got] == [
+        (r["lang"], r["count"]) for r in want
+    ]
+
+
+def test_unsupported_metric_rejected(spark, fake_es):
+    with pytest.raises(ValueError, match="unsupported metric"):
+        es_terms_agg(
+            spark, fake_es, "x", field="lang", metrics={"p": ("percentiles", "n")}
+        )
