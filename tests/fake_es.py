@@ -210,6 +210,16 @@ class _Handler(BaseHTTPRequestHandler):
         slice of the ES aggs DSL the engine pushes down (es_agg.py)."""
         with self.state.lock:
             docs = [d for _, d in self.state.indices.get(index, {}).items()]
+        q = body.get("query")
+        if q is not None and "match_all" not in q:
+            term = q.get("term")
+            if term is None or len(term) != 1:
+                # refuse silently-wrong results: only match_all/term are modeled
+                self._reply({"error": "aggs query supports match_all/term only"},
+                            status=400)
+                return
+            (tf, tv), = term.items()
+            docs = [d for d in docs if d.get(tf) == tv]
         out: dict[str, Any] = {}
         for name, spec in body["aggs"].items():
             terms = spec.get("terms")

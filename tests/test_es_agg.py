@@ -76,3 +76,36 @@ def test_unsupported_metric_rejected(spark, fake_es):
         es_terms_agg(
             spark, fake_es, "x", field="lang", metrics={"p": ("percentiles", "n")}
         )
+
+
+def test_query_filter_applies_before_buckets(spark, sf_dir, fake_es, tmp_path):
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    pushed = es_terms_agg(
+        spark, fake_es, "agg_docs", field="lang",
+        metrics={"total_chars": ("sum", "n_chars")},
+        query={"term": {"source": "web"}},
+    )
+    scanned = (
+        docs.filter(F.col("source") == "web")
+        .groupBy(F.col("lang").alias("key"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_chars").cast("double").alias("total_chars"),
+        )
+    )
+    assert {tuple(r) for r in pushed.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
+
+
+def test_unmodeled_query_shape_is_loud(spark, sf_dir, fake_es, tmp_path):
+    """The fake refuses query shapes it does not model instead of
+    silently aggregating everything."""
+    import urllib.error
+
+    _seed(spark, sf_dir, fake_es, tmp_path)
+    with pytest.raises(urllib.error.HTTPError):
+        es_terms_agg(
+            spark, fake_es, "agg_docs", field="lang",
+            query={"range": {"n_chars": {"gte": 100}}},
+        )
