@@ -93,3 +93,85 @@ def es_terms_agg(
         f", {name} {_METRICS[mtype]}" for name, (mtype, _) in metrics.items()
     )
     return spark.createDataFrame(rows, schema)
+
+
+def es_composite_agg(
+    spark: SparkSession,
+    base_url: str,
+    index: str,
+    fields: list[str],
+    metrics: Optional[dict[str, tuple[str, str]]] = None,
+    page_size: int = 500,
+    max_pages: int = 10_000,
+) -> DataFrame:
+    """Multi-key group-by pushed down via ES *composite* aggregation —
+    the UNBOUNDED-cardinality path ``es_terms_agg`` documents as its
+    extension point: buckets stream out in after-key-cursored pages
+    (exactly the keyset discipline of sources/keyset.py, applied to
+    groups instead of documents), so the bucket count never has to fit
+    one response.
+
+    Returns ``(<field columns...> string, doc_count long,
+    <metric columns...>)``. Each page is a bounded driver fetch; the
+    accumulated relation is |groups| rows. ``max_pages`` is the runaway
+    guard — a group-by whose cardinality approaches the corpus size
+    should be a scan (sources/es_live.py), not a pushdown; that is a
+    query-planning decision, and this cap makes the wrong choice loud
+    instead of slow.
+    """
+    metrics = metrics or {}
+    for name, (mtype, _) in metrics.items():
+        if mtype not in _METRICS:
+            raise ValueError(f"unsupported metric {mtype!r} for {name!r}")
+    client = HttpEsClient(base_url)
+    sources = [{f: {"terms": {"field": f}}} for f in fields]
+    rows: list[tuple] = []
+    after: Optional[dict[str, Any]] = None
+    for _ in range(max_pages):
+        comp: dict[str, Any] = {"sources": sources, "size": page_size}
+        if after is not None:
+            comp["after"] = after
+        body: dict[str, Any] = {
+            "size": 0,
+            "aggs": {
+                "g": {
+                    "composite": comp,
+                    **(
+                        {
+                            "aggs": {
+                                name: {mtype: {"field": mfield}}
+                                for name, (mtype, mfield) in metrics.items()
+                            }
+                        }
+                        if metrics
+                        else {}
+                    ),
+                }
+            },
+        }
+        resp = client.search(index, body)
+        agg = resp["aggregations"]["g"]
+        for b in agg["buckets"]:
+            vals = []
+            for name in metrics:
+                v = b[name]["value"]
+                if v is not None:
+                    v = float(v) if _METRICS[metrics[name][0]] == "double" else int(v)
+                vals.append(v)
+            rows.append(
+                tuple([str(b["key"][f]) for f in fields] + [int(b["doc_count"])] + vals)
+            )
+        after = agg.get("after_key")
+        if after is None:
+            break
+    else:
+        raise RuntimeError(
+            f"composite agg exceeded {max_pages} pages — this group-by's "
+            "cardinality wants the scan path, not a pushdown"
+        )
+    schema = (
+        ", ".join(f"{f} string" for f in fields)
+        + ", doc_count long"
+        + "".join(f", {name} {_METRICS[mtype]}" for name, (mtype, _) in metrics.items())
+    )
+    return spark.createDataFrame(rows, schema)

@@ -261,8 +261,72 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply({"hits": {"total": {"value": len(docs), "relation": "eq"}, "hits": []},
                      "aggregations": out})
 
+    def _composite(self, index: str | None, body: dict[str, Any]) -> None:
+        """Composite aggregation with after-key pagination — the
+        unbounded-cardinality cousin of terms (es_agg.py's scale path)."""
+        with self.state.lock:
+            docs = [d for _, d in self.state.indices.get(index, {}).items()]
+        (name, spec), = body["aggs"].items()
+        comp = spec["composite"]
+        sources = comp["sources"]  # [{outname: {"terms": {"field": f}}}, ...]
+        fields = []
+        outs = []
+        for src in sources:
+            (oname, sdef), = src.items()
+            outs.append(oname)
+            fields.append(sdef["terms"]["field"])
+        size = int(comp.get("size", 10))
+        after = comp.get("after")
+        groups: dict[tuple, list[dict]] = {}
+        for d in docs:
+            if all(f in d for f in fields):
+                groups.setdefault(tuple(d[f] for f in fields), []).append(d)
+        keys = sorted(groups, key=lambda k: tuple(str(x) for x in k))
+        if after is not None:
+            cursor = tuple(str(after[o]) for o in outs)
+            keys = [k for k in keys if tuple(str(x) for x in k) > cursor]
+        page = keys[:size]
+        buckets = []
+        for k in page:
+            b: dict[str, Any] = {
+                "key": dict(zip(outs, k)),
+                "doc_count": len(groups[k]),
+            }
+            for mname, mspec in (spec.get("aggs") or {}).items():
+                (mtype, marg), = mspec.items()
+                vals = [d[marg["field"]] for d in groups[k]
+                        if d.get(marg["field"]) is not None]
+                if mtype == "sum":
+                    v: Any = sum(vals)
+                elif mtype == "min":
+                    v = min(vals) if vals else None
+                elif mtype == "max":
+                    v = max(vals) if vals else None
+                elif mtype == "avg":
+                    v = (sum(vals) / len(vals)) if vals else None
+                elif mtype == "value_count":
+                    v = len(vals)
+                else:
+                    self._reply({"error": f"unsupported metric {mtype}"}, status=400)
+                    return
+                b[mname] = {"value": v}
+            buckets.append(b)
+        agg_out: dict[str, Any] = {"buckets": buckets}
+        if len(page) == size and page:
+            agg_out["after_key"] = dict(zip(outs, page[-1]))
+        self._reply(
+            {
+                "hits": {"total": {"value": len(docs), "relation": "eq"}, "hits": []},
+                "aggregations": {name: agg_out},
+            }
+        )
+
     def _search(self, index: str | None, body: dict[str, Any]) -> None:
         if body.get("aggs") and int(body.get("size", 10)) == 0:
+            aggs = body["aggs"]
+            if len(aggs) == 1 and "composite" in next(iter(aggs.values())):
+                self._composite(index, body)
+                return
             self._aggs(index, body)
             return
         spec = _sort_spec(body)

@@ -9,7 +9,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_pipeline_for_elasticsearch_json_document_spark.sinks import elasticsearch as es_sink
-from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import es_terms_agg
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+    es_composite_agg,
+    es_terms_agg,
+)
 from tests.fake_es import start_fake_es
 
 
@@ -108,4 +111,36 @@ def test_unmodeled_query_shape_is_loud(spark, sf_dir, fake_es, tmp_path):
         es_terms_agg(
             spark, fake_es, "agg_docs", field="lang",
             query={"range": {"n_chars": {"gte": 100}}},
+        )
+
+
+def test_composite_agg_pages_through_all_groups(spark, sf_dir, fake_es, tmp_path):
+    """page_size far below the group count forces the after-key cursor
+    to walk multiple pages; the accumulated relation equals a scan +
+    multi-key groupBy."""
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    pushed = es_composite_agg(
+        spark, fake_es, "agg_docs",
+        fields=["lang", "source"],
+        metrics={"total_chars": ("sum", "n_chars")},
+        page_size=3,
+    )
+    scanned = docs.groupBy(
+        F.col("lang").cast("string").alias("lang"),
+        F.col("source").cast("string").alias("source"),
+    ).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+    )
+    assert {tuple(r) for r in pushed.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
+
+
+def test_composite_agg_page_cap_is_loud(spark, sf_dir, fake_es, tmp_path):
+    _seed(spark, sf_dir, fake_es, tmp_path)
+    with pytest.raises(RuntimeError, match="scan path"):
+        es_composite_agg(
+            spark, fake_es, "agg_docs", fields=["lang", "source"],
+            page_size=1, max_pages=2,
         )
