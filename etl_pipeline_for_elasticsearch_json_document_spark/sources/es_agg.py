@@ -175,3 +175,55 @@ def es_composite_agg(
         + "".join(f", {name} {_METRICS[mtype]}" for name, (mtype, _) in metrics.items())
     )
     return spark.createDataFrame(rows, schema)
+
+
+def es_histogram_agg(
+    spark: SparkSession,
+    base_url: str,
+    index: str,
+    field: str,
+    interval: float,
+    metrics: Optional[dict[str, tuple[str, str]]] = None,
+) -> DataFrame:
+    """Numeric histogram pushed to ES: fixed-``interval`` buckets keyed by
+    ``floor(value/interval)*interval`` (ES's own bucket key), with the
+    same metric sub-aggs as :func:`es_terms_agg`. Returns
+    ``(bucket double, doc_count long, <metrics...>)`` — the distribution
+    sketch (q79's histogram shape) computed where the data lives; only
+    range/interval buckets cross the wire."""
+    metrics = metrics or {}
+    for name, (mtype, _) in metrics.items():
+        if mtype not in _METRICS:
+            raise ValueError(f"unsupported metric {mtype!r} for {name!r}")
+    body: dict[str, Any] = {
+        "size": 0,
+        "aggs": {
+            "g": {
+                "histogram": {"field": field, "interval": interval},
+                **(
+                    {
+                        "aggs": {
+                            name: {mtype: {"field": mfield}}
+                            for name, (mtype, mfield) in metrics.items()
+                        }
+                    }
+                    if metrics
+                    else {}
+                ),
+            }
+        },
+    }
+    resp = HttpEsClient(base_url).search(index, body)
+    rows = []
+    for b in resp["aggregations"]["g"]["buckets"]:
+        vals = []
+        for name in metrics:
+            v = b[name]["value"]
+            if v is not None:
+                v = float(v) if _METRICS[metrics[name][0]] == "double" else int(v)
+            vals.append(v)
+        rows.append(tuple([float(b["key"]), int(b["doc_count"])] + vals))
+    schema = "bucket double, doc_count long" + "".join(
+        f", {name} {_METRICS[mtype]}" for name, (mtype, _) in metrics.items()
+    )
+    return spark.createDataFrame(rows, schema)

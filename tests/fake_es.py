@@ -223,17 +223,31 @@ class _Handler(BaseHTTPRequestHandler):
         out: dict[str, Any] = {}
         for name, spec in body["aggs"].items():
             terms = spec.get("terms")
-            if terms is None:
+            hist = spec.get("histogram")
+            if terms is None and hist is None:
                 self._reply({"error": f"unsupported agg {name}"}, status=400)
                 return
-            field = terms["field"]
-            size = int(terms.get("size", 10))
             groups: dict[Any, list[dict]] = {}
-            for d in docs:
-                if field in d:
-                    groups.setdefault(d[field], []).append(d)
+            if hist is not None:
+                field = hist["field"]
+                interval = float(hist["interval"])
+                for d in docs:
+                    if d.get(field) is not None:
+                        import math
+
+                        groups.setdefault(
+                            math.floor(d[field] / interval) * interval, []
+                        ).append(d)
+                ordered = sorted(groups)
+            else:
+                field = terms["field"]
+                size = int(terms.get("size", 10))
+                for d in docs:
+                    if field in d:
+                        groups.setdefault(d[field], []).append(d)
+                ordered = sorted(groups, key=lambda k: (-len(groups[k]), str(k)))[:size]
             buckets = []
-            for key in sorted(groups, key=lambda k: (-len(groups[k]), str(k)))[:size]:
+            for key in ordered:
                 b: dict[str, Any] = {"key": key, "doc_count": len(groups[key])}
                 for mname, mspec in (spec.get("aggs") or {}).items():
                     (mtype, marg), = mspec.items()

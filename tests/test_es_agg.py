@@ -144,3 +144,24 @@ def test_composite_agg_page_cap_is_loud(spark, sf_dir, fake_es, tmp_path):
             spark, fake_es, "agg_docs", fields=["lang", "source"],
             page_size=1, max_pages=2,
         )
+
+
+def test_histogram_pushdown_equals_scan(spark, sf_dir, fake_es, tmp_path):
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+        es_histogram_agg,
+    )
+
+    pushed = es_histogram_agg(
+        spark, fake_es, "agg_docs", field="n_chars", interval=100,
+        metrics={"avg_chars": ("avg", "n_chars")},
+    )
+    scanned = docs.groupBy(
+        (F.floor(F.col("n_chars") / 100) * 100).cast("double").alias("bucket")
+    ).agg(
+        F.count("*").alias("doc_count"),
+        F.avg("n_chars").alias("avg_chars"),
+    )
+    assert {tuple(r) for r in pushed.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
