@@ -47,31 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json, record its green names as last-verified in round N
 # and empty the new-this-round set.
 
-#: Queries first registered in round 6 — ordered after block (1). All are
-#: locally oracle-green at sf0.01 AND sf0.001 (scripts/compare_oracle.py).
-_NEW_IN_R6: set[str] = {
-    "q153_bloom_decontaminate", "q154_line_dedup_rebuild",
-    "q155_char_lm_score", "q156_zipf_slope", "q157_normalized_dedup",
-    "q158_incremental_dedup", "q159_recursive_cte", "q160_lateral_topn",
-    "q161_hard_negatives", "q162_quality_funnel", "q163_key_skew_audit",
-    "q164_epoch_shards", "q165_vocab_coverage", "q166_source_overlap",
-    "q167_truncation_loss", "q168_lsh_param_sweep", "q169_lang_confusion",
-    "q170_deletion_manifest", "q171_temperature_mix", "q172_degenerate_runs",
-    "q173_label_shard_balance", "q174_dedup_growth_curve",
-    "q175_length_calibration", "q176_domain_overlap", "q177_code_switching",
-    "q178_canary_scan", "q179_filter_redundancy", "q180_event_cooccurrence",
-    "q181_false_merge_audit", "q182_watermark_audit",
-}
-
-#: Queries first registered in round 7 — ordered first (never driver-checked,
+#: Queries first registered in round 8 — ordered first (never driver-checked,
 #: newest). All are locally oracle-green at sf0.01 AND sf0.001
 #: (scripts/compare_oracle.py).
-_NEW_IN_R7: set[str] = {
-    "q183_gopher_rules", "q184_dup_ngram_mass", "q185_dsir_importance",
-    "q186_best_of_cluster", "q187_blocking_audit", "q188_embedding_qa",
-    "q189_label_margin_audit", "q190_split_leakage", "q191_rare_ngram_loss",
-    "q192_dedup_signal_agreement",
-}
+_NEW_IN_R8: set[str] = set()
 
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {
@@ -91,12 +70,8 @@ _LAST_VERIFIED: dict[str, int] = {
     "q36_repetition_metrics": 5, "q37_shingle_jaccard": 5,
     "q40_knn_bruteforce": 5, "q41_knn_lsh": 5, "q42_knn_ivf": 5,
     "q43_knn_pq": 5, "q44_label_centroids": 5, "q45_ann_recall": 5,
-    "q48_pagerank": 5, "q50_token_stats": 5, "q51_quality_metrics": 2,
-    "q52_lang_facet": 2, "q53_fingerprint_groups": 2,
+    "q48_pagerank": 5, "q50_token_stats": 5,
     # round 3
-    "q101_domain_quota": 3, "q102_sequence_packing": 3,
-    "q103_lsh_star_dedup": 3, "q104_text_chunks": 3, "q105_bigram_lift": 3,
-    "q35_dedup_clusters": 3, "q38_sentence_dedup": 3,
     "q46_cdc_chunk_dedup": 3, "q47_flatten_families": 3, "q56_tfidf": 3,
     "q61_multimodal_decode": 3, "q62_frame_sample": 3, "q63_pipeline_e2e": 3,
     "q64_sessionize": 3, "q65_outlink_domains": 3, "q66_audio_chunks": 3,
@@ -140,14 +115,40 @@ _LAST_VERIFIED: dict[str, int] = {
     "q147_kmv_sketch_overlap": 5, "q148_weighted_reservoir": 5,
     "q149_vocab_oov": 5, "q150_matryoshka_recall": 5, "q151_fd_audit": 5,
     "q152_dup_spans": 5,
+    # round 7 (CORRECTNESS_r07: 50/50 green — the 10 r7-new, the 30 r6-new,
+    # and the 10 stalest re-verifications)
+    "q35_dedup_clusters": 7, "q38_sentence_dedup": 7,
+    "q51_quality_metrics": 7, "q52_lang_facet": 7,
+    "q53_fingerprint_groups": 7, "q101_domain_quota": 7,
+    "q102_sequence_packing": 7, "q103_lsh_star_dedup": 7,
+    "q104_text_chunks": 7, "q105_bigram_lift": 7,
+    "q153_bloom_decontaminate": 7, "q154_line_dedup_rebuild": 7,
+    "q155_char_lm_score": 7, "q156_zipf_slope": 7, "q157_normalized_dedup": 7,
+    "q158_incremental_dedup": 7, "q159_recursive_cte": 7,
+    "q160_lateral_topn": 7, "q161_hard_negatives": 7,
+    "q162_quality_funnel": 7, "q163_key_skew_audit": 7,
+    "q164_epoch_shards": 7, "q165_vocab_coverage": 7,
+    "q166_source_overlap": 7, "q167_truncation_loss": 7,
+    "q168_lsh_param_sweep": 7, "q169_lang_confusion": 7,
+    "q170_deletion_manifest": 7, "q171_temperature_mix": 7,
+    "q172_degenerate_runs": 7, "q173_label_shard_balance": 7,
+    "q174_dedup_growth_curve": 7, "q175_length_calibration": 7,
+    "q176_domain_overlap": 7, "q177_code_switching": 7,
+    "q178_canary_scan": 7, "q179_filter_redundancy": 7,
+    "q180_event_cooccurrence": 7, "q181_false_merge_audit": 7,
+    "q182_watermark_audit": 7, "q183_gopher_rules": 7,
+    "q184_dup_ngram_mass": 7, "q185_dsir_importance": 7,
+    "q186_best_of_cluster": 7, "q187_blocking_audit": 7,
+    "q188_embedding_qa": 7, "q189_label_margin_audit": 7,
+    "q190_split_leakage": 7, "q191_rare_ngram_loss": 7,
+    "q192_dedup_signal_agreement": 7,
 }
 
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
-    new = _NEW_IN_R7 | _NEW_IN_R6
     never_checked = [
-        n for n in names if n not in _LAST_VERIFIED and n not in new
+        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R8
     ]
     verified = sorted(
         (n for n in names if n in _LAST_VERIFIED),
@@ -155,8 +156,7 @@ def _ordered() -> list[str]:
     )
     return (
         never_checked
-        + [n for n in names if n in _NEW_IN_R7]
-        + [n for n in names if n in _NEW_IN_R6]
+        + [n for n in names if n in _NEW_IN_R8]
         + verified
     )
 

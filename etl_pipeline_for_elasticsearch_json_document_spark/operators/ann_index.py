@@ -117,7 +117,21 @@ def ivf_build(
     :func:`similarity.kmeans_fit`), assign the build set, and commit
     ``v=0``. Returns the build assignment. ``assign`` picks the
     assignment engine (see :func:`_assign_fn`); use 'pandas' for
-    thousands of cells."""
+    thousands of cells.
+
+    Refuses a path that already holds committed versions: readers always
+    serve ``versions[-1]``, so a v=0 rebuild into a live store would land
+    silently invisible (and orphan the old lineage). The documented refit
+    runbook is ``ivf_build`` to a FRESH path, then re-point queries
+    (see :func:`ivf_health` / streaming/ann_ingest.py)."""
+    existing = _committed_versions(index_path)
+    if existing:
+        raise ValueError(
+            f"{index_path} already holds committed versions {existing}; "
+            "ivf_build refuses to bury them (read_ann_index serves the "
+            "LATEST version, so a v=0 rebuild here would be invisible). "
+            "Refit to a fresh path and re-point, per the ivf_health runbook."
+        )
     cents = kmeans_fit(vectors, id_col, vec_col, k=k, iterations=iterations).select(
         F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("centroid")
     )

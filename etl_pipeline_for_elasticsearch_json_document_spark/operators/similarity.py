@@ -266,6 +266,9 @@ def kmeans_fit(
                 cent_df,
                 id_col,
                 vec_col,
+                # raw distances: the fit's expr branch (and the q138
+                # oracle's SQL replay) compare UNROUNDED folds
+                round_before_argmin=False,
             ).select("cid", F.col("vec_id").alias("__aid")).join(
                 v.select(F.col(id_col).alias("__aid"), "__v"), "__aid"
             ).select("cid", "__v")
@@ -603,6 +606,7 @@ def kmeans_assign_pandas(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_before_argmin: bool = True,
 ) -> DataFrame:
     """Nearest-centroid assignment for LARGE codebooks — the Arrow path.
 
@@ -615,14 +619,24 @@ def kmeans_assign_pandas(
     vectorized native code, no row blowup (a dim-join formulation would
     materialize N·dim·k rows — strictly worse).
 
-    Same output columns ``(vec_id, cid, dist)`` and the same
-    lowest-cid tiebreak (centroid rows are sorted by cid; argmin takes
-    the first minimum). ``dist`` is rounded to 6 dp like the expression
-    path, but the expansion identity sums in a different order, so the
-    two paths agree on assignments while dist may differ in the last
-    digit — use ONE path consistently per store (tests pin cid parity on
-    real data). Deterministic for a fixed build: numpy reduces each
-    batch's rows identically regardless of which executor runs it.
+    Same output columns ``(vec_id, cid, dist)`` and the same tiebreak:
+    distances are rounded to 6 dp BEFORE the argmin (centroid rows are
+    sorted by cid; argmin takes the first minimum), mirroring the
+    expression path's round-then-``struct``-least — so any two centroids
+    within 1e-6 of a vector resolve to the same lowest cid on both paths,
+    not just exact float ties. The expansion identity sums in a different
+    order than the expr path's pairwise form, so pre-rounding inputs can
+    still differ in the 7th digit; if that flips a 6-dp comparison the
+    paths may diverge — use ONE path consistently per store (tests pin
+    cid parity incl. a synthetic ~1e-8 near-tie). Deterministic for a
+    fixed build: numpy reduces each batch's rows identically regardless
+    of which executor runs it.
+
+    ``round_before_argmin=False`` argmins the RAW distances — the mode
+    :func:`kmeans_fit`'s per-iteration step uses, because the fit's expr
+    branch (and the q138 oracle's SQL replay of it) compares unrounded
+    fold distances; only the FINAL operator-level assignment carries the
+    6-dp contract.
     """
     import numpy as np
 
@@ -638,12 +652,20 @@ def kmeans_assign_pandas(
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cnorm[None, :]
             np.maximum(d, 0.0, out=d)  # expansion identity can dip below 0
+            # Round BEFORE argmin so near-ties within 1e-6 break to the
+            # first (lowest-cid) column, exactly like the expression path's
+            # round-then-struct-least tiebreak — without this, two centroids
+            # ~1e-6 apart from a vector could get different cells across the
+            # two paths.
+            if round_before_argmin:
+                np.round(d, 6, out=d)
             best = d.argmin(axis=1)
+            dist = np.round(d[np.arange(len(best)), best], 6)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].astype("int64"),
                     "cid": cids[best],
-                    "dist": np.round(d[np.arange(len(best)), best], 6),
+                    "dist": dist,
                 }
             )
 

@@ -827,16 +827,22 @@ def q191(spark, sf_dir):
         .filter(F.col("is_representative"))
         .select("doc_id", F.lit(1).alias("kept_doc"))
     )
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 3), "
-                    "i -> xxhash64(array_join(slice(split(text, ' '), i + 1, 3), ' ')))"
+    # Docs with < 3 words carry no 3-grams (the oracle's range() is simply
+    # empty for them); without this guard sequence(0, size-3) would emit a
+    # DESCENDING index list and slice() would throw on index 0.
+    grams = (
+        d.filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(split(text, ' ')) - 3), "
+                        "i -> xxhash64(array_join(slice(split(text, ' '), i + 1, 3), ' ')))"
+                    )
                 )
-            )
-        ).alias("gh"),
+            ).alias("gh"),
+        )
     )
     gs = (
         grams.join(surv, "doc_id", "left")

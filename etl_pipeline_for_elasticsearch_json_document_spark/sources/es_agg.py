@@ -43,22 +43,38 @@ def es_terms_agg(
     metrics: Optional[dict[str, tuple[str, str]]] = None,
     size: int = 1000,
     query: Optional[dict[str, Any]] = None,
+    shard_size: Optional[int] = None,
+    allow_approximate: bool = False,
 ) -> DataFrame:
     """Terms aggregation on ``field`` pushed to ES; returns a DataFrame
     ``(key string, doc_count long, <metric columns...>)``.
 
     ``metrics`` maps an output column to ``(agg_type, field)``, e.g.
     ``{"total": ("sum", "amount"), "peak": ("max", "amount")}``.
+
+    **Exactness**: on a multi-shard index, terms aggregations are
+    APPROXIMATE — each shard reports only its local top ``shard_size``
+    terms, so global doc_counts can undercount and the top-``size`` set
+    itself can be wrong (the single-shard test fake is always exact).
+    This pushdown therefore (a) ships an explicit ``shard_size``
+    (default ``size * 1.5 + 10``, ES's own heuristic, raise it for
+    skewed term distributions) and (b) reads the response's
+    ``doc_count_error_upper_bound`` and REFUSES a result with a nonzero
+    bound unless ``allow_approximate=True``. Exactness-sensitive
+    group-bys should use :func:`es_composite_agg`, which enumerates
+    every bucket exactly via after-key paging.
     """
     metrics = metrics or {}
     for name, (mtype, _) in metrics.items():
         if mtype not in _METRICS:
             raise ValueError(f"unsupported metric {mtype!r} for {name!r}")
+    if shard_size is None:
+        shard_size = int(size * 1.5) + 10  # ES's own default heuristic
     body: dict[str, Any] = {
         "size": 0,
         "aggs": {
             "g": {
-                "terms": {"field": field, "size": size},
+                "terms": {"field": field, "size": size, "shard_size": shard_size},
                 **(
                     {
                         "aggs": {
@@ -75,7 +91,16 @@ def es_terms_agg(
     if query is not None:
         body["query"] = query
     resp = HttpEsClient(base_url).search(index, body)
-    buckets = resp["aggregations"]["g"]["buckets"]
+    agg = resp["aggregations"]["g"]
+    err_bound = int(agg.get("doc_count_error_upper_bound", 0))
+    if err_bound > 0 and not allow_approximate:
+        raise RuntimeError(
+            f"terms agg on {index}.{field} is approximate on this cluster "
+            f"(doc_count_error_upper_bound={err_bound}); raise shard_size, "
+            "pass allow_approximate=True, or use es_composite_agg for an "
+            "exact multi-shard group-by"
+        )
+    buckets = agg["buckets"]
     def coerce(name: str, v):
         if v is None:
             return None
@@ -103,6 +128,7 @@ def es_composite_agg(
     metrics: Optional[dict[str, tuple[str, str]]] = None,
     page_size: int = 500,
     max_pages: int = 10_000,
+    flush_rows: int = 100_000,
 ) -> DataFrame:
     """Multi-key group-by pushed down via ES *composite* aggregation —
     the UNBOUNDED-cardinality path ``es_terms_agg`` documents as its
@@ -116,8 +142,15 @@ def es_composite_agg(
     accumulated relation is |groups| rows. ``max_pages`` is the runaway
     guard — a group-by whose cardinality approaches the corpus size
     should be a scan (sources/es_live.py), not a pushdown; that is a
-    query-planning decision, and this cap makes the wrong choice loud
-    instead of slow.
+    query-planning decision (see :func:`scan_or_push`), and this cap
+    makes the wrong choice loud instead of slow.
+
+    **Driver-memory bound**: pages are flushed out of the Python buffer
+    into a (lazy, Arrow-backed) DataFrame chunk every ``flush_rows``
+    buckets and the chunks unioned, so the driver holds at most
+    ``flush_rows`` raw tuples at any moment — NOT the full
+    ``max_pages × page_size`` worst case (5M tuples at the defaults),
+    which used to spike long before the loud cap fired.
     """
     metrics = metrics or {}
     for name, (mtype, _) in metrics.items():
@@ -125,7 +158,19 @@ def es_composite_agg(
             raise ValueError(f"unsupported metric {mtype!r} for {name!r}")
     client = HttpEsClient(base_url)
     sources = [{f: {"terms": {"field": f}}} for f in fields]
+    schema = (
+        ", ".join(f"{f} string" for f in fields)
+        + ", doc_count long"
+        + "".join(f", {name} {_METRICS[mtype]}" for name, (mtype, _) in metrics.items())
+    )
     rows: list[tuple] = []
+    chunks: list[DataFrame] = []
+
+    def flush() -> None:
+        if rows:
+            chunks.append(spark.createDataFrame(rows, schema))
+            rows.clear()
+
     after: Optional[dict[str, Any]] = None
     for _ in range(max_pages):
         comp: dict[str, Any] = {"sources": sources, "size": page_size}
@@ -161,6 +206,8 @@ def es_composite_agg(
             rows.append(
                 tuple([str(b["key"][f]) for f in fields] + [int(b["doc_count"])] + vals)
             )
+        if len(rows) >= flush_rows:
+            flush()
         after = agg.get("after_key")
         if after is None:
             break
@@ -169,12 +216,13 @@ def es_composite_agg(
             f"composite agg exceeded {max_pages} pages — this group-by's "
             "cardinality wants the scan path, not a pushdown"
         )
-    schema = (
-        ", ".join(f"{f} string" for f in fields)
-        + ", doc_count long"
-        + "".join(f", {name} {_METRICS[mtype]}" for name, (mtype, _) in metrics.items())
-    )
-    return spark.createDataFrame(rows, schema)
+    flush()
+    if not chunks:
+        return spark.createDataFrame([], schema)
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out
 
 
 def es_histogram_agg(
@@ -227,3 +275,248 @@ def es_histogram_agg(
         f", {name} {_METRICS[mtype]}" for name, (mtype, _) in metrics.items()
     )
     return spark.createDataFrame(rows, schema)
+
+
+def _metric_values(metrics: dict[str, tuple[str, str]], b: dict[str, Any]) -> list:
+    vals = []
+    for name in metrics:
+        v = b[name]["value"]
+        if v is not None:
+            v = float(v) if _METRICS[metrics[name][0]] == "double" else int(v)
+        vals.append(v)
+    return vals
+
+
+def es_date_histogram_agg(
+    spark: SparkSession,
+    base_url: str,
+    index: str,
+    field: str,
+    calendar_interval: str = "day",
+    metrics: Optional[dict[str, tuple[str, str]]] = None,
+    query: Optional[dict[str, Any]] = None,
+) -> DataFrame:
+    """Calendar-bucketed time histogram pushed to ES — the Kibana-style
+    "daily counts over an events index" shape (q79/q126's time buckets),
+    computed where the data lives: only |days| rows cross the wire.
+
+    ``calendar_interval`` ∈ {'hour', 'day', 'month'} (the subset both
+    real ES and the test fake model; anything else is refused loudly
+    here, before a request is made). Returns ``(bucket string,
+    doc_count long, <metrics...>)`` where ``bucket`` is the server's
+    ``key_as_string`` truncated timestamp — exactly
+    ``date_format(date_trunc(interval, ts), ...)`` of a scan+groupBy,
+    which the parity test pins. Exact on any shard count: date_histogram
+    buckets are disjoint ranges, so per-shard partials merge losslessly
+    (unlike terms' shard-local top-N — see :func:`es_terms_agg`).
+    """
+    if calendar_interval not in ("hour", "day", "month"):
+        raise ValueError(
+            f"unsupported calendar_interval {calendar_interval!r}; "
+            "use 'hour', 'day' or 'month'"
+        )
+    metrics = metrics or {}
+    for name, (mtype, _) in metrics.items():
+        if mtype not in _METRICS:
+            raise ValueError(f"unsupported metric {mtype!r} for {name!r}")
+    body: dict[str, Any] = {
+        "size": 0,
+        "aggs": {
+            "g": {
+                "date_histogram": {
+                    "field": field,
+                    "calendar_interval": calendar_interval,
+                },
+                **(
+                    {
+                        "aggs": {
+                            name: {mtype: {"field": mfield}}
+                            for name, (mtype, mfield) in metrics.items()
+                        }
+                    }
+                    if metrics
+                    else {}
+                ),
+            }
+        },
+    }
+    if query is not None:
+        body["query"] = query
+    resp = HttpEsClient(base_url).search(index, body)
+    rows = [
+        tuple(
+            [str(b.get("key_as_string", b["key"])), int(b["doc_count"])]
+            + _metric_values(metrics, b)
+        )
+        for b in resp["aggregations"]["g"]["buckets"]
+    ]
+    schema = "bucket string, doc_count long" + "".join(
+        f", {name} {_METRICS[mtype]}" for name, (mtype, _) in metrics.items()
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def es_range_agg(
+    spark: SparkSession,
+    base_url: str,
+    index: str,
+    field: str,
+    ranges: list[dict[str, float]],
+    metrics: Optional[dict[str, tuple[str, str]]] = None,
+    query: Optional[dict[str, Any]] = None,
+) -> DataFrame:
+    """Range-facet aggregation pushed to ES: caller-defined half-open
+    buckets ``[from, to)`` over a numeric field — the faceted-navigation
+    shape (price bands, length bands). Each range is
+    ``{"from": x, "to": y}`` with either edge optional (open-ended).
+    Returns ``(range_from double, range_to double, doc_count long,
+    <metrics...>)`` with null for an open edge; docs outside every range
+    simply don't count (ES semantics). Exact on any shard count — ranges
+    are fixed disjoint predicates, per-shard partials merge losslessly.
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    for r in ranges:
+        if not set(r) <= {"from", "to"}:
+            raise ValueError(f"range {r!r} must use only 'from'/'to'")
+        if not r:
+            raise ValueError("a range needs at least one of 'from'/'to'")
+    metrics = metrics or {}
+    for name, (mtype, _) in metrics.items():
+        if mtype not in _METRICS:
+            raise ValueError(f"unsupported metric {mtype!r} for {name!r}")
+    body: dict[str, Any] = {
+        "size": 0,
+        "aggs": {
+            "g": {
+                "range": {"field": field, "ranges": ranges},
+                **(
+                    {
+                        "aggs": {
+                            name: {mtype: {"field": mfield}}
+                            for name, (mtype, mfield) in metrics.items()
+                        }
+                    }
+                    if metrics
+                    else {}
+                ),
+            }
+        },
+    }
+    if query is not None:
+        body["query"] = query
+    resp = HttpEsClient(base_url).search(index, body)
+    rows = []
+    for b in resp["aggregations"]["g"]["buckets"]:
+        lo = b.get("from")
+        hi = b.get("to")
+        rows.append(
+            tuple(
+                [
+                    float(lo) if lo is not None else None,
+                    float(hi) if hi is not None else None,
+                    int(b["doc_count"]),
+                ]
+                + _metric_values(metrics, b)
+            )
+        )
+    schema = "range_from double, range_to double, doc_count long" + "".join(
+        f", {name} {_METRICS[mtype]}" for name, (mtype, _) in metrics.items()
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def scan_or_push(
+    spark: SparkSession,
+    base_url: str,
+    index: str,
+    fields: list[str],
+    metrics: Optional[dict[str, tuple[str, str]]] = None,
+    scan: Optional[Any] = None,
+    probe_page_size: int = 500,
+    probe_pages: int = 2,
+    push_cardinality_ratio: float = 0.5,
+    page_size: int = 500,
+    max_pages: int = 10_000,
+) -> DataFrame:
+    """The pushdown-vs-scan CHOOSER the module docstring's planning rule
+    ("push when bucket cardinality ≪ corpus") leaves to the caller —
+    this closes the loop the reference's own pushed ``ES.count``
+    (`ElasticSearch ETL.py:214`) started.
+
+    Probe: one ``_count`` (the reference's own primitive) plus up to
+    ``probe_pages`` composite pages WITHOUT metrics (keys only, the
+    cheap shape). If the probe exhausts the buckets, cardinality is
+    known exactly; push iff it is below ``push_cardinality_ratio`` of
+    the corpus. If the probe does NOT exhaust, the group count exceeds
+    ``probe_pages × probe_page_size``; if even that lower bound is
+    already ≥ the ratio, the group-by approaches row granularity and a
+    pushdown would ship ~the corpus through bucket pages — scan instead.
+    Otherwise push via :func:`es_composite_agg` (whose ``max_pages`` cap
+    stays as the loud runaway backstop).
+
+    ``scan`` is a zero-arg callable returning the scanned corpus
+    DataFrame (e.g. a sources/es_live.py read); the scan branch groups
+    it to the SAME ``(<fields...> string, doc_count, <metrics...>)``
+    schema the push branch returns, so callers are branch-agnostic.
+    Choosing scan with ``scan=None`` is a loud error, never a silent
+    fallback to the pushdown it just ruled out.
+    """
+    from pyspark.sql import functions as F
+
+    metrics = metrics or {}
+    for name, (mtype, _) in metrics.items():
+        if mtype not in _METRICS:
+            raise ValueError(f"unsupported metric {mtype!r} for {name!r}")
+    client = HttpEsClient(base_url)
+    n_docs = int(client.count(index)["count"])
+
+    # --- cardinality probe: composite keys only, no metrics ---
+    cardinality: Optional[int] = None  # exact when probe exhausted
+    seen = 0
+    after: Optional[dict[str, Any]] = None
+    sources = [{f: {"terms": {"field": f}}} for f in fields]
+    for _ in range(probe_pages):
+        comp: dict[str, Any] = {"sources": sources, "size": probe_page_size}
+        if after is not None:
+            comp["after"] = after
+        resp = client.search(index, {"size": 0, "aggs": {"g": {"composite": comp}}})
+        agg = resp["aggregations"]["g"]
+        seen += len(agg["buckets"])
+        after = agg.get("after_key")
+        if after is None:
+            cardinality = seen
+            break
+
+    push = (
+        cardinality is not None
+        and cardinality <= push_cardinality_ratio * max(n_docs, 1)
+    ) or (cardinality is None and seen < push_cardinality_ratio * max(n_docs, 1))
+    if push:
+        return es_composite_agg(
+            spark, base_url, index, fields, metrics,
+            page_size=page_size, max_pages=max_pages,
+        )
+    if scan is None:
+        raise ValueError(
+            f"group-by on {fields} over {index} has "
+            f"{'exactly ' + str(cardinality) if cardinality is not None else '>' + str(seen)}"
+            f" buckets vs {n_docs} docs — the scan path wins, but no scan "
+            "callable was provided (pass scan=lambda: <es_live read>)"
+        )
+    df = scan()
+    aggs = [F.count("*").alias("doc_count")]
+    for name, (mtype, mfield) in metrics.items():
+        if mtype == "sum":
+            aggs.append(F.sum(mfield).cast("double").alias(name))
+        elif mtype == "avg":
+            aggs.append(F.avg(mfield).cast("double").alias(name))
+        elif mtype == "min":
+            aggs.append(F.min(mfield).cast("double").alias(name))
+        elif mtype == "max":
+            aggs.append(F.max(mfield).cast("double").alias(name))
+        else:  # value_count
+            aggs.append(F.count(mfield).alias(name))
+    return df.groupBy(
+        *[F.col(f).cast("string").alias(f) for f in fields]
+    ).agg(*aggs)

@@ -34,11 +34,9 @@ from pyspark.sql import functions as F
 from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
     CENTROIDS_SCHEMA,
     POSTINGS_SCHEMA,
+    _assign_fn,
     _committed_versions,
     _write_version,
-)
-from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
-    kmeans_assign,
 )
 from etl_pipeline_for_elasticsearch_json_document_spark.streaming.identity import (
     checkpoint_identity,
@@ -58,8 +56,14 @@ def _ann_batch_processor(
     ckpt_id: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "expr",
 ):
-    """The per-batch body, exposed for direct replay testing."""
+    """The per-batch body, exposed for direct replay testing. ``assign``
+    must match the method the store was BUILT with ('expr' | 'pandas' —
+    :func:`ann_index._assign_fn`): a store fitted in the large-k 'pandas'
+    regime maintained by the expr path would mix assignment engines AND
+    inline an O(k·dim) expression at exactly the cell counts the Arrow
+    path exists to make plannable."""
 
     ledger = os.path.join(index_path, "_ledger")
 
@@ -88,7 +92,7 @@ def _ann_batch_processor(
         postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
             os.path.join(vdir, "postings")
         )
-        asg = kmeans_assign(
+        asg = _assign_fn(assign)(
             batch_df,
             cents.select(
                 F.col("cid").alias(id_col), F.col("centroid").alias(vec_col)
@@ -122,13 +126,17 @@ def run_ann_ingest_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trigger_available_now: bool = True,
+    assign: str = "expr",
 ):
     """Attach IVF-store maintenance to a streaming DataFrame of vectors.
-    Returns the StreamingQuery (caller awaits termination)."""
+    Returns the StreamingQuery (caller awaits termination). ``assign``
+    must match the store's build method — see :func:`_ann_batch_processor`."""
     ckpt_id = checkpoint_identity(checkpoint_dir)
     writer = (
         stream.writeStream.foreachBatch(
-            _ann_batch_processor(index_path, out_path, ckpt_id, id_col, vec_col)
+            _ann_batch_processor(
+                index_path, out_path, ckpt_id, id_col, vec_col, assign
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -224,10 +224,13 @@ class _Handler(BaseHTTPRequestHandler):
         for name, spec in body["aggs"].items():
             terms = spec.get("terms")
             hist = spec.get("histogram")
-            if terms is None and hist is None:
+            dhist = spec.get("date_histogram")
+            rng = spec.get("range")
+            if terms is None and hist is None and dhist is None and rng is None:
                 self._reply({"error": f"unsupported agg {name}"}, status=400)
                 return
             groups: dict[Any, list[dict]] = {}
+            range_meta: dict[Any, dict[str, Any]] = {}
             if hist is not None:
                 field = hist["field"]
                 interval = float(hist["interval"])
@@ -239,6 +242,50 @@ class _Handler(BaseHTTPRequestHandler):
                             math.floor(d[field] / interval) * interval, []
                         ).append(d)
                 ordered = sorted(groups)
+            elif dhist is not None:
+                # calendar truncation of ISO-ish timestamp strings
+                # ("YYYY-MM-DD HH:MM:SS" or "YYYY-MM-DDTHH:MM:SS"), the
+                # shape bulk ingest serializes Spark timestamps to; real
+                # ES buckets dates the same way (key = truncated instant,
+                # key_as_string = its rendering)
+                field = dhist["field"]
+                civ = dhist.get("calendar_interval")
+                cut = {"month": 7, "day": 10, "hour": 13}.get(civ)
+                if cut is None:
+                    self._reply(
+                        {"error": f"unsupported calendar_interval {civ}"},
+                        status=400,
+                    )
+                    return
+                for d in docs:
+                    v = d.get(field)
+                    if v is not None:
+                        groups.setdefault(str(v)[:cut], []).append(d)
+                ordered = sorted(groups)
+            elif rng is not None:
+                field = rng["field"]
+                for r in rng["ranges"]:
+                    lo = r.get("from")
+                    hi = r.get("to")
+                    key = (
+                        f"{lo if lo is not None else '*'}-"
+                        f"{hi if hi is not None else '*'}"
+                    )
+                    members = [
+                        d
+                        for d in docs
+                        if d.get(field) is not None
+                        and (lo is None or d[field] >= lo)
+                        and (hi is None or d[field] < hi)
+                    ]
+                    groups[key] = members
+                    meta: dict[str, Any] = {}
+                    if lo is not None:
+                        meta["from"] = float(lo)
+                    if hi is not None:
+                        meta["to"] = float(hi)
+                    range_meta[key] = meta
+                ordered = list(groups)  # real ES keeps request order
             else:
                 field = terms["field"]
                 size = int(terms.get("size", 10))
@@ -249,6 +296,9 @@ class _Handler(BaseHTTPRequestHandler):
             buckets = []
             for key in ordered:
                 b: dict[str, Any] = {"key": key, "doc_count": len(groups[key])}
+                if dhist is not None:
+                    b["key_as_string"] = key
+                b.update(range_meta.get(key, {}))
                 for mname, mspec in (spec.get("aggs") or {}).items():
                     (mtype, marg), = mspec.items()
                     vals = [
@@ -272,6 +322,13 @@ class _Handler(BaseHTTPRequestHandler):
                     b[mname] = {"value": v}
                 buckets.append(b)
             out[name] = {"buckets": buckets}
+            if terms is not None:
+                # single shard → exact (real multi-shard ES reports the
+                # possible undercount here; es_agg reads and enforces it)
+                out[name]["doc_count_error_upper_bound"] = 0
+                out[name]["sum_other_doc_count"] = sum(
+                    len(v) for k, v in groups.items() if k not in ordered
+                )
         self._reply({"hits": {"total": {"value": len(docs), "relation": "eq"}, "hits": []},
                      "aggregations": out})
 

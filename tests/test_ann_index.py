@@ -268,3 +268,28 @@ def test_ivf_query_recall_and_pruning(spark, emb, tmp_path):
     a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
     e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.5  # meaningful recall at 1/8 the reads
+
+
+def test_pandas_assignment_near_tie_breaks_to_lowest_cid(spark):
+    """Two centroids within ~1e-8 of the same vector — NOT an exact
+    float tie. Both engines round distances to 6 dp before the argmin,
+    so both resolve the sub-1e-6 near-tie to the LOWEST cid; an
+    unrounded argmin would let numpy's raw float comparison pick either
+    side depending on summation order."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+        kmeans_assign_pandas,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [0.5, 0.0]), (1, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        # centroid 1 is 1e-8 closer to vector 0 than centroid 0 is —
+        # identical at 6 dp, so the 6-dp contract says cid=0 wins
+        [(0, [0.0, 0.0]), (1, [1.0 - 1e-8, 0.0]), (2, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    a = {r["vec_id"]: r["cid"] for r in kmeans_assign(vecs, cents).collect()}
+    b = {r["vec_id"]: r["cid"] for r in kmeans_assign_pandas(vecs, cents).collect()}
+    assert a == b == {0: 0, 1: 2}

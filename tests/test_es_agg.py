@@ -165,3 +165,197 @@ def test_histogram_pushdown_equals_scan(spark, sf_dir, fake_es, tmp_path):
     assert {tuple(r) for r in pushed.collect()} == {
         tuple(r) for r in scanned.collect()
     }
+
+
+def test_composite_flush_window_parity(spark, sf_dir, fake_es, tmp_path):
+    """A flush window far below the bucket count forces multiple chunk
+    DataFrames; the unioned relation is identical to the unflushed one —
+    the driver-memory bound costs nothing in results."""
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    pushed = es_composite_agg(
+        spark, fake_es, "agg_docs",
+        fields=["lang", "source"],
+        metrics={"total_chars": ("sum", "n_chars")},
+        page_size=3,
+        flush_rows=4,  # buckets >> 4 → several flushes
+    )
+    scanned = docs.groupBy(
+        F.col("lang").cast("string").alias("lang"),
+        F.col("source").cast("string").alias("source"),
+    ).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+    )
+    assert {tuple(r) for r in pushed.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
+
+
+def test_terms_refuses_nonzero_doc_count_error(spark, fake_es, monkeypatch):
+    """A response admitting shard-local truncation (nonzero
+    doc_count_error_upper_bound, as a real multi-shard cluster can
+    return) is refused unless the caller opts into approximation."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources import es_agg
+
+    def fake_search(self, index, body):
+        return {
+            "aggregations": {
+                "g": {
+                    "doc_count_error_upper_bound": 7,
+                    "buckets": [{"key": "en", "doc_count": 100}],
+                }
+            }
+        }
+
+    monkeypatch.setattr(es_agg.HttpEsClient, "search", fake_search)
+    with pytest.raises(RuntimeError, match="doc_count_error_upper_bound=7"):
+        es_terms_agg(spark, fake_es, "agg_docs", field="lang")
+    ok = es_terms_agg(
+        spark, fake_es, "agg_docs", field="lang", allow_approximate=True
+    )
+    assert [(r["key"], r["doc_count"]) for r in ok.collect()] == [("en", 100)]
+
+
+def _seed_events(spark, sf_dir, fake_es, tmp_path, index="agg_events"):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            F.col("ts").cast("string").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    out = str(tmp_path / "bulk_events")
+    es_sink.write_bulk_files(ev.coalesce(2), out, index, id_col="event_id")
+    es_sink.replay_bulk_files(out, fake_es)
+    return ev
+
+
+def test_date_histogram_pushdown_equals_scan(spark, sf_dir, fake_es, tmp_path):
+    ev = _seed_events(spark, sf_dir, fake_es, tmp_path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+        es_date_histogram_agg,
+    )
+
+    pushed = es_date_histogram_agg(
+        spark, fake_es, "agg_events", field="ts",
+        calendar_interval="day",
+        metrics={"total_value": ("sum", "value"), "n_vals": ("value_count", "value")},
+    )
+    scanned = ev.groupBy(F.substring("ts", 1, 10).alias("bucket")).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("value").cast("double").alias("total_value"),
+        F.count("value").alias("n_vals"),
+    )
+    assert {tuple(r) for r in pushed.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
+
+
+def test_date_histogram_month_and_bad_interval(spark, sf_dir, fake_es, tmp_path):
+    ev = _seed_events(spark, sf_dir, fake_es, tmp_path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+        es_date_histogram_agg,
+    )
+
+    pushed = es_date_histogram_agg(
+        spark, fake_es, "agg_events", field="ts", calendar_interval="month"
+    )
+    scanned = ev.groupBy(F.substring("ts", 1, 7).alias("bucket")).agg(
+        F.count("*").alias("doc_count")
+    )
+    assert {tuple(r) for r in pushed.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
+    with pytest.raises(ValueError, match="calendar_interval"):
+        es_date_histogram_agg(
+            spark, fake_es, "agg_events", field="ts", calendar_interval="fortnight"
+        )
+
+
+def test_range_agg_pushdown_equals_scan(spark, sf_dir, fake_es, tmp_path):
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+        es_range_agg,
+    )
+
+    pushed = es_range_agg(
+        spark, fake_es, "agg_docs", field="n_chars",
+        ranges=[{"to": 200}, {"from": 200, "to": 600}, {"from": 600}],
+        metrics={"avg_chars": ("avg", "n_chars")},
+    )
+    rows = {tuple(r) for r in pushed.collect()}
+
+    def band(lo, hi):
+        d = docs.filter(F.col("n_chars").isNotNull())
+        if lo is not None:
+            d = d.filter(F.col("n_chars") >= lo)
+        if hi is not None:
+            d = d.filter(F.col("n_chars") < hi)
+        r = d.agg(
+            F.count("*").alias("doc_count"), F.avg("n_chars").alias("avg_chars")
+        ).collect()[0]
+        return (lo, hi, r["doc_count"], r["avg_chars"])
+
+    want = {band(None, 200.0), band(200.0, 600.0), band(600.0, None)}
+    assert rows == want
+    with pytest.raises(ValueError, match="from"):
+        es_range_agg(spark, fake_es, "agg_docs", field="n_chars",
+                     ranges=[{"gte": 1}])
+
+
+def test_scan_or_push_picks_pushdown_for_small_cardinality(
+    spark, sf_dir, fake_es, tmp_path
+):
+    """lang×source has a handful of buckets over hundreds of docs — the
+    probe exhausts in one page and the planner pushes."""
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+        scan_or_push,
+    )
+
+    chosen = scan_or_push(
+        spark, fake_es, "agg_docs", fields=["lang", "source"],
+        metrics={"total_chars": ("sum", "n_chars")},
+        scan=lambda: (_ for _ in ()).throw(AssertionError("scan must not run")),
+    )
+    scanned = docs.groupBy(
+        F.col("lang").cast("string").alias("lang"),
+        F.col("source").cast("string").alias("source"),
+    ).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+    )
+    assert {tuple(r) for r in chosen.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
+
+
+def test_scan_or_push_picks_scan_at_row_granularity(
+    spark, sf_dir, fake_es, tmp_path
+):
+    """Grouping by doc_id makes every bucket one doc (cardinality ==
+    corpus): the probe's lower bound crosses the ratio and the planner
+    runs the provided scan, with the SAME output schema as the push
+    branch; with no scan provided the choice is a loud error."""
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+        scan_or_push,
+    )
+
+    chosen = scan_or_push(
+        spark, fake_es, "agg_docs", fields=["doc_id"],
+        metrics={"total_chars": ("sum", "n_chars")},
+        scan=lambda: docs,
+    )
+    scanned = docs.groupBy(F.col("doc_id").cast("string").alias("doc_id")).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+    )
+    assert chosen.columns == ["doc_id", "doc_count", "total_chars"]
+    assert {tuple(r) for r in chosen.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
+    with pytest.raises(ValueError, match="scan path wins"):
+        scan_or_push(spark, fake_es, "agg_docs", fields=["doc_id"])
