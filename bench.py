@@ -30,6 +30,15 @@ Measurement policy (r6 revision):
     ``value`` — r5 summed the pairs diagnostic into headline_total and the
     52→60 "regression" was entirely that entry (VERDICT r5 #3).
 
+q100_decontaminate note (r7 VERDICT "What's wrong" #2): the r7 2.60 s was
+shared-JVM context inflation — isolated in a fresh session the same code
+measured 1.63 s median (same artifact class as r5's q110/q113, which also
+recovered with no code change). r8 additionally parallelized the gram
+explode (ngram_contamination fans under-split inputs out to the session's
+cores before exploding — the sf0.1 documents table is ONE parquet row
+group, so the dominant stage used to run on one core): isolated median
+0.81 s, ~2× under even the r5 number.
+
 Cross-round comparability note: q38_sentence_dedup changed SEMANTICS in r3
 (short-segment guard + the oracle check became non-vacuous), so its r3
 number measures more work than its r2 number — not a regression of an
@@ -381,7 +390,9 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
     from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
         ivf_build,
         ivf_health,
+        ivf_query_layout,
         ivf_upsert,
+        write_ivf_layout,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -406,6 +417,20 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         force(ivf_health(spark, f"{work}/ivf"))
         out["ann_ivf_health"] = round(time.time() - t0, 3)
+        # the serving pair: pre-pay the cid-partitioned layout once, then
+        # query through it — the per-call cost of a similarity service
+        # (partition-pruned scan + broadcast probes, no corpus shuffle)
+        t0 = time.time()
+        write_ivf_layout(spark, f"{work}/ivf", emb, f"{work}/layout")
+        out["ann_layout_write"] = round(time.time() - t0, 3)
+        queries = emb.filter(F.col("vec_id") < 16)
+        t0 = time.time()
+        force(
+            ivf_query_layout(
+                spark, f"{work}/ivf", f"{work}/layout", queries, k=10, nprobe=2
+            )
+        )
+        out["ann_ivf_query"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -30,7 +30,11 @@ closure exactly as :func:`similarity.kmeans_assign` does); an upsert
 touches the new batch (map-only assignment) plus one postings rewrite —
 at 100 TB swap the rewrite for a partitioned append bucketed by ``cid``
 (same keys, same plans; see :func:`layout.write_bucketed`). Postings are
-(id, cid, dist) — 24 bytes/vector, independent of dim.
+(id, cid, dist) — 24 bytes/vector, independent of dim. Serving at scale
+goes through the cid-partitioned corpus layout
+(:func:`write_ivf_layout` → :func:`ivf_query_layout`): probes become
+partition pruning at the scan, reading ~nprobe/n_cells of the corpus
+bytes per query batch with zero corpus shuffle.
 """
 
 from __future__ import annotations
@@ -278,10 +282,13 @@ def ivf_query(
 
     With ``nprobe`` = the store's cell count this is EXACT search (pinned
     in tests); smaller nprobe trades recall for reading
-    ``~nprobe/n_cells`` of the corpus. At 100 TB the corpus is written
-    partitioned (or bucketed — :func:`layout.write_bucketed`) by ``cid``
-    so the probe is partition pruning at the scan, not a semi-join; the
-    semi-join form here is the layout-agnostic equivalent.
+    ``~nprobe/n_cells`` of the corpus. At 100 TB use the cid-partitioned
+    serving pair — :func:`write_ivf_layout` + :func:`ivf_query_layout` —
+    where the probe is partition pruning AT THE SCAN (pinned plan:
+    literal ``cid IN`` PartitionFilters, broadcast probes, no corpus
+    shuffle); this semi-join form is the layout-agnostic equivalent for
+    a corpus you don't control the layout of, and the parity of the two
+    is pinned in tests.
 
     Determinism: distances are the same index-ordered fold as
     :func:`similarity.kmeans_assign`, rounded to 6 dp BEFORE every
@@ -337,4 +344,138 @@ def ivf_query(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def write_ivf_layout(
+    spark: SparkSession,
+    index_path: str,
+    corpus: DataFrame,
+    layout_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Persist the corpus PARTITIONED BY CELL — the at-scale serving
+    layout :func:`ivf_query`'s docstring promises: with vectors laid out
+    as ``layout_path/cid=N/*.parquet``, a probe becomes partition
+    pruning AT THE SCAN (read ~nprobe/n_cells of the corpus bytes), not
+    a postings semi-join over all of it.
+
+    The one shuffle here (corpus ⋈ postings on vec_id, then the
+    partitioned write) is the PRE-PAID cost every subsequent query
+    amortizes — the same trade :func:`layout.write_bucketed` makes for
+    joins. Only indexed vectors are written (inner join): a vector
+    absent from the store's postings is unreachable through any probe
+    anyway.
+
+    Writes a ``_STORE_VERSION`` pin recording which committed store
+    version the layout was derived from; :func:`ivf_query_layout`
+    refuses a layout whose pin doesn't match the store's latest version,
+    because pruning with yesterday's cell assignment silently returns
+    wrong neighbors. After an upsert, re-run this (at scale: append only
+    the new batch's rows into their ``cid=`` dirs — same layout, same
+    plan) to re-pin. Returns the pinned version.
+    """
+    versions = _committed_versions(index_path)
+    if not versions:
+        raise ValueError(f"no committed index at {index_path}; run ivf_build first")
+    v = versions[-1]
+    _, postings = read_ann_index(spark, index_path)
+    laid = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    ).join(postings.select("vec_id", "cid"), "vec_id")
+    laid.write.mode("overwrite").partitionBy("cid").parquet(layout_path)
+    with open(os.path.join(layout_path, "_STORE_VERSION"), "w") as f:
+        f.write(str(v))
+    return v
+
+
+def ivf_query_layout(
+    spark: SparkSession,
+    index_path: str,
+    layout_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """:func:`ivf_query` served from a :func:`write_ivf_layout` corpus —
+    result-identical to the semi-join form (pinned in tests), but the
+    probe is PARTITION PRUNING: the scan's PartitionFilters restrict it
+    to the probed ``cid=`` directories, so only ~nprobe/n_cells of the
+    corpus bytes are read and the corpus side never shuffles (the probe
+    relation is broadcast onto it).
+
+    The probed cell set is collected driver-side to make it a LITERAL
+    ``IN`` list — that is what lets Catalyst prune partitions at plan
+    time instead of joining at run time. The collect is bounded by
+    |queries| × nprobe cell ids (the query batch is the small side of a
+    serving call by definition); the corpus never flows through the
+    driver.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+        _l2sq,
+    )
+
+    versions = _committed_versions(index_path)
+    if not versions:
+        raise ValueError(f"no committed index at {index_path}; run ivf_build first")
+    pin_file = os.path.join(layout_path, "_STORE_VERSION")
+    if not os.path.exists(pin_file):
+        raise ValueError(
+            f"{layout_path} has no _STORE_VERSION pin; write it with "
+            "write_ivf_layout"
+        )
+    with open(pin_file) as f:
+        pinned = int(f.read())
+    if pinned != versions[-1]:
+        raise ValueError(
+            f"layout at {layout_path} was derived from store version "
+            f"{pinned} but the store is at {versions[-1]} — re-run "
+            "write_ivf_layout (pruning with a stale cell assignment "
+            "returns wrong neighbors, so this is refused, not served)"
+        )
+    cents, _ = read_ann_index(spark, index_path)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "qv",
+            "cid",
+            F.round(_l2sq(F.col("qv"), F.col("centroid")), 6).alias("cdist"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("cdist"), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "qv", "cid")
+    )
+    probes = probes.localCheckpoint(eager=True)  # probe once, reuse twice
+    probed_cids = sorted(r["cid"] for r in probes.select("cid").distinct().collect())
+    corpus = spark.read.parquet(layout_path).filter(
+        F.col("cid").isin([int(c) for c in probed_cids])
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cid")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(_l2sq(F.col("qv"), F.col("embedding")), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist"), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

@@ -691,9 +691,21 @@ def ngram_contamination(
     from etl_pipeline_for_elasticsearch_json_document_spark.operators.text import word_ngrams
 
     def grams(df: DataFrame, out: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out),
-            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+        src = df.select(F.col(id_col).alias(out), F.col(text_col).alias("__t"))
+        # An under-split input (e.g. one parquet file with one row group)
+        # would serialize the gram explode — the query's dominant cost —
+        # on a single core. Fan the narrow (id, text) rows out to the
+        # session's parallelism first: one shuffle of ~input bytes buys
+        # cores× explode throughput. Gated so it never fires on properly
+        # split inputs — at 100 TB the corpus arrives in thousands of
+        # splits and this is a no-op decision, keeping the "text never
+        # shuffles" posture where it matters.
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < max(2, target // 2):
+            src = src.repartition(target)
+        return src.select(
+            out,
+            F.explode(F.array_distinct(word_ngrams(F.col("__t"), n))).alias("g"),
         ).select(out, F.xxhash64("g").alias("gh"))
 
     tr = grams(train, "train_id")

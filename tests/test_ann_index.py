@@ -293,3 +293,110 @@ def test_pandas_assignment_near_tie_breaks_to_lowest_cid(spark):
     a = {r["vec_id"]: r["cid"] for r in kmeans_assign(vecs, cents).collect()}
     b = {r["vec_id"]: r["cid"] for r in kmeans_assign_pandas(vecs, cents).collect()}
     assert a == b == {0: 0, 1: 2}
+
+
+def test_ivf_build_refuses_live_store(spark, emb, tmp_path):
+    """Rebuilding into a path with committed versions would land as an
+    invisible v=0 (readers serve the latest) — refused loudly; the refit
+    runbook is a FRESH path."""
+    path = str(tmp_path / "ivf")
+    build, batch = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    with pytest.raises(ValueError, match="refuses to bury"):
+        ivf_build(spark, path, build.unionByName(batch), k=4)
+
+
+def test_health_baseline_shifts_after_gc(spark, emb, tmp_path):
+    """prune_versions dropping v=0 makes the drift baseline the earliest
+    RETAINED version — the documented intent: the 'build set' for drift
+    purposes is the oldest lineage still on disk, so needs_refit stays
+    meaningful (comparing recent arrivals against the oldest surviving
+    cohort) instead of erroring on a GC'd dir."""
+    path = str(tmp_path / "ivf")
+    build = emb.filter(F.col("vec_id") < 40)
+    b1 = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 80))
+    b2 = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 120))
+    ivf_build(spark, path, build, k=4)          # v=0
+    ivf_upsert(spark, path, b1)                 # v=1
+    ivf_upsert(spark, path, b2)                 # v=2
+    before = ivf_health(spark, path).collect()[0]
+    assert before["n_vectors"] == 120
+    removed = prune_versions(path, keep_last=2, marker="_COMMITTED")
+    assert removed == [0]
+    after = ivf_health(spark, path).collect()[0]
+    # postings are cumulative, so totals are unchanged...
+    assert after["n_vectors"] == before["n_vectors"]
+    assert after["version"] == before["version"] == 2
+    # ...but the base set grew from v=0's 40 build vectors to v=1's 80,
+    # so the drift split (base vs new means) must shift with it
+    assert after["mean_dist_new"] != before["mean_dist_new"]
+    assert after["needs_refit"] in (True, False)  # still a decidable signal
+
+
+def test_layout_query_parity_and_partition_pruning(spark, emb, tmp_path):
+    """The cid-partitioned serving layout: ivf_query_layout returns
+    EXACTLY the semi-join form's neighbors, and its corpus scan reads
+    ONLY the probed cid= directories (partition pruning at the scan, the
+    at-scale form ivf_query's docstring promises)."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        ivf_query,
+        ivf_query_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    corpus = emb.filter(F.col("vec_id") < 200)
+    ivf_build(spark, path, corpus, k=8)
+    pinned = write_ivf_layout(spark, path, corpus, layout)
+    assert pinned == 0
+    # 2 queries x nprobe 2 probe at most 4 of the 8 cells
+    queries = emb.filter(F.col("vec_id") < 2)
+
+    semi = ivf_query(spark, path, queries, corpus, k=5, nprobe=2)
+    laid = ivf_query_layout(spark, path, layout, queries, k=5, nprobe=2)
+    assert {tuple(r) for r in laid.collect()} == {
+        tuple(r) for r in semi.collect()
+    }
+
+    # pruning: the layout scan must carry a literal PartitionFilters IN
+    # list over strictly fewer cells than the store's 8 — pruned at the
+    # scan, not filtered after it (inputFiles() can't show this: it
+    # lists the unpruned FileIndex)
+    import re
+
+    plan = laid._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([\d,]+)\)", plan)
+    assert m, f"no literal cid IN partition filter in plan:\n{plan[:2000]}"
+    probed = set(m.group(1).split(","))
+    all_cells = {
+        d.split("=")[1] for d in os.listdir(layout) if d.startswith("cid=")
+    }
+    assert probed < all_cells  # proper subset: pruned, not full scan
+    # and the corpus side reaches the scorer without an Exchange: the
+    # probe relation is broadcast onto it
+    assert "BroadcastHashJoin" in plan
+
+
+def test_layout_version_pin_is_enforced(spark, emb, tmp_path):
+    """An upsert advances the store; the layout's _STORE_VERSION pin no
+    longer matches and serving from it is refused (stale cell
+    assignments prune wrong)."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        ivf_query_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    build, batch = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    write_ivf_layout(spark, path, build, layout)
+    queries = emb.filter(F.col("vec_id") < 3)
+    assert ivf_query_layout(spark, path, layout, queries, k=3, nprobe=2).count() > 0
+    ivf_upsert(spark, path, batch)  # store moves to v=1
+    with pytest.raises(ValueError, match="re-run"):
+        ivf_query_layout(spark, path, layout, queries, k=3, nprobe=2)
+    # re-pinning the layout restores service
+    write_ivf_layout(spark, path, build.unionByName(batch), layout)
+    assert ivf_query_layout(spark, path, layout, queries, k=3, nprobe=2).count() > 0

@@ -97,3 +97,84 @@ def test_stream_without_build_fails_fast(spark, sf_dir, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "ivf_build" in str(e)
+
+
+def test_pandas_store_stream_uses_pandas_assignment(spark, sf_dir, tmp_path):
+    """A store built with assign='pandas' maintained by the stream with
+    assign='pandas' yields byte-identical postings to the pandas
+    one-shot — ONE assignment engine per store, end to end."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+        kmeans_assign_pandas,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "ivf_pd")
+    out = str(tmp_path / "out")
+    build = emb.filter(F.col("vec_id") < 30)
+    ivf_build(spark, idx, build, k=4, assign="pandas")
+    batch = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 90))
+    proc = _ann_batch_processor(idx, out, "lineagePD", assign="pandas")
+    proc(batch, 0)
+    cents, postings = read_ann_index(spark, idx)
+    oneshot = kmeans_assign_pandas(
+        build.unionByName(batch),
+        cents.select(
+            F.col("cid").alias("vec_id"), F.col("centroid").alias("embedding")
+        ),
+    )
+    assert {tuple(r) for r in postings.collect()} == {
+        tuple(r) for r in oneshot.collect()
+    }
+
+
+def test_refit_and_repoint_loses_no_batch(spark, sf_dir, tmp_path):
+    """The ivf_health refit runbook end to end: while store A keeps
+    absorbing stream batches, a refit store B is built at a FRESH path
+    from A's corpus-so-far; a batch that lands on A DURING the rebuild
+    is caught up into B via one upsert (the set difference of postings
+    vec_ids — derivable purely from the two stores), and after the
+    re-point B serves every vector A ever absorbed. The ledger +
+    versioned postings make 'no batch lost' provable without trusting
+    the test's own bookkeeping."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        ivf_upsert,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx_a = str(tmp_path / "storeA")
+    idx_b = str(tmp_path / "storeB")
+    out = str(tmp_path / "out")
+    build = emb.filter(F.col("vec_id") < 30)
+    ivf_build(spark, idx_a, build, k=4)
+
+    proc = _ann_batch_processor(idx_a, out, "lineageR")
+    b1 = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 60))
+    proc(b1, 0)  # A absorbs batch 0 → v=1
+
+    # health review says refit → offline build of B from A's current
+    # corpus (postings ids joined back to the vector source)
+    _, postings_a = read_ann_index(spark, idx_a)
+    snapshot_ids = postings_a.select("vec_id")
+    corpus_snapshot = emb.join(snapshot_ids, "vec_id")
+    ivf_build(spark, idx_b, corpus_snapshot, k=4)
+
+    # a batch arrives WHILE B is being built — it lands on A (still the
+    # live store; the stream was never stopped mid-batch)
+    b2 = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 90))
+    proc(b2, 1)  # A → v=2
+
+    # stop-drain, then catch B up: exactly the vectors A absorbed after
+    # B's snapshot, computed from the two stores' postings alone
+    _, postings_a = read_ann_index(spark, idx_a)
+    _, postings_b = read_ann_index(spark, idx_b)
+    missing = postings_a.select("vec_id").subtract(postings_b.select("vec_id"))
+    assert missing.count() == b2.count()  # precisely the in-flight batch
+    ivf_upsert(spark, idx_b, emb.join(missing, "vec_id"))
+
+    # re-point: B now serves everything A ever absorbed — no batch lost
+    _, postings_b = read_ann_index(spark, idx_b)
+    a_ids = {r["vec_id"] for r in postings_a.select("vec_id").collect()}
+    b_ids = {r["vec_id"] for r in postings_b.select("vec_id").collect()}
+    assert a_ids == b_ids
+    # and B's ledger-independent lineage is fresh: v=0 (build) + v=1 (catch-up)
+    assert _committed_versions(idx_b) == [0, 1]
