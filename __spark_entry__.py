@@ -50,7 +50,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Queries first registered in round 8 — ordered first (never driver-checked,
 #: newest). All are locally oracle-green at sf0.01 AND sf0.001
 #: (scripts/compare_oracle.py).
-_NEW_IN_R8: set[str] = set()
+_NEW_IN_R8: set[str] = {
+    "q193_contamination_fraction", "q194_dedup_pareto",
+    "q195_source_dup_matrix", "q196_prefix_template_groups",
+    "q197_embedding_dim_clip", "q198_packing_boundary_curve",
+    "q199_gram_df_spectrum", "q200_label_silhouette",
+    "q201_basket_lift", "q202_supply_concentration",
+}
 
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {

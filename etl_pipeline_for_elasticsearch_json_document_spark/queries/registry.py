@@ -51,6 +51,7 @@ def all_queries() -> dict[str, Query]:
         r5,
         r6,
         r7,
+        r8,
         relational,
     )
 

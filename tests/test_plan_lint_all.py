@@ -63,6 +63,18 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "nested-loop-join": "1-row count aggregates crossJoined into the "
         "3-row audit report"
     },
+    "q198_packing_boundary_curve": {
+        "nested-loop-join": "3-row ctx spine literal broadcast"
+    },
+    "q199_gram_df_spectrum": {
+        "nested-loop-join": "1-row vocab-total broadcast"
+    },
+    "q200_label_silhouette": {
+        "nested-loop-join": "|labels|-row centroid table broadcast"
+    },
+    "q201_basket_lift": {
+        "nested-loop-join": "1-row basket-total broadcast"
+    },
     # bounded / surface-demo single-partition + global-sort shapes
     "q12_rank_dense": {
         "single-partition": "global rank/ntile SQL surface over the supplier dim; "
