@@ -479,3 +479,80 @@ def ivf_query_layout(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def append_ivf_layout(
+    spark: SparkSession,
+    index_path: str,
+    new_vectors: DataFrame,
+    layout_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Catch a serving layout up after ONE :func:`ivf_upsert` without
+    rewriting the corpus: append exactly the upserted batch's rows into
+    their ``cid=`` directories and advance the ``_STORE_VERSION`` pin —
+    the at-scale maintenance step :func:`write_ivf_layout`'s docstring
+    promises (per-batch cost ~|batch| rows vs the full-corpus rewrite).
+
+    Contract (enforced, not assumed):
+
+    - the pin must be exactly one version behind the store — append
+      batches in upsert order; anything else wants a rewrite;
+    - the batch's ids must be NEW (absent from the pinned version's
+      postings). A re-upserted id REPLACES its posting, and an appended
+      layout cannot retract the stale row — that case is refused loudly
+      and needs :func:`write_ivf_layout`.
+
+    The batch's cells come from the store's own postings (the committed
+    truth), not a re-assignment here. Returns the new pinned version.
+
+    Streaming note: the ann_ingest stream does NOT call this per batch —
+    foreachBatch replays would double-append rows (parquet appends have
+    no idempotent overwrite key). Run it as the ledger-ordered catch-up
+    step between stream drains, or rewrite on re-point (the refit
+    runbook in tests/test_ann_stream.py).
+    """
+    versions = _committed_versions(index_path)
+    if not versions:
+        raise ValueError(f"no committed index at {index_path}; run ivf_build first")
+    latest = versions[-1]
+    pin_file = os.path.join(layout_path, "_STORE_VERSION")
+    if not os.path.exists(pin_file):
+        raise ValueError(
+            f"{layout_path} has no _STORE_VERSION pin; build it with "
+            "write_ivf_layout before appending"
+        )
+    with open(pin_file) as f:
+        pinned = int(f.read())
+    if pinned != latest - 1:
+        raise ValueError(
+            f"layout pin is {pinned} but the store is at {latest}; append "
+            "catches up exactly one upsert — apply batches in order, or "
+            "re-run write_ivf_layout"
+        )
+    prev_dir = os.path.join(index_path, f"v={pinned}", "postings")
+    prev_ids = (
+        spark.read.schema(POSTINGS_SCHEMA)
+        .parquet(prev_dir)
+        .select("vec_id")
+    )
+    batch = new_vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    n_replaced = batch.join(prev_ids, "vec_id", "left_semi").count()
+    if n_replaced:
+        raise ValueError(
+            f"{n_replaced} batch ids already exist in the pinned layout — "
+            "an append cannot retract their stale rows; re-run "
+            "write_ivf_layout for replace-upserts"
+        )
+    _, postings = read_ann_index(spark, index_path)
+    laid = batch.join(postings.select("vec_id", "cid"), "vec_id")
+    laid.write.mode("append").partitionBy("cid").parquet(layout_path)
+    tmp = pin_file + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(latest))
+    os.replace(tmp, pin_file)
+    return latest

@@ -129,6 +129,7 @@ def es_composite_agg(
     page_size: int = 500,
     max_pages: int = 10_000,
     flush_rows: int = 100_000,
+    query: Optional[dict[str, Any]] = None,
 ) -> DataFrame:
     """Multi-key group-by pushed down via ES *composite* aggregation —
     the UNBOUNDED-cardinality path ``es_terms_agg`` documents as its
@@ -194,6 +195,8 @@ def es_composite_agg(
                 }
             },
         }
+        if query is not None:
+            body["query"] = query
         resp = client.search(index, body)
         agg = resp["aggregations"]["g"]
         for b in agg["buckets"]:
@@ -232,6 +235,7 @@ def es_histogram_agg(
     field: str,
     interval: float,
     metrics: Optional[dict[str, tuple[str, str]]] = None,
+    query: Optional[dict[str, Any]] = None,
 ) -> DataFrame:
     """Numeric histogram pushed to ES: fixed-``interval`` buckets keyed by
     ``floor(value/interval)*interval`` (ES's own bucket key), with the
@@ -261,6 +265,8 @@ def es_histogram_agg(
             }
         },
     }
+    if query is not None:
+        body["query"] = query
     resp = HttpEsClient(base_url).search(index, body)
     rows = []
     for b in resp["aggregations"]["g"]["buckets"]:

@@ -337,6 +337,16 @@ class _Handler(BaseHTTPRequestHandler):
         unbounded-cardinality cousin of terms (es_agg.py's scale path)."""
         with self.state.lock:
             docs = [d for _, d in self.state.indices.get(index, {}).items()]
+        q = body.get("query")
+        if q is not None and "match_all" not in q:
+            term = q.get("term")
+            if term is None or len(term) != 1:
+                # refuse silently-wrong results: only match_all/term modeled
+                self._reply({"error": "aggs query supports match_all/term only"},
+                            status=400)
+                return
+            (tf, tv), = term.items()
+            docs = [d for d in docs if d.get(tf) == tv]
         (name, spec), = body["aggs"].items()
         comp = spec["composite"]
         sources = comp["sources"]  # [{outname: {"terms": {"field": f}}}, ...]

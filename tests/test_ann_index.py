@@ -400,3 +400,60 @@ def test_layout_version_pin_is_enforced(spark, emb, tmp_path):
     # re-pinning the layout restores service
     write_ivf_layout(spark, path, build.unionByName(batch), layout)
     assert ivf_query_layout(spark, path, layout, queries, k=3, nprobe=2).count() > 0
+
+
+def test_layout_append_catches_up_one_upsert(spark, emb, tmp_path):
+    """write_ivf_layout once, then per-upsert append_ivf_layout: the
+    appended layout serves EXACTLY what a full rewrite would — at
+    |batch| write cost instead of |corpus|."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        append_ivf_layout,
+        ivf_query,
+        ivf_query_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    build = emb.filter(F.col("vec_id") < 120)
+    batch = emb.filter((F.col("vec_id") >= 120) & (F.col("vec_id") < 200))
+    ivf_build(spark, path, build, k=8)
+    write_ivf_layout(spark, path, build, layout)
+    ivf_upsert(spark, path, batch)
+    assert append_ivf_layout(spark, path, batch, layout) == 1
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    corpus = build.unionByName(batch)
+    semi = ivf_query(spark, path, queries, corpus, k=5, nprobe=3)
+    laid = ivf_query_layout(spark, path, layout, queries, k=5, nprobe=3)
+    assert {tuple(r) for r in laid.collect()} == {
+        tuple(r) for r in semi.collect()
+    }
+
+
+def test_layout_append_refuses_replaces_and_gaps(spark, emb, tmp_path):
+    """Replace-upserts (id already in the pinned layout) and out-of-order
+    appends are refused loudly — an append cannot retract stale rows and
+    cannot skip a version."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        append_ivf_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    build = emb.filter(F.col("vec_id") < 100)
+    ivf_build(spark, path, build, k=4)
+    write_ivf_layout(spark, path, build, layout)
+
+    # replace-upsert: vec 5 already lives in the pinned layout
+    replace = emb.filter((F.col("vec_id") == 5) | (F.col("vec_id") == 150))
+    ivf_upsert(spark, path, replace)
+    with pytest.raises(ValueError, match="cannot retract"):
+        append_ivf_layout(spark, path, replace, layout)
+
+    # gap: two upserts ahead of the pin
+    b2 = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 220))
+    ivf_upsert(spark, path, b2)
+    with pytest.raises(ValueError, match="exactly one upsert"):
+        append_ivf_layout(spark, path, b2, layout)

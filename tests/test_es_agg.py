@@ -359,3 +359,40 @@ def test_scan_or_push_picks_scan_at_row_granularity(
     }
     with pytest.raises(ValueError, match="scan path wins"):
         scan_or_push(spark, fake_es, "agg_docs", fields=["doc_id"])
+
+
+def test_composite_and_histogram_accept_query_filter(
+    spark, sf_dir, fake_es, tmp_path
+):
+    """The whole pushdown family takes the same pre-bucket query filter
+    (terms/date_histogram already did; composite + numeric histogram
+    joined in r8) — parity vs filter-then-groupBy on the scan side."""
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+        es_histogram_agg,
+    )
+
+    web = docs.filter(F.col("source") == "web")
+    comp = es_composite_agg(
+        spark, fake_es, "agg_docs", fields=["lang"],
+        metrics={"total_chars": ("sum", "n_chars")},
+        page_size=3, query={"term": {"source": "web"}},
+    )
+    comp_want = web.groupBy(F.col("lang").cast("string").alias("lang")).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+    )
+    assert {tuple(r) for r in comp.collect()} == {
+        tuple(r) for r in comp_want.collect()
+    }
+
+    hist = es_histogram_agg(
+        spark, fake_es, "agg_docs", field="n_chars", interval=200,
+        query={"term": {"source": "web"}},
+    )
+    hist_want = web.groupBy(
+        (F.floor(F.col("n_chars") / 200) * 200).cast("double").alias("bucket")
+    ).agg(F.count("*").alias("doc_count"))
+    assert {tuple(r) for r in hist.collect()} == {
+        tuple(r) for r in hist_want.collect()
+    }
