@@ -30,6 +30,20 @@ Measurement policy (r6 revision):
     ``value`` — r5 summed the pairs diagnostic into headline_total and the
     52→60 "regression" was entirely that entry (VERDICT r5 #3).
 
+Single-row-group testdata note: every sf0.1 parquet table is ONE file with
+ONE row group (verified via pyarrow), and Spark assigns parquet splits at
+row-group granularity — so every SCAN stage here runs on one core until
+the first exchange, regardless of local[32]. This taxes the scan-bound
+entries (q01/q03 most visibly: q01's 1.2 s is one-core scan + partial
+decimal agg; a measured fan-out variant runs 0.8 s). We deliberately do
+NOT pre-repartition before aggregations to win that back: a blind
+full-row shuffle before a partial agg is exactly the anti-pattern
+map-side combine exists to avoid, and at 100 TB inputs arrive in
+thousands of splits so the artifact vanishes. The one exception is
+ngram_contamination (below), where per-row EXPLODE compute dominates its
+narrow (id, text) shuffle ~10:1 and the fan-out is gated to under-split
+inputs only.
+
 q100_decontaminate note (r7 VERDICT "What's wrong" #2): the r7 2.60 s was
 shared-JVM context inflation — isolated in a fresh session the same code
 measured 1.63 s median (same artifact class as r5's q110/q113, which also
