@@ -30,9 +30,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_http import HttpEsClient
 
-#: metric name -> Spark SQL type of the returned value column
+#: metric name -> Spark SQL type of the returned value column.
+#: ``cardinality`` is ES's HLL++ distinct count: EXACT up to the shipped
+#: ``precision_threshold`` (we send the max, 40000), approximate beyond it
+#: (documented ES behavior; the single-shard test fake is always exact) —
+#: the pushdown twin of q87's approx_count_distinct, with the same
+#: "sketch, not a promise" contract.
 _METRICS = {"sum": "double", "avg": "double", "min": "double", "max": "double",
-            "value_count": "long"}
+            "value_count": "long", "cardinality": "long"}
+
+
+def _metric_body(mtype: str, mfield: str) -> dict[str, Any]:
+    if mtype == "cardinality":
+        return {mtype: {"field": mfield, "precision_threshold": 40000}}
+    return {mtype: {"field": mfield}}
 
 
 def es_terms_agg(
@@ -78,7 +89,7 @@ def es_terms_agg(
                 **(
                     {
                         "aggs": {
-                            name: {mtype: {"field": mfield}}
+                            name: _metric_body(mtype, mfield)
                             for name, (mtype, mfield) in metrics.items()
                         }
                     }
@@ -185,7 +196,7 @@ def es_composite_agg(
                     **(
                         {
                             "aggs": {
-                                name: {mtype: {"field": mfield}}
+                                name: _metric_body(mtype, mfield)
                                 for name, (mtype, mfield) in metrics.items()
                             }
                         }
@@ -255,7 +266,7 @@ def es_histogram_agg(
                 **(
                     {
                         "aggs": {
-                            name: {mtype: {"field": mfield}}
+                            name: _metric_body(mtype, mfield)
                             for name, (mtype, mfield) in metrics.items()
                         }
                     }
@@ -336,7 +347,7 @@ def es_date_histogram_agg(
                 **(
                     {
                         "aggs": {
-                            name: {mtype: {"field": mfield}}
+                            name: _metric_body(mtype, mfield)
                             for name, (mtype, mfield) in metrics.items()
                         }
                     }
@@ -399,7 +410,7 @@ def es_range_agg(
                 **(
                     {
                         "aggs": {
-                            name: {mtype: {"field": mfield}}
+                            name: _metric_body(mtype, mfield)
                             for name, (mtype, mfield) in metrics.items()
                         }
                     }
@@ -521,6 +532,8 @@ def scan_or_push(
             aggs.append(F.min(mfield).cast("double").alias(name))
         elif mtype == "max":
             aggs.append(F.max(mfield).cast("double").alias(name))
+        elif mtype == "cardinality":
+            aggs.append(F.countDistinct(mfield).alias(name))
         else:  # value_count
             aggs.append(F.count(mfield).alias(name))
     return df.groupBy(

@@ -316,6 +316,10 @@ class _Handler(BaseHTTPRequestHandler):
                         v = (sum(vals) / len(vals)) if vals else None
                     elif mtype == "value_count":
                         v = len(vals)
+                    elif mtype == "cardinality":
+                        # single shard, small data: within precision_threshold,
+                        # real ES's HLL++ is exact too
+                        v = len(set(vals))
                     else:
                         self._reply({"error": f"unsupported metric {mtype}"}, status=400)
                         return
@@ -387,6 +391,8 @@ class _Handler(BaseHTTPRequestHandler):
                     v = (sum(vals) / len(vals)) if vals else None
                 elif mtype == "value_count":
                     v = len(vals)
+                elif mtype == "cardinality":
+                    v = len(set(vals))
                 else:
                     self._reply({"error": f"unsupported metric {mtype}"}, status=400)
                     return

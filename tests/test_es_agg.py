@@ -396,3 +396,42 @@ def test_composite_and_histogram_accept_query_filter(
     assert {tuple(r) for r in hist.collect()} == {
         tuple(r) for r in hist_want.collect()
     }
+
+
+def test_cardinality_metric_pushdown(spark, sf_dir, fake_es, tmp_path):
+    """Per-bucket distinct counts pushed as ES cardinality (HLL++, exact
+    within the shipped precision_threshold) == scan + countDistinct."""
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    pushed = es_terms_agg(
+        spark, fake_es, "agg_docs", field="lang",
+        metrics={"n_sources": ("cardinality", "source")},
+    )
+    scanned = docs.groupBy(F.col("lang").alias("key")).agg(
+        F.count("*").alias("doc_count"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    assert {tuple(r) for r in pushed.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
+
+
+def test_scan_or_push_scan_branch_handles_cardinality(
+    spark, sf_dir, fake_es, tmp_path
+):
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+        scan_or_push,
+    )
+
+    chosen = scan_or_push(
+        spark, fake_es, "agg_docs", fields=["doc_id"],
+        metrics={"n_langs": ("cardinality", "lang")},
+        scan=lambda: docs,
+    )
+    scanned = docs.groupBy(F.col("doc_id").cast("string").alias("doc_id")).agg(
+        F.count("*").alias("doc_count"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    assert {tuple(r) for r in chosen.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
