@@ -56,6 +56,10 @@ _NEW_IN_R8: set[str] = {
     "q197_embedding_dim_clip", "q198_packing_boundary_curve",
     "q199_gram_df_spectrum", "q200_label_silhouette",
     "q201_basket_lift", "q202_supply_concentration",
+    "q203_tpch_q5_local_volume", "q204_large_order_customers",
+    "q205_lang_source_chi2", "q206_langid_kappa",
+    "q207_sorted_neighborhood", "q208_benford_price_audit",
+    "q209_embedding_cov_probe",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

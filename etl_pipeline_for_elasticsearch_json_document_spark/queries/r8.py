@@ -6,9 +6,13 @@ mirroring and head-template detection (which feeds dominate the
 boilerplate), the gram document-frequency spectrum (the corpus'
 duplication fingerprint), packing-boundary economics (how many docs a
 context size splits across pack boundaries), per-dimension embedding clip
-calibration, label-cluster silhouettes, plus two relational analytics
-shapes the TPC-H side lacked: market-basket lift over order baskets and
-supplier-concentration HHI.
+calibration, label-cluster silhouettes, plus relational analytics shapes
+the TPC-H side lacked: market-basket lift over order baskets,
+supplier-concentration HHI, the TPC-H Q5 join-order stress and Q18
+agg-then-join-back classics — and a data-QA trio (lang×source chi-square
+confound audit, Cohen's-kappa classifier agreement, Benford first-digit
+screen), sorted-neighborhood ER windowing, and an embedding covariance
+probe.
 
 Every query follows the registry's cross-engine determinism rules
 (registry.py docstring): float outputs are single divisions of exact
@@ -665,4 +669,542 @@ def q202(spark, sf_dir):
             / (F.sum("q").cast("double") * F.sum("q").cast("double")),
             6,
         ).alias("hhi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203: TPC-H Q5 shape — local-supplier volume (5-way join + region filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_tpch_q5_local_volume",
+    oracle="""
+SELECT n.n_name,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5 (local supplier volume): revenue by nation where the "
+    "customer and the line's supplier share a nation, restricted to one "
+    "region and one order year — the classic 6-relation join-order "
+    "stress (two selective dims, one fact-fact-dim chain, a non-key "
+    "equality between two dims). Catalyst broadcasts the four dim "
+    "relations and reorders around the lineitem⋈orders spine; revenue "
+    "is a DECIMAL(18,6) sum (exact, order-independent). Scale: one fact "
+    "shuffle on the join keys; region/nation/supplier/customer ride as "
+    "broadcasts at any realistic dim:fact ratio.",
+)
+def q203(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q204: TPC-H Q18 shape — large-volume orders joined back to customers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q204_large_order_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+SELECT c.c_name, b.l_orderkey AS o_orderkey, o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    doc="TPC-H Q18 (large-volume orders): orders whose total line quantity "
+    "exceeds 250, joined back to their customer — the aggregate-then-"
+    "semi-join-back pattern (the HAVING prunes the fact to a sliver "
+    "BEFORE the dimension joins, so orders/customer join against ~top-"
+    "percentile keys only). Quantity sums are DECIMAL-exact. Scale: one "
+    "partial-agg shuffle on l_orderkey; the surviving key set is small "
+    "by construction, and AQE turns the follow-up joins into broadcasts.",
+)
+def q204(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__q")
+        )
+        .filter(F.col("__q") > 250)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("__q").cast("double").alias("sum_qty"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, "o_orderkey")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205: lang × source chi-square independence audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q205_lang_source_chi2",
+    oracle="""
+WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+rows_ AS (SELECT lang, count(*) AS rn FROM documents GROUP BY 1),
+cols AS (SELECT source, count(*) AS cn FROM documents GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM documents),
+grid AS (
+  SELECT r.lang, c.source, r.rn, c.cn, coalesce(x.o, 0) AS o,
+         CAST(r.rn AS DOUBLE) * c.cn / (SELECT n FROM tot) AS e
+  FROM rows_ r CROSS JOIN cols c
+  LEFT JOIN cells x ON x.lang = r.lang AND x.source = c.source)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_docs,
+       CAST(((SELECT count(*) FROM rows_) - 1)
+            * ((SELECT count(*) FROM cols) - 1) AS BIGINT) AS dof,
+       round(CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
+             AS DECIMAL(18,6))) AS DOUBLE), 4) AS chi2
+FROM grid
+""",
+    doc="Corpus-composition independence audit: the chi-square statistic "
+    "of the lang × source contingency table — a large value means "
+    "language and source are CONFOUNDED, so per-source sampling (q115/"
+    "q171) silently reweights languages and vice versa; the number that "
+    "says whether the two mixture knobs can be tuned independently. "
+    "Zero-observed cells enter with their expected mass (the marginal "
+    "cross join supplies them). Determinism: o/rn/cn are exact integers; "
+    "each cell's (o−e)²/e is rounded to 6 dp then summed as DECIMAL. "
+    "Scale: three partial-agg groupBys over the corpus; the grid is "
+    "|langs|×|sources| broadcast-sized.",
+)
+def q205(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_ = d.groupBy("lang").agg(F.count("*").alias("rn"))
+    cols = d.groupBy("source").agg(F.count("*").alias("cn"))
+    tot = F.broadcast(d.agg(F.count("*").alias("n")))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols))
+        .join(cells, ["lang", "source"], "left")
+        .crossJoin(tot)
+        .select(
+            "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("rn").cast("double") * F.col("cn") / F.col("n")).alias("e"),
+        )
+    )
+    nr = F.broadcast(rows_.agg(F.count("*").alias("nr")))
+    nc = F.broadcast(cols.agg(F.count("*").alias("nc")))
+    term = F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6)
+    return (
+        grid.agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(term.cast("decimal(18,6)")).cast("double"), 4
+            ).alias("chi2"),
+        )
+        .crossJoin(nr)
+        .crossJoin(nc)
+        .select(
+            "n_docs",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+            "chi2",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206: language-ID agreement as Cohen's kappa
+# ---------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    from etl_pipeline_for_elasticsearch_json_document_spark.queries.r6 import (
+        _LANG_PROFILES,
+    )
+
+    score = {
+        lang: "sum(CASE WHEN w IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + ") THEN 1 ELSE 0 END)"
+        for lang, words in _LANG_PROFILES.items()
+    }
+    scores = ",\n         ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    langs = sorted(_LANG_PROFILES)
+    pred_branches = "\n           ".join(
+        f"WHEN s_{lang} >= s_" + f" AND s_{lang} >= s_".join(o for o in langs if o != lang)
+        + f" THEN '{lang}'"
+        for lang in langs[:-1]
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+sc AS (SELECT doc_id, lang,
+         {scores}
+       FROM tok GROUP BY doc_id, lang),
+p AS (
+  SELECT lang,
+         CASE
+           {pred_branches}
+           ELSE '{langs[-1]}' END AS pred_lang
+  FROM sc),
+tot AS (SELECT count(*) AS n FROM p),
+agree AS (SELECT count(*) AS a FROM p WHERE lang = pred_lang),
+rm AS (SELECT lang AS cat, count(*) AS rn FROM p GROUP BY 1),
+cm AS (SELECT pred_lang AS cat, count(*) AS cn FROM p GROUP BY 1),
+pe AS (SELECT sum(CAST(rm.rn AS DOUBLE) * cm.cn
+                  / ((SELECT n FROM tot) * CAST((SELECT n FROM tot) AS DOUBLE)))
+         AS pe
+       FROM rm JOIN cm ON rm.cat = cm.cat)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_docs,
+       round(CAST((SELECT a FROM agree) AS DOUBLE) / (SELECT n FROM tot), 6) AS po,
+       round((SELECT pe FROM pe), 6) AS pe,
+       round((CAST((SELECT a FROM agree) AS DOUBLE) / (SELECT n FROM tot)
+              - (SELECT pe FROM pe)) / (1 - (SELECT pe FROM pe)), 6) AS kappa
+"""
+
+
+@query(
+    "q206_langid_kappa",
+    oracle=_kappa_oracle(),
+    doc="Classifier-agreement scalar: Cohen's kappa between the labeled "
+    "language and q169's stopword-profile argmax prediction — chance-"
+    "corrected accuracy ((po − pe)/(1 − pe)), the one-number summary "
+    "q169's confusion matrix expands. Labels outside the classifier's "
+    "4-language repertoire (zh here) can never agree, depressing kappa "
+    "exactly as they should. Determinism: po/pe are divisions of exact "
+    "integer counts; kappa is one float expression of those two, rounded. "
+    "Scale: the token stream reduces map-side to 4 conditional sums per "
+    "doc; everything after is |langs|-sized.",
+)
+def q206(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.queries.r6 import (
+        _LANG_PROFILES,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    aggs = [
+        F.sum(
+            F.when(F.col("w").isin(*_LANG_PROFILES[lang]), 1).otherwise(0)
+        ).alias(f"s_{lang}")
+        for lang in sorted(_LANG_PROFILES)
+    ]
+    sc = tok.groupBy("doc_id", "lang").agg(*aggs)
+    langs = sorted(_LANG_PROFILES)
+    pred = None
+    for lang in langs[:-1]:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(langs[-1])
+    p = sc.select("lang", pred.alias("pred_lang"))
+    rm = p.groupBy("lang").agg(F.count("*").alias("rn")).withColumnRenamed("lang", "cat")
+    cm = (
+        p.groupBy("pred_lang")
+        .agg(F.count("*").alias("cn"))
+        .withColumnRenamed("pred_lang", "cat")
+    )
+    tots = F.broadcast(
+        p.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("lang") == F.col("pred_lang"), 1).otherwise(0)).alias(
+                "a"
+            ),
+        )
+    )
+    pe_rel = F.broadcast(
+        rm.join(cm, "cat")
+        .crossJoin(tots)
+        .agg(
+            F.sum(
+                F.col("rn").cast("double") * F.col("cn")
+                / (F.col("n") * F.col("n").cast("double"))
+            ).alias("pe")
+        )
+    )
+    po = F.col("a").cast("double") / F.col("n")
+    return tots.crossJoin(pe_rel).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(po, 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.round((po - F.col("pe")) / (1 - F.col("pe")), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q207: blocked sorted-neighborhood entity resolution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q207_sorted_neighborhood",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, string_split(text, ' ')[1] AS blk, n_chars,
+         row_number() OVER (PARTITION BY string_split(text, ' ')[1]
+                            ORDER BY n_chars, doc_id) AS rn
+  FROM documents),
+cand AS (
+  SELECT a.blk, a.doc_id AS a_id, b.doc_id AS b_id
+  FROM keyed a JOIN keyed b
+    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 2),
+words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY 1),
+inter AS (
+  SELECT c.blk, c.a_id, c.b_id, count(*) AS i
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.a_id
+  JOIN words wb ON wb.doc_id = c.b_id AND wb.w = wa.w
+  GROUP BY 1, 2, 3),
+j AS (
+  SELECT c.blk,
+         round(CAST(coalesce(i.i, 0) AS DOUBLE)
+               / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jacc
+  FROM cand c
+  LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+  JOIN sizes sa ON sa.doc_id = c.a_id
+  JOIN sizes sb ON sb.doc_id = c.b_id)
+SELECT blk,
+       CAST(count(*) AS BIGINT) AS n_cand_pairs,
+       CAST(sum(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       max(jacc) AS max_jacc
+FROM j GROUP BY blk
+""",
+    doc="Blocked sorted-neighborhood ER (Hernandez-Stolfo windowing, the "
+    "third classic blocker next to q125's blocking keys and q187's "
+    "audit): within each first-word block, docs sorted by (n_chars, id) "
+    "pair only with their 2 sort-neighbors — candidates scale O(docs × "
+    "window), never block-quadratic — then exact word-set Jaccard "
+    "verifies. Per-block report: candidates, matches at 0.5, best score. "
+    "Determinism: Jaccard is a rounded exact rational; the sort key is "
+    "unique via the id tiebreak. Scale: the window sort partitions by "
+    "block (no global sort); verification joins move candidate-pair "
+    "postings only.",
+)
+def q207(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.split("text", " ").getItem(0).alias("blk"),
+        "n_chars",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("blk").orderBy("n_chars", "doc_id")
+        ),
+    )
+    a = keyed.select("blk", F.col("doc_id").alias("a_id"), F.col("rn").alias("ra"))
+    b = keyed.select("blk", F.col("doc_id").alias("b_id"), F.col("rn").alias("rb"))
+    cand = (
+        a.join(b, "blk")
+        .filter((F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + 2))
+        .select("blk", "a_id", "b_id")
+    )
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(words.select(F.col("doc_id").alias("a_id"), "w"), "a_id")
+        .join(words.select(F.col("doc_id").alias("b_id"), "w"), ["b_id", "w"])
+        .groupBy("blk", "a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        cand.join(inter.select("a_id", "b_id", "i"), ["a_id", "b_id"], "left")
+        .join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb")), "b_id")
+        .select(
+            "blk",
+            F.round(
+                F.coalesce("i", F.lit(0)).cast("double")
+                / (F.col("sa") + F.col("sb") - F.coalesce("i", F.lit(0))),
+                6,
+            ).alias("jacc"),
+        )
+    )
+    return j.groupBy("blk").agg(
+        F.count("*").cast("bigint").alias("n_cand_pairs"),
+        F.sum(F.when(F.col("jacc") >= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matches"),
+        F.max("jacc").alias("max_jacc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208: Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_benford_price_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+         AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+tot AS (SELECT count(*) AS n FROM d)
+SELECT digit,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot), 6) AS obs_share,
+       round(log10(1 + 1.0 / digit), 6) AS benford_share,
+       round(round(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot), 6)
+             - round(log10(1 + 1.0 / digit), 6), 6) AS excess
+FROM d GROUP BY digit
+""",
+    doc="Benford first-digit audit over order totals: observed leading-"
+    "digit shares vs Benford's log10(1 + 1/d) expectation — the classic "
+    "fabricated-/truncated-data screen for numeric feeds (synthetic "
+    "uniform prices fail it loudly, which is itself the point of the "
+    "report). Determinism: digits come from exact integer string heads; "
+    "shares are single divisions; both engines' libm log10 agree far "
+    "inside the 6-dp rounding. Scale: map-only digit extraction + one "
+    "9-row groupBy; the total rides as a broadcast 1-row aggregate.",
+)
+def q208(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    tot = F.broadcast(d.agg(F.count("*").cast("double").alias("__n")))
+    obs = F.round(F.col("n_orders") / F.col("__n"), 6)
+    ben = F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n_orders"))
+        .crossJoin(tot)
+        .select(
+            "digit",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            obs.alias("obs_share"),
+            ben.alias("benford_share"),
+            F.round(obs - ben, 6).alias("excess"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209: embedding covariance probe (leading dims)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q209_embedding_cov_probe",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, 9)) AS t(i)),
+m AS (SELECT dim, CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+        AS mean_v, count(*) AS n
+      FROM x GROUP BY dim),
+p AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+             CAST(sum(CAST(round(a.v * b.v, 9) AS DECIMAL(28,12))) AS DOUBLE)
+               AS sxy,
+             count(*) AS n
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+      GROUP BY 1, 2)
+SELECT p.dim_i, p.dim_j,
+       round(p.sxy / p.n - mi.mean_v * mj.mean_v, 6) AS cov
+FROM p JOIN m mi ON mi.dim = p.dim_i JOIN m mj ON mj.dim = p.dim_j
+""",
+    doc="Embedding covariance probe: pairwise covariance of the leading 8 "
+    "dimensions (E[xy] − E[x]E[y]) — strong off-diagonal mass means the "
+    "encoder's dims are correlated and whitening/PCA would pay before "
+    "quantization (q107) or matryoshka truncation (q150); q188 looks at "
+    "dims one at a time, this is the cross-term check. Determinism: "
+    "means divide DECIMAL sums; cross-products are rounded to 9 dp then "
+    "DECIMAL-summed; one final float expression, rounded. Scale: the "
+    "probe is dims²-bounded (28 pairs); the per-vector self-join fans "
+    "out 8×8 within a vec_id — constant per row.",
+)
+def q209(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 8)),
+    ).select("vec_id", F.col("pos").alias("dim"), F.col("col").alias("v"))
+    m = x.groupBy("dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")
+        ).alias("mean_v")
+    )
+    a = x.select("vec_id", F.col("dim").alias("dim_i"), F.col("v").alias("va"))
+    b = x.select("vec_id", F.col("dim").alias("dim_j"), F.col("v").alias("vb"))
+    p = (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_i") < F.col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.sum(F.round(F.col("va") * F.col("vb"), 9).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sxy"),
+            F.count("*").alias("n"),
+        )
+    )
+    mi = F.broadcast(m.select(F.col("dim").alias("dim_i"), F.col("mean_v").alias("mi")))
+    mj = F.broadcast(m.select(F.col("dim").alias("dim_j"), F.col("mean_v").alias("mj")))
+    return (
+        p.join(mi, "dim_i")
+        .join(mj, "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            F.round(F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj"), 6).alias(
+                "cov"
+            ),
+        )
     )

@@ -75,6 +75,18 @@ ALLOWANCES: dict[str, dict[str, str]] = {
     "q201_basket_lift": {
         "nested-loop-join": "1-row basket-total broadcast"
     },
+    "q205_lang_source_chi2": {
+        "nested-loop-join": "|langs|x|sources| marginal grid + 1-row totals "
+        "broadcast"
+    },
+    "q206_langid_kappa": {
+        "nested-loop-join": "1-row (n, agree) + 1-row pe aggregates crossed "
+        "into the scalar report"
+    },
+    "q208_benford_price_audit": {
+        "nested-loop-join": "1-row order-total broadcast onto the 9-digit "
+        "relation"
+    },
     # bounded / surface-demo single-partition + global-sort shapes
     "q12_rank_dense": {
         "single-partition": "global rank/ntile SQL surface over the supplier dim; "
