@@ -30,16 +30,38 @@ class HttpEsClient:
         self.timeout = timeout
 
     def _request(
-        self, method: str, path: str, body: Optional[bytes], content_type: str
+        self,
+        method: str,
+        path: str,
+        body: Optional[bytes],
+        content_type: str,
+        retries: int = 3,
+        backoff: float = 0.5,
     ) -> dict[str, Any]:
+        """One HTTP call, retrying 429/503 with exponential backoff — the
+        same throttled-cluster discipline ``bulk_ndjson`` has always had,
+        applied to the read side too: without it one rejected page kills a
+        whole sliced scan. Anything else (4xx protocol errors) raises
+        immediately — those are caller bugs, not load."""
+        import time
+        import urllib.error
+
         req = urllib.request.Request(
             self.base_url + path,
             data=body,
             method=method,
             headers={"Content-Type": content_type},
         )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+        attempt = 0
+        while True:
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                if e.code not in (429, 503) or attempt >= retries:
+                    raise
+                time.sleep(backoff * (2**attempt))
+                attempt += 1
 
     def _post_json(self, path: str, body: dict[str, Any]) -> dict[str, Any]:
         return self._request(
@@ -109,7 +131,12 @@ class HttpEsClient:
         attempt = 0
         while True:
             try:
-                return self._request("POST", path, body, "application/x-ndjson")
+                # retries=0: THIS loop is the retry policy for bulk —
+                # letting _request's default retries stack underneath it
+                # would multiply the attempt count and stretch the backoff
+                return self._request(
+                    "POST", path, body, "application/x-ndjson", retries=0
+                )
             except urllib.error.HTTPError as e:
                 if e.code not in (429, 503) or attempt >= retries:
                     raise

@@ -42,6 +42,8 @@ class _State:
         #: when > 0, that many _bulk requests are rejected with 429 before
         #: accepting — simulates a throttling cluster for retry tests
         self.throttle_next_bulks = 0
+        #: same knob for the read side: that many _search requests 429
+        self.throttle_next_searches = 0
         #: pit id → (index name, frozen copy of its docs at PIT-open time)
         self.pits: dict[str, tuple[str, dict[str, dict]]] = {}
         self.pit_seq = 0
@@ -409,6 +411,13 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def _search(self, index: str | None, body: dict[str, Any]) -> None:
+        with self.state.lock:
+            throttled = self.state.throttle_next_searches > 0
+            if throttled:
+                self.state.throttle_next_searches -= 1
+        if throttled:
+            self._reply({"error": "es_rejected_execution_exception"}, status=429)
+            return
         if body.get("aggs") and int(body.get("size", 10)) == 0:
             aggs = body["aggs"]
             if len(aggs) == 1 and "composite" in next(iter(aggs.values())):

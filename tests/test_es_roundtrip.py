@@ -284,3 +284,33 @@ def test_bulk_replay_retries_throttled_cluster(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_search_retries_throttled_cluster(spark, tmp_path):
+    """The READ side gets the same throttled-cluster discipline: one
+    rejected page must not kill a whole sliced scan. _request retries
+    429/503 with backoff and surfaces the error once retries run out."""
+    import urllib.error
+
+    server, base_url = start_fake_es()
+    try:
+        state = server.RequestHandlerClass.state
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, body string")
+        out = str(tmp_path / "bulk")
+        es_sink.write_bulk_files(df, out, "sthrot", id_col="doc_id")
+        es_sink.replay_bulk_files(out, base_url)
+        client = HttpEsClient(base_url)
+
+        state.throttle_next_searches = 2  # first two searches 429
+        resp = client.search("sthrot", {"size": 10, "sort": ["doc_id"]})
+        assert len(resp["hits"]["hits"]) == 2  # retried through the 429s
+
+        state.throttle_next_searches = 10  # exhausts retries -> surfaces
+        with pytest.raises(urllib.error.HTTPError):
+            client._request(
+                "POST", "/sthrot/_search", b"{}", "application/json",
+                retries=1, backoff=0.01,
+            )
+    finally:
+        server.shutdown()
+        server.server_close()
