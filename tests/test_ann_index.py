@@ -366,9 +366,13 @@ def test_layout_query_parity_and_partition_pruning(spark, emb, tmp_path):
     import re
 
     plan = laid._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([\d,]+)\)", plan)
+    # <=10 literals print as "IN (a,b)", more as "INSET a, b, ..."
+    m = re.search(
+        r"PartitionFilters: \[cid#\d+ (?:IN \(([\d,]+)\)|INSET ([\d, ]+?), isnotnull)",
+        plan,
+    )
     assert m, f"no literal cid IN partition filter in plan:\n{plan[:2000]}"
-    probed = set(m.group(1).split(","))
+    probed = {x.strip() for x in (m.group(1) or m.group(2)).split(",")}
     all_cells = {
         d.split("=")[1] for d in os.listdir(layout) if d.startswith("cid=")
     }
@@ -457,3 +461,38 @@ def test_layout_append_refuses_replaces_and_gaps(spark, emb, tmp_path):
     ivf_upsert(spark, path, b2)
     with pytest.raises(ValueError, match="exactly one upsert"):
         append_ivf_layout(spark, path, b2, layout)
+
+
+def test_large_k_store_serves_through_layout(spark, emb, tmp_path):
+    """The large-k regime end to end: a k=32 store FITTED and BUILT on
+    the Arrow/BLAS path (inline expressions would be un-plannable at
+    real cell counts), served through the cid-partitioned layout. The
+    layout query's probe side is DATA rows (broadcast centroid table),
+    never per-centroid expressions, so the serving plan is O(1) in k —
+    and its results match the layout-agnostic semi-join form exactly."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        ivf_query,
+        ivf_query_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf_bigk")
+    layout = str(tmp_path / "layout_bigk")
+    corpus = emb
+    ivf_build(spark, path, corpus, k=32, assign="pandas")
+    write_ivf_layout(spark, path, corpus, layout)
+    queries = emb.filter(F.col("vec_id") < 3)
+    semi = ivf_query(spark, path, queries, corpus, k=5, nprobe=4)
+    laid = ivf_query_layout(spark, path, layout, queries, k=5, nprobe=4)
+    assert {tuple(r) for r in laid.collect()} == {
+        tuple(r) for r in semi.collect()
+    }
+    # 3 queries x nprobe 4 probe at most 12 of the 32 cells
+    import re
+
+    plan = laid._jdf.queryExecution().executedPlan().toString()
+    m = re.search(
+        r"PartitionFilters: \[cid#\d+ (?:IN \(([\d,]+)\)|INSET ([\d, ]+?), isnotnull)",
+        plan,
+    )
+    assert m and len((m.group(1) or m.group(2)).split(",")) <= 12
