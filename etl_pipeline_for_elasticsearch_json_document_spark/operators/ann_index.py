@@ -90,11 +90,32 @@ def _write_version(
 
 
 def read_ann_index(
-    spark: SparkSession, index_path: str
+    spark: SparkSession, index_path: str, version: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
-    """The current committed (centroids, postings) pair; empty relations
-    with the right schemas if nothing is committed."""
+    """The committed (centroids, postings) pair — latest by default, or
+    AS OF an explicit ``version`` (time travel over the ``v=N`` lineage:
+    reproduce what a query served before an upsert, diff two versions,
+    debug a drift report). A requested version that is missing or GC'd
+    (:func:`index_maintenance.prune_versions`) raises instead of silently
+    serving a neighbor. Empty relations with the right schemas if nothing
+    is committed and no version was requested."""
     versions = _committed_versions(index_path)
+    if version is not None:
+        if version not in versions:
+            raise ValueError(
+                f"version {version} is not committed at {index_path} "
+                f"(committed: {versions}) — it may have been GC'd by "
+                "prune_versions"
+            )
+        vdir = os.path.join(index_path, f"v={version}")
+        return (
+            spark.read.schema(CENTROIDS_SCHEMA).parquet(
+                os.path.join(vdir, "centroids")
+            ),
+            spark.read.schema(POSTINGS_SCHEMA).parquet(
+                os.path.join(vdir, "postings")
+            ),
+        )
     if not versions:
         return (
             spark.createDataFrame([], CENTROIDS_SCHEMA),

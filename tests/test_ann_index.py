@@ -496,3 +496,23 @@ def test_large_k_store_serves_through_layout(spark, emb, tmp_path):
         plan,
     )
     assert m and len((m.group(1) or m.group(2)).split(",")) <= 12
+
+
+def test_read_as_of_version(spark, emb, tmp_path):
+    """Time travel over the v=N lineage: reading AS OF v=0 reproduces the
+    pre-upsert postings exactly; a GC'd version raises instead of
+    silently serving a neighbor."""
+    path = str(tmp_path / "ivf")
+    build, batch = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    v0 = {tuple(r) for r in read_ann_index(spark, path)[1].collect()}
+    ivf_upsert(spark, path, batch)
+    asof0 = {tuple(r) for r in read_ann_index(spark, path, version=0)[1].collect()}
+    assert asof0 == v0
+    latest = {tuple(r) for r in read_ann_index(spark, path)[1].collect()}
+    assert len(latest) == len(v0) + batch.count()
+    with pytest.raises(ValueError, match="not committed"):
+        read_ann_index(spark, path, version=7)
+    prune_versions(path, keep_last=1, marker="_COMMITTED")
+    with pytest.raises(ValueError, match="GC'd"):
+        read_ann_index(spark, path, version=0)
