@@ -107,3 +107,76 @@ def test_json_round_trip_preserves_nested(spark, tmp_path):
     df.write.mode("overwrite").json(p)
     back = spark.read.json(p).select("id", "payload")
     assert _rows(back) == _rows(df)
+
+
+def test_sql_group_by_all_order_by_all(views, spark):
+    """GROUP BY ALL / ORDER BY ALL (Spark 3.4+ sugar) resolve to exactly
+    the explicit forms."""
+    sugar = spark.sql(
+        """SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+           FROM documents GROUP BY ALL ORDER BY ALL"""
+    )
+    explicit = spark.sql(
+        """SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+           FROM documents GROUP BY lang, source ORDER BY lang, source, n, chars"""
+    )
+    assert [tuple(r) for r in sugar.collect()] == [
+        tuple(r) for r in explicit.collect()
+    ]
+
+
+def test_sql_broadcast_hint_shapes_the_join(views, spark):
+    """A /*+ BROADCAST */ hint in SQL text reaches the physical plan."""
+    df = spark.sql(
+        """SELECT /*+ BROADCAST(n) */ n.n_name, count(*) AS n_cust
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name"""
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert df.count() > 0
+
+
+def test_sql_tablesample_repeatable_is_deterministic(views, spark):
+    """TABLESAMPLE ... REPEATABLE(seed): same seed, same sample — and the
+    sample is a genuine subset of the table."""
+    q = (
+        "SELECT doc_id FROM documents "
+        "TABLESAMPLE (20 PERCENT) REPEATABLE (42)"
+    )
+    a = {r["doc_id"] for r in spark.sql(q).collect()}
+    b = {r["doc_id"] for r in spark.sql(q).collect()}
+    assert a == b
+    total = spark.table("documents").count()
+    assert 0 < len(a) < total
+    all_ids = {r["doc_id"] for r in spark.table("documents").select("doc_id").collect()}
+    assert a <= all_ids
+
+
+def test_sql_distribute_by_partitions_and_sort_by_orders(views, spark):
+    """DISTRIBUTE BY co-locates keys (one partition per key's rows);
+    SORT BY orders within partitions without a global sort."""
+    df = spark.sql(
+        "SELECT lang, doc_id FROM documents DISTRIBUTE BY lang SORT BY doc_id"
+    )
+    # each lang's rows land in exactly one partition
+    from pyspark.sql.functions import spark_partition_id
+
+    per = (
+        df.withColumn("pid", spark_partition_id())
+        .groupBy("lang")
+        .agg(F.countDistinct("pid").alias("np"))
+        .collect()
+    )
+    assert all(r["np"] == 1 for r in per)
+    # and within each partition doc_id is non-decreasing
+    def check(it):
+        last = None
+        for row in it:
+            assert last is None or row.doc_id >= last
+            last = row.doc_id
+        yield
+    list(df.rdd.mapPartitions(lambda it: check(it)).collect())
+    # no global Sort: the plan must not contain a range-partitioned exchange
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
