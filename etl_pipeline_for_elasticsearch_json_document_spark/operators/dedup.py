@@ -720,6 +720,32 @@ def ngram_contamination(
     )
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The raw LSH band-bucket relation ``(doc_id, band, bucket)`` —
+    bands of the MinHash signature hashed to bucket keys, one row per
+    (doc, band). The shared substrate of :func:`lsh_bucket_edges` (batch
+    star edges) and streaming/lsh_ingest.py's persistent bucket index;
+    both must bucket IDENTICALLY or streamed and batch dedup would
+    disagree on candidates."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    band_cols = [
+        _band_key([F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+
+
 def lsh_bucket_edges(
     df: DataFrame,
     id_col: str,
@@ -747,17 +773,7 @@ def lsh_bucket_edges(
     harmless for min-label closure (idempotent) and cheaper than a
     distinct shuffle.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes)
-    band_cols = [
-        _band_key([F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
-        for b in range(bands)
-    ]
-    buckets = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
-    )
+    buckets = lsh_band_buckets(df, id_col, text_col, num_hashes, bands)
     mins = buckets.groupBy("band", "bucket").agg(F.min("doc_id").alias("a_id"))
     return (
         buckets.join(mins, ["band", "bucket"])
