@@ -450,6 +450,39 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_lsh_index(spark, sf_dir: str) -> dict[str, float]:
+    """DIAGNOSTIC: streaming near-dup index maintenance cost — one batch
+    that BUILDS the bucket index from 80% of the corpus vs one that
+    CLASSIFIES the remaining 20% against it and advances a version. The
+    classify entry is the steady-state per-batch cost of the service;
+    it reads |batch| docs + the bucket relation, never the corpus."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.lsh_ingest import (
+        _lsh_batch_processor,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    work = tempfile.mkdtemp(prefix="bench_lsh_")
+    out: dict[str, float] = {}
+    try:
+        proc = _lsh_batch_processor(f"{work}/idx", f"{work}/out", "bench")
+        t0 = time.time()
+        proc(docs.filter(F.col("doc_id") % 5 != 0), 0)
+        out["lsh_index_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        proc(docs.filter(F.col("doc_id") % 5 == 0), 1)
+        out["lsh_index_classify"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def flatten_subprocess_main() -> None:
     """``bench.py --flatten-subprocess``: the Spark-path flatten
     micro-entries in a JVM of their own (see module docstring). Prints one
@@ -521,6 +554,7 @@ def main() -> None:
     diagnostics.update(close_diag)
     diagnostics.update(bench_rollup(spark, sf_dir))
     diagnostics.update(bench_ann_index(spark, sf_dir))
+    diagnostics.update(bench_lsh_index(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
