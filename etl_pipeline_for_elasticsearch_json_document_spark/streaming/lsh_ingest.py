@@ -30,6 +30,11 @@ per (checkpoint-lineage, batch) before any write; replays re-classify
 against the SAME retained version, skip the commit if it landed, and
 overwrite their own deterministic output dirs.
 
+GC: :func:`operators.index_maintenance.prune_versions` (default
+``marker='_SUCCESS'``) garbage-collects this store unchanged — keep
+``keep_last >= 2`` so a crash-replayed batch can still read its pinned
+base version (the same contract as the fingerprint index).
+
 Reference analog: the reference re-exports whole pages with no memory of
 prior content (`ElasticSearch ETL.py:220-267`); index_ingest.py added
 exact memory, this adds NEAR-duplicate memory at stream pace.

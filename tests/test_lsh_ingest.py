@@ -119,3 +119,33 @@ def test_stream_entry_point_end_to_end(spark, sf_dir, tmp_path):
     assert committed.groupBy("band", "bucket").count().agg(
         F.max("count")
     ).collect()[0][0] == 1
+
+
+def test_prune_versions_gc_interop(spark, tmp_path):
+    """The shared v=N GC works on this store: prune to keep_last=2, a
+    replay of the last batch still reads its pinned base version and
+    converges; the pruned version is gone from disk."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
+        prune_versions,
+    )
+
+    t = "some shared text repeated across every batch for bucket overlap"
+    idx = str(tmp_path / "lsh")
+    out = str(tmp_path / "out")
+    proc = _lsh_batch_processor(idx, out, "gc")
+    proc(spark.createDataFrame([(1, t)], SCHEMA), 0)   # v=0
+    proc(spark.createDataFrame([(2, t)], SCHEMA), 1)   # v=1 (base 0)
+    proc(spark.createDataFrame([(3, t)], SCHEMA), 2)   # v=2 (base 1)
+    assert prune_versions(idx, keep_last=2) == [0]
+    assert _committed_versions(idx) == [1, 2]
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "batch=gc-2", "status")).collect()
+    }
+    proc(spark.createDataFrame([(3, t)], SCHEMA), 2)  # replay reads base v=1
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "batch=gc-2", "status")).collect()
+    }
+    assert after == before
+    assert _committed_versions(idx) == [1, 2]
