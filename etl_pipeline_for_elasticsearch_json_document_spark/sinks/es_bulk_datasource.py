@@ -31,7 +31,12 @@ from dataclasses import dataclass
 from typing import Iterator, List, Optional
 
 from pyspark.sql import Row
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -98,6 +103,56 @@ class EsBulkWriter(DataSourceWriter):
                 os.remove(m.staged_path)
 
 
+class EsBulkStreamWriter(DataSourceStreamWriter):
+    """Streaming side of the ``es_bulk`` target (Spark 4
+    ``DataSourceStreamWriter``): ``df.writeStream.format("es_bulk")``.
+
+    Tasks stage exactly like the batch writer; the driver's per-epoch
+    ``commit(messages, batchId)`` lands them under
+    ``path/epoch=<batchId>/`` with a ``_SUCCESS`` marker written last.
+    Structured Streaming replays an epoch only if its commit never made
+    the checkpoint, so a replayed epoch OVERWRITES its own directory
+    (stale committed parts from the interrupted attempt are removed
+    before the rename) — the directory ends deterministic-per-epoch, and
+    id-pinned bulk actions make the downstream index replay-convergent
+    (the same exactly-once argument as streaming/es_export.py, here as a
+    first-class sink format). ``abort`` removes that attempt's staged
+    files only.
+    """
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self.inner = EsBulkWriter(options, overwrite)
+        self.path = self.inner.path
+
+    def write(self, iterator: Iterator[Row]) -> _Staged:
+        return self.inner.write(iterator)
+
+    def commit(
+        self, messages: List[Optional[WriterCommitMessage]], batchId: int
+    ) -> None:
+        epoch_dir = os.path.join(self.path, f"epoch={batchId}")
+        os.makedirs(epoch_dir, exist_ok=True)
+        # replayed epoch: drop the interrupted attempt's committed parts
+        for f in os.listdir(epoch_dir):
+            if f.startswith("part-") and f.endswith(".ndjson"):
+                os.remove(os.path.join(epoch_dir, f))
+        total = 0
+        for m in messages:
+            if m is not None:
+                os.rename(
+                    m.staged_path,
+                    os.path.join(epoch_dir, os.path.basename(m.final_path)),
+                )
+                total += m.rows
+        with open(os.path.join(epoch_dir, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(
+        self, messages: List[Optional[WriterCommitMessage]], batchId: int
+    ) -> None:
+        self.inner.abort(messages)
+
+
 class EsBulkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -105,3 +160,8 @@ class EsBulkDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> EsBulkWriter:
         return EsBulkWriter(self.options, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> EsBulkStreamWriter:
+        return EsBulkStreamWriter(self.options, overwrite)

@@ -314,3 +314,86 @@ def test_search_retries_throttled_cluster(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_es_bulk_stream_writer_end_to_end(spark, fake_es, tmp_path):
+    """df.writeStream.format('es_bulk'): per-epoch bulk NDJSON dirs with
+    _SUCCESS-last commits; every epoch's files replay into the fake
+    cluster and the index converges to the streamed rows."""
+    import glob
+    import os
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.es_bulk_datasource import (
+        EsBulkDataSource,
+    )
+
+    spark.dataSource.register(EsBulkDataSource)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "bulk_stream")
+    ckpt = str(tmp_path / "ckpt")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, body string")
+    df2 = spark.createDataFrame([(3, "c")], "doc_id long, body string")
+    df1.coalesce(1).write.mode("append").json(src)
+    df2.coalesce(1).write.mode("append").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, body string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.format("es_bulk")
+        .option("index", "streamed")
+        .option("id_col", "doc_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(180)
+
+    epochs = sorted(glob.glob(os.path.join(out, "epoch=*")))
+    assert len(epochs) == 2
+    for e in epochs:
+        assert os.path.exists(os.path.join(e, "_SUCCESS"))
+        # replay this epoch's bulk files into the live fake cluster
+        es_sink.replay_bulk_files(e, fake_es)
+    client = HttpEsClient(fake_es)
+    assert client.count("streamed")["count"] == 3
+    got = client.search("streamed", {"size": 10, "sort": ["doc_id"]})
+    assert [h["_source"]["body"] for h in got["hits"]["hits"]] == ["a", "b", "c"]
+
+
+def test_es_bulk_stream_epoch_commit_is_replay_deterministic(tmp_path):
+    """A replayed epoch (commit re-fired for the same batchId with fresh
+    staged files) ends with ONLY the replay's parts — the interrupted
+    attempt's committed parts are removed before the rename, so the
+    epoch dir is deterministic and a downstream replayer never ships
+    both attempts."""
+    import os
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.es_bulk_datasource import (
+        EsBulkStreamWriter,
+        _Staged,
+    )
+
+    out = str(tmp_path / "bulk")
+    w = EsBulkStreamWriter({"path": out, "index": "i"}, overwrite=False)
+
+    def staged(name, rows):
+        os.makedirs(out, exist_ok=True)
+        p = os.path.join(out, f"_staging_part-{name}.ndjson")
+        with open(p, "w") as f:
+            f.write("x\n" * rows)
+        return _Staged(
+            staged_path=p,
+            final_path=os.path.join(out, f"part-{name}.ndjson"),
+            rows=rows,
+        )
+
+    w.commit([staged("attempt1", 2)], batchId=0)
+    edir = os.path.join(out, "epoch=0")
+    assert sorted(os.listdir(edir)) == ["_SUCCESS", "part-attempt1.ndjson"]
+    # crash-after-commit-before-checkpoint: the engine replays epoch 0
+    w.commit([staged("attempt2", 3)], batchId=0)
+    assert sorted(os.listdir(edir)) == ["_SUCCESS", "part-attempt2.ndjson"]
+    with open(os.path.join(edir, "_SUCCESS")) as f:
+        assert f.read() == "3"
