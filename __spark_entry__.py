@@ -59,7 +59,7 @@ _NEW_IN_R8: set[str] = {
     "q203_tpch_q5_local_volume", "q204_large_order_customers",
     "q205_lang_source_chi2", "q206_langid_kappa",
     "q207_sorted_neighborhood", "q208_benford_price_audit",
-    "q209_embedding_cov_probe",
+    "q209_embedding_cov_probe", "q210_budget_selection",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

@@ -11,8 +11,9 @@ the TPC-H side lacked: market-basket lift over order baskets,
 supplier-concentration HHI, the TPC-H Q5 join-order stress and Q18
 agg-then-join-back classics — and a data-QA trio (lang×source chi-square
 confound audit, Cohen's-kappa classifier agreement, Benford first-digit
-screen), sorted-neighborhood ER windowing, and an embedding covariance
-probe.
+screen), sorted-neighborhood ER windowing, an embedding covariance
+probe, and token-budget curation (greedy per-source admission until a
+token budget fills).
 
 Every query follows the registry's cross-engine determinism rules
 (registry.py docstring): float outputs are single divisions of exact
@@ -1207,4 +1208,73 @@ def q209(spark, sf_dir):
                 "cov"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210: budget-constrained quality selection (token-budget curation)
+# ---------------------------------------------------------------------------
+
+_STOPS_210 = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
+_STOPS_210_SQL = ", ".join(f"'{s}'" for s in _STOPS_210)
+
+
+@query(
+    "q210_budget_selection",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS wc,
+         round(CAST(len(list_filter(string_split(text, ' '),
+                     w -> list_contains([{_STOPS_210_SQL}], w))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS q
+  FROM documents),
+r AS (
+  SELECT source, wc, q,
+         sum(wc) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM m),
+sel AS (SELECT * FROM r WHERE cum <= 2000)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(wc) AS BIGINT) AS tokens_used,
+       round(sum(wc) / 2000.0, 6) AS utilization,
+       min(q) AS cutoff_quality
+FROM sel GROUP BY source
+""",
+    doc="Token-budget curation: per source, greedily admit the highest-"
+    "quality documents (stopword-ratio score, doc-id tiebreak) until a "
+    "2000-token budget fills — the budgeted-selection shape every "
+    "fixed-size training-mix build runs (pick the best N tokens per "
+    "feed), reported as docs admitted, budget utilization, and the "
+    "admission-threshold quality (the score a new doc must beat). "
+    "Strict-prefix semantics: selection stops at the first doc whose "
+    "admission would overflow. Determinism: the score is one rounded "
+    "integer division; ranking orders by (rounded score, doc_id); the "
+    "cumsum is integer. Scale: quality and word counts are map-only; "
+    "one window cumsum per source partition (text never shuffles — only "
+    "(id, wc, q) rows); output is |sources| rows.",
+)
+def q210(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    m = d.select(
+        "doc_id",
+        "source",
+        F.size(ws).alias("wc"),
+        F.round(
+            F.size(F.filter(ws, lambda w: w.isin(*_STOPS_210))).cast("double")
+            / F.size(ws),
+            6,
+        ).alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("q").desc(), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sel = m.withColumn("cum", F.sum("wc").over(w)).filter(F.col("cum") <= 2000)
+    return sel.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_selected"),
+        F.sum("wc").cast("bigint").alias("tokens_used"),
+        F.round(F.sum("wc") / 2000.0, 6).alias("utilization"),
+        F.min("q").alias("cutoff_quality"),
     )

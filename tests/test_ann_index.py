@@ -516,3 +516,35 @@ def test_read_as_of_version(spark, emb, tmp_path):
     prune_versions(path, keep_last=1, marker="_COMMITTED")
     with pytest.raises(ValueError, match="GC'd"):
         read_ann_index(spark, path, version=0)
+
+
+def test_layout_append_three_cycles_stays_rewrite_equivalent(spark, emb, tmp_path):
+    """Three successive upsert+append cycles: after each catch-up the
+    appended layout serves exactly what a from-scratch rewrite of the
+    full corpus would — the invariant that makes per-batch appends safe
+    to run forever between refits."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        append_ivf_layout,
+        ivf_query_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    build = emb.filter(F.col("vec_id") < 80)
+    ivf_build(spark, path, build, k=4)
+    write_ivf_layout(spark, path, build, layout)
+    corpus = build
+    queries = emb.filter(F.col("vec_id") < 2)
+    for lo, hi in ((80, 130), (130, 170), (170, 220)):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        ivf_upsert(spark, path, batch)
+        append_ivf_layout(spark, path, batch, layout)
+        corpus = corpus.unionByName(batch)
+        got = ivf_query_layout(spark, path, layout, queries, k=4, nprobe=3)
+        fresh_layout = str(tmp_path / f"rewrite_{lo}")
+        write_ivf_layout(spark, path, corpus, fresh_layout)
+        want = ivf_query_layout(spark, path, fresh_layout, queries, k=4, nprobe=3)
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in want.collect()
+        }
