@@ -35,6 +35,15 @@ GC: :func:`operators.index_maintenance.prune_versions` (default
 ``keep_last >= 2`` so a crash-replayed batch can still read its pinned
 base version (the same contract as the fingerprint index).
 
+Scale: per batch, the classification side is |batch| × bands rows
+joining a 20-byte-row bucket relation; the version commit rewrites the
+full bucket relation (one row per distinct bucket ever seen — bounded by
+docs × bands, deduplicating as the corpus repeats itself). At 100 TB
+swap the rewrite for the same partitioned/bucketed append the ANN store
+documents (:mod:`operators.ann_index` / :func:`operators.layout.
+write_bucketed` — hash-partition by ``bucket``, append only changed
+partitions); the classify join and the ledger protocol are unchanged.
+
 Reference analog: the reference re-exports whole pages with no memory of
 prior content (`ElasticSearch ETL.py:220-267`); index_ingest.py added
 exact memory, this adds NEAR-duplicate memory at stream pace.

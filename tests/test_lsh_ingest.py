@@ -149,3 +149,71 @@ def test_prune_versions_gc_interop(spark, tmp_path):
     }
     assert after == before
     assert _committed_versions(idx) == [1, 2]
+
+
+def test_live_es_tail_feeds_near_dup_index(spark, tmp_path):
+    """The switch-from-the-reference showcase: tail a LIVE (fake) ES
+    index with the es_tail streaming source, parse _source per batch,
+    and maintain the near-dup bucket index — run 2 on the same
+    checkpoint reads ONLY the new docs (the search_after cursor holds)
+    and classifies a re-posted text as near_dup_corpus against run 1's
+    memory."""
+    import json
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks import (
+        elasticsearch as es_sink,
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_stream import (
+        EsTailDataSource,
+    )
+    from tests.fake_es import start_fake_es
+
+    server, base_url = start_fake_es()
+    try:
+        spark.dataSource.register(EsTailDataSource)
+        index = "live_docs"
+        t = "a shared template text that will recur across separate ingests"
+
+        def seed(rows, tag):
+            df = spark.createDataFrame(rows, SCHEMA)
+            out = str(tmp_path / f"bulk_{tag}")
+            es_sink.write_bulk_files(df.coalesce(1), out, index, id_col="doc_id")
+            es_sink.replay_bulk_files(out, base_url)
+
+        idx = str(tmp_path / "lsh")
+        outp = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            stream = (
+                spark.readStream.format("es_tail")
+                .option("url", base_url)
+                .option("index", index)
+                .option("sort", "doc_id")
+                .load()
+            )
+            parsed = stream.select(
+                F.from_json("source_json", SCHEMA).alias("s")
+            ).select("s.doc_id", "s.text")
+            q = run_lsh_ingest_stream(parsed, idx, outp, ckpt)
+            q.awaitTermination(120)
+
+        seed([(1, t), (2, "an unrelated document about something else entirely")], "r1")
+        run()
+        seed([(3, t)], "r2")  # near-dup of doc 1, posted AFTER run 1
+        run()
+
+        batches = sorted(os.listdir(outp))
+        assert len(batches) == 2  # run 2 drained only the new doc
+        statuses = {
+            r["doc_id"]: (r["status"], r["corpus_anchor"])
+            for b in batches
+            for r in spark.read.parquet(os.path.join(outp, b, "status")).collect()
+        }
+        assert statuses[1][0] == "unique"
+        assert statuses[2][0] == "unique"
+        assert statuses[3] == ("near_dup_corpus", 1)  # remembered across runs
+        assert len(_committed_versions(idx)) == 2
+    finally:
+        server.shutdown()
+        server.server_close()
