@@ -119,16 +119,22 @@ def _lsh_batch_processor(
         batch_min = bb.groupBy("band", "bucket").agg(
             F.min("doc_id").alias("batch_min")
         )
-        j = bb.join(idx, ["band", "bucket"], "left").join(
-            batch_min, ["band", "bucket"]
+        # ONE materialization of the joined relation: edges, status, and
+        # the version merge all derive from it lazily — without this pin
+        # each consumer would recompute the minhash signatures, tripling
+        # the per-batch cost, and the pin also freezes the batch's view
+        # before the index advances (replay safety rides the marker, this
+        # is cost + isolation)
+        j = (
+            bb.join(idx, ["band", "bucket"], "left")
+            .join(batch_min, ["band", "bucket"])
+            .localCheckpoint(eager=True)
         )
         # star target per (doc, bucket): the stored anchor if the bucket
         # exists, else the batch's own minimum for that bucket
         target = F.coalesce("anchor_id", "batch_min")
-        edges = (
-            j.filter(F.col("doc_id") != target)
-            .select(target.alias("a_id"), F.col("doc_id").alias("b_id"))
-            .localCheckpoint(eager=True)
+        edges = j.filter(F.col("doc_id") != target).select(
+            target.alias("a_id"), F.col("doc_id").alias("b_id")
         )
         status = (
             j.groupBy("doc_id")
@@ -144,13 +150,16 @@ def _lsh_batch_processor(
                 .alias("status"),
                 "corpus_anchor",
             )
-            .localCheckpoint(eager=True)  # pin before the index advances
         )
 
         next_v = base_v + 1
         if next_v not in _committed_versions(index_path):
+            j_min = (
+                j.groupBy("band", "bucket")
+                .agg(F.min("batch_min").alias("batch_min"))
+            )
             merged = (
-                idx.join(batch_min, ["band", "bucket"], "full")
+                idx.join(j_min, ["band", "bucket"], "full")
                 .select(
                     "band",
                     "bucket",
