@@ -38,9 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # round in dict order, so _ordered() emits (1) queries never yet driver-
 # checked, (2) queries first registered this round, (3) already-driver-
 # verified names ordered STALEST FIRST (by the round whose
-# CORRECTNESS_r{N}.json last proved them green) — with all 150 registered
-# queries cumulatively verified, the ~50-slot budget now deliberately
-# re-verifies the least-recently-checked names to catch regressions.
+# CORRECTNESS_r{N}.json last proved them green) — with all 190 previously
+# registered queries cumulatively driver-verified (r1–r7), the r8 budget
+# takes the 18 new names first and then deliberately re-verifies the
+# least-recently-checked (round-3-vintage) names to catch regressions.
 # ALL of (1) and (2) are locally green against the same DuckDB oracles at the
 # driver's sf0.01 (scripts/compare_oracle.py); the remainder keeps regression
 # coverage via tests/test_queries.py. Round maintenance: after each
