@@ -27,6 +27,25 @@ the stable plan text):
 - ``global-sort``        — rangepartitioning Exchange (orderBy without
   limit): a full shuffle + sort of the entire relation. A bounded
   top-k compiles to TakeOrderedAndProject and is not flagged.
+- ``fact-scaled-broadcast`` — an EXPLICIT ``F.broadcast(...)`` hint
+  (found as ResolvedHint in the analyzed logical plan, so it cannot be
+  confused with an AQE/planner-chosen broadcast) whose build side scans
+  a table that scales with SF and is not bounded by construction (a
+  scalar aggregate, a limit, or a literal LocalRelation on the output
+  spine). A forced broadcast of a fact-scaled relation OOMs at the
+  design point instead of degrading to a shuffle; AQE already picks
+  broadcast when the side actually fits, so the hint buys nothing.
+  nation/region (25/5 rows at EVERY TPC-H SF) are constant-cardinality
+  and exempt.
+- ``band-join``          — a shuffled join (SortMergeJoin /
+  ShuffledHashJoin) whose condition carries an inequality residual
+  (``a < b``-style) next to the equi-keys. The residual is evaluated
+  per MATCHED PAIR during the merge, so a hot equi-key enumerates
+  |key-group|² pairs regardless of how few survive the band — the
+  shape that melted q207 before the neighbor-offset rewrite. Fix by
+  folding the band into the equi-key (offset explode) or bucketing
+  the range dimension. Broadcast joins with residuals are not flagged
+  (the build side bounds the pair count).
 
 A finding is a FACT about the plan, not always a bug: a vocabulary-sized
 relation may sort globally by design. The ``allow`` set documents
@@ -36,6 +55,8 @@ docstrings of bounded queries state in prose.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 RULES = (
@@ -44,11 +65,138 @@ RULES = (
     "python-row-udf",
     "single-partition",
     "global-sort",
+    "fact-scaled-broadcast",
+    "band-join",
+)
+
+#: Tables whose cardinality is CONSTANT across TPC-H scale factors
+#: (nation = 25 rows, region = 5 rows at sf0.001 and at 100 TB alike).
+#: Broadcasting these is always safe; everything else grows with SF.
+CONSTANT_TABLES = frozenset({"nation", "region"})
+
+#: Unary logical nodes that don't grow their child's row count — walking
+#: through them from a broadcast hint finds the node that actually
+#: determines the build side's cardinality.
+_ROW_BOUND_PRESERVING = frozenset(
+    {
+        "Project",
+        "Filter",
+        "SubqueryAlias",
+        "Sort",
+        "Deduplicate",
+        "DeduplicateWithinWatermark",
+        "Window",
+        "Distinct",
+        "Repartition",
+        "RepartitionByExpression",
+        "ResolvedHint",
+        "UnresolvedHint",
+        "WithColumns",
+        "Limit",
+    }
 )
 
 
 def _plan_text(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _jchildren(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _jwalk(node):
+    yield node
+    for c in _jchildren(node):
+        yield from _jwalk(c)
+
+
+def _scan_tables(subtree) -> set[str]:
+    """Basenames (sans .parquet/.orc) of every file relation the logical
+    subtree scans. V1 LogicalRelation and V2 DataSourceV2Relation both
+    expose root paths; anything unrecognized is reported as '?' so the
+    rule fails loud rather than silently exempting an unknown source."""
+    tables: set[str] = set()
+    for n in _jwalk(subtree):
+        name = n.nodeName()
+        if name == "LogicalRelation":
+            try:
+                paths = n.relation().location().rootPaths()
+                for i in range(paths.length()):
+                    base = str(paths.apply(i)).rstrip("/").rsplit("/", 1)[-1]
+                    tables.add(re.sub(r"\.(parquet|orc|json|csv)$", "", base))
+            except Exception:
+                tables.add("?")
+        elif name in ("DataSourceV2Relation", "StreamingRelation", "StreamingRelationV2"):
+            tables.add("?")
+    return tables
+
+
+def _spine_bounded(node) -> bool:
+    """True when the subtree's OUTPUT row count is bounded by construction:
+    following single-child row-preserving nodes from the root reaches a
+    scalar aggregate (no grouping keys), an explicit limit, or a literal
+    LocalRelation."""
+    while True:
+        name = node.nodeName()
+        if name in ("GlobalLimit", "LocalLimit", "LocalRelation", "OneRowRelation", "Range"):
+            return True
+        if name == "Aggregate":
+            return node.groupingExpressions().isEmpty()
+        kids = _jchildren(node)
+        if name in _ROW_BOUND_PRESERVING and len(kids) == 1:
+            node = kids[0]
+            continue
+        return False
+
+
+def broadcast_hint_findings(df: DataFrame) -> list[dict]:
+    """Findings for explicit broadcast hints over fact-scaled relations.
+
+    Walks the ANALYZED logical plan (ResolvedHint survives analysis and
+    is eliminated in optimization, so what we see here is exactly what
+    the user forced — planner/AQE-chosen broadcasts never appear)."""
+    findings: list[dict] = []
+    analyzed = df._jdf.queryExecution().analyzed()
+    for node in _jwalk(analyzed):
+        if node.nodeName() != "ResolvedHint":
+            continue
+        head = node.toString().splitlines()[0]
+        if "broadcast" not in head.lower():
+            continue
+        child = _jchildren(node)[0]
+        if _spine_bounded(child):
+            continue
+        tables = _scan_tables(child)
+        if not tables:  # literal-derived relation, nothing fact-scaled
+            continue
+        if tables <= CONSTANT_TABLES:
+            continue
+        findings.append(
+            {
+                "rule": "fact-scaled-broadcast",
+                "evidence": f"explicit broadcast hint over unbounded scan of "
+                f"{sorted(tables)}"[:200],
+            }
+        )
+    return findings
+
+
+_SHUFFLED_JOIN_RE = re.compile(r"\b(SortMergeJoin|ShuffledHashJoin)\b(.*)")
+# Comparisons in Catalyst's plan rendering are space-delimited:
+# "(rb#10 > ra#6)", "(ts#3 <= (start#7 + 100))".
+_INEQ_TOKENS = (" < ", " <= ", " > ", " >= ")
+
+
+def _band_join_findings(plan: str) -> list[dict]:
+    findings = []
+    for ln in plan.splitlines():
+        m = _SHUFFLED_JOIN_RE.search(ln)
+        if m and any(tok in m.group(2) for tok in _INEQ_TOKENS):
+            findings.append({"rule": "band-join", "evidence": ln.strip()[:200]})
+            break  # one finding per plan is enough for the gate
+    return findings
 
 
 def lint_plan(df: DataFrame) -> list[dict]:
@@ -89,6 +237,8 @@ def lint_plan(df: DataFrame) -> list[dict]:
         flagged = True
     if "rangepartitioning" in plan and "TakeOrderedAndProject" not in plan:
         _hit("global-sort", "rangepartitioning")
+    findings.extend(_band_join_findings(plan))
+    findings.extend(broadcast_hint_findings(df))
     return findings
 
 

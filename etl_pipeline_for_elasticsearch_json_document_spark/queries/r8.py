@@ -595,8 +595,10 @@ LIMIT 20
     "with (p1, p2) tiebreak. Scale: baskets are bounded (an order has "
     "~few lineitems), so the within-order self-join fans out "
     "O(basket^2) per order — bounded, never corpus-quadratic; the "
-    "min-support HAVING prunes before the dimension joins; part "
-    "marginals are a broadcast-sized dim table.",
+    "min-support HAVING prunes before the marginal joins; the per-part "
+    "marginals are fact-derived (they scale with the part count), so "
+    "they join un-hinted — AQE broadcasts them only when they fit. The "
+    "single explicit broadcast is the 1-row basket-total aggregate.",
 )
 def q201(spark, sf_dir):
     li = (
@@ -620,8 +622,12 @@ def q201(spark, sf_dir):
         6,
     )
     return (
-        pairs.join(F.broadcast(n.select(F.col("pk").alias("p1"), F.col("n").alias("n1"))), "p1")
-        .join(F.broadcast(n.select(F.col("pk").alias("p2"), F.col("n").alias("n2"))), "p2")
+        # Plain equi-joins for the per-part marginals: `n` is derived from
+        # the fact table (one row per part, 200k/SF in TPC-H), so a forced
+        # broadcast would scale with the corpus. The pairs side is already
+        # min-support-pruned; AQE broadcasts `n` when it actually fits.
+        pairs.join(n.select(F.col("pk").alias("p1"), F.col("n").alias("n1")), "p1")
+        .join(n.select(F.col("pk").alias("p2"), F.col("n").alias("n2")), "p2")
         .crossJoin(t)
         .select("p1", "p2", F.col("n_pair").cast("bigint").alias("n_pair"), lift.alias("lift"))
         .orderBy(F.col("lift").desc(), "p1", "p2")
@@ -703,8 +709,12 @@ GROUP BY n.n_name
     "equality between two dims). Catalyst broadcasts the four dim "
     "relations and reorders around the lineitem⋈orders spine; revenue "
     "is a DECIMAL(18,6) sum (exact, order-independent). Scale: one fact "
-    "shuffle on the join keys; region/nation/supplier/customer ride as "
-    "broadcasts at any realistic dim:fact ratio.",
+    "shuffle on the join keys; only the constant-cardinality dims "
+    "(nation=25, region=5 rows at every SF) carry explicit broadcast "
+    "hints — supplier/customer scale linearly with SF, so their join "
+    "strategy is left to AQE, which still picks broadcast when the "
+    "filtered side fits but degrades to shuffle instead of OOM at the "
+    "100 TB design point.",
 )
 def q203(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -720,7 +730,11 @@ def q203(spark, sf_dir):
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .join(
-            F.broadcast(s),
+            # No broadcast hint: supplier is fact-scaled (10k rows/SF in
+            # TPC-H, ~1B at the 100 TB point). AQE broadcasts it when it
+            # fits and falls back to shuffle when it doesn't; a forced
+            # hint would OOM instead of degrading.
+            s,
             (li["l_suppkey"] == s["s_suppkey"])
             & (c["c_nationkey"] == s["s_nationkey"]),
         )
@@ -1023,8 +1037,10 @@ FROM j GROUP BY blk
     doc="Blocked sorted-neighborhood ER (Hernandez-Stolfo windowing, the "
     "third classic blocker next to q125's blocking keys and q187's "
     "audit): within each first-word block, docs sorted by (n_chars, id) "
-    "pair only with their 2 sort-neighbors — candidates scale O(docs × "
-    "window), never block-quadratic — then exact word-set Jaccard "
+    "pair only with their 2 sort-neighbors — the neighbor offset is part "
+    "of the JOIN KEY ((blk, rn+off) vs (blk, rn_b)), so both the output "
+    "AND the join work scale O(docs × window), never block-quadratic "
+    "even inside a hot stopword block — then exact word-set Jaccard "
     "verifies. Per-block report: candidates, matches at 0.5, best score. "
     "Determinism: Jaccard is a rounded exact rational; the sort key is "
     "unique via the id tiebreak. Scale: the window sort partitions by "
@@ -1043,11 +1059,21 @@ def q207(spark, sf_dir):
             Window.partitionBy("blk").orderBy("n_chars", "doc_id")
         ),
     )
+    # Neighbor-offset equi-join: explode each left row into its two
+    # window offsets and join on (blk, rn + off) == (blk, rn_b). The rank
+    # is UNIQUE within a block (row_number), so each (blk, rb) key matches
+    # at most one right row — join work is O(docs × window) by
+    # construction. The naive alternative (equi-join on blk alone, then a
+    # band filter rb in (ra, ra+2]) enumerates |block|^2 pairs inside a
+    # hot block (most docs share a stopword first word) before the filter
+    # runs — the exact block-quadratic blowup sorted-neighborhood exists
+    # to avoid.
     a = keyed.select("blk", F.col("doc_id").alias("a_id"), F.col("rn").alias("ra"))
     b = keyed.select("blk", F.col("doc_id").alias("b_id"), F.col("rn").alias("rb"))
     cand = (
-        a.join(b, "blk")
-        .filter((F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + 2))
+        a.withColumn("off", F.explode(F.array(F.lit(1), F.lit(2))))
+        .withColumn("rb", F.col("ra") + F.col("off"))
+        .join(b, ["blk", "rb"])
         .select("blk", "a_id", "b_id")
     )
     words = d.select(

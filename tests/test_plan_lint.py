@@ -67,6 +67,64 @@ def test_single_partition_and_global_sort_flagged(spark, sf_dir):
     assert "global-sort" not in _rules(o.orderBy("o_totalprice").limit(10))
 
 
+def test_fact_scaled_broadcast_flagged(spark, sf_dir):
+    """The rule fires on exactly the r8 regressions (forced broadcast of an
+    SF-scaled relation) and stays silent on every bounded-by-construction
+    hint and on planner-chosen broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    # the pre-fix q203 shape: explicit hint on a fact-scaled dim
+    bad = li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+    assert "fact-scaled-broadcast" in _rules(bad)
+    # the pre-fix q201 shape: explicit hint on a fact-derived grouped agg
+    marg = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    bad2 = li.join(F.broadcast(marg), "l_partkey")
+    assert "fact-scaled-broadcast" in _rules(bad2)
+    # un-hinted: AQE owns the choice — never flagged
+    assert "fact-scaled-broadcast" not in _rules(
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+    )
+    # constant-cardinality dims (nation=25 rows at every SF): exempt
+    assert "fact-scaled-broadcast" not in _rules(
+        li.join(F.broadcast(n), li["l_suppkey"] == n["n_nationkey"])
+    )
+    # scalar aggregate / limit on the build spine: bounded by construction
+    assert "fact-scaled-broadcast" not in _rules(
+        li.crossJoin(F.broadcast(li.agg(F.count("*").alias("c"))))
+    )
+    assert "fact-scaled-broadcast" not in _rules(
+        li.join(F.broadcast(s.limit(5)), li["l_suppkey"] == s["s_suppkey"])
+    )
+
+
+def test_band_join_flagged(spark, sf_dir):
+    """The rule fires on the pre-fix q207 shape (shuffled join whose band
+    residual is evaluated per matched pair) and stays silent on the
+    neighbor-offset equi-join rewrite that computes the same pairs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("rn")
+    )
+    a = li.select("k", F.col("rn").alias("ra"))
+    b = li.select("k", F.col("rn").alias("rb"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        band = a.join(b, "k").filter(
+            (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + 2)
+        )
+        assert "band-join" in _rules(band)
+        # offset rewrite: the band is part of the equi-key — clean
+        off = (
+            a.withColumn("off", F.explode(F.array(F.lit(1), F.lit(2))))
+            .withColumn("rb", F.col("ra") + F.col("off"))
+            .join(b, ["k", "rb"])
+        )
+        assert "band-join" not in _rules(off)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_assert_scalable_contract(spark):
     a = spark.range(10)
     b = spark.range(10).withColumnRenamed("id", "id2")
@@ -87,8 +145,16 @@ def test_headline_queries_lint_clean(spark, sf_dir):
     q = all_queries()
     # q113's corpus stats are a broadcast 1-ROW aggregate crossJoined onto
     # the postings — a BNLJ by plan shape, bounded by contract (the
-    # documented broadcast-scalar pattern); everything else is fully clean
-    allowances = {"q113_bm25_topk": {"nested-loop-join"}}
+    # documented broadcast-scalar pattern). The decontamination family and
+    # q113's query-term postings broadcast contract-bounded probe/vocab
+    # relations scanned from fact tables — the fact-scaled-broadcast rule
+    # flags them by design; the contracts are documented in
+    # tests/test_plan_lint_all.py's ALLOWANCES. Everything else is clean.
+    allowances = {
+        "q113_bm25_topk": {"nested-loop-join", "fact-scaled-broadcast"},
+        "q100_decontaminate": {"fact-scaled-broadcast"},
+        "q110_fuzzy_decontaminate": {"fact-scaled-broadcast"},
+    }
     for name in (
         "q01_pricing_summary",
         "q03_revenue_topn",

@@ -20,22 +20,80 @@ from etl_pipeline_for_elasticsearch_json_document_spark.queries import all_queri
 # vocabulary-sized windows) or the query exists to pin a SQL surface
 # whose canonical spelling carries the shape.
 BROADCAST_SCALAR = "broadcast 1-row/K-row relation crossJoined onto the stream"
+# fact-scaled-broadcast allowance vocabulary. The rule flags every EXPLICIT
+# broadcast hint whose build side scans an SF-scaled table without a
+# limit/scalar-agg bound on its output spine; these constants name the
+# contracts that bound such relations anyway. Each use below was re-audited
+# this round (the rule landed together with the q201/q203 fixes, which are
+# deliberately NOT allowed — they were real).
+PROBE_SET = (
+    "broadcast side is the probe/query/test set — K rows by contract "
+    "(unique-id < K literal filter, a benchmark suite, a deletion manifest, "
+    "or a canary list); the corpus streams map-side"
+)
+BOUNDED_DOMAIN_AGG = (
+    "broadcast side is a grouped aggregate keyed on a bounded domain "
+    "(language / event-type / label / shard / source / vector-dim / decile "
+    "/ char-bigram vocabulary, or a kmeans-k centroid id), not a fact key"
+)
+SKETCH_RELATION = (
+    "broadcast side is a fixed-size sketch (hash-modulus bucket keys: "
+    "depth×width count-min cells or bottom-k KMV rows)"
+)
+TOKEN_VOCAB = (
+    "broadcast side is the token-vocabulary relation (document frequencies); "
+    "sublinear in corpus size (Heaps' law) and df-threshold-prunable — the "
+    "docstring documents the shuffle fallback at open-vocab scale"
+)
 ALLOWANCES: dict[str, dict[str, str]] = {
     # BroadcastNestedLoopJoin: bounded broadcast side by contract
-    "q40_knn_bruteforce": {"nested-loop-join": "K query vectors broadcast"},
-    "q42_knn_ivf": {"nested-loop-join": "k centroids broadcast"},
-    "q45_ann_recall": {"nested-loop-join": BROADCAST_SCALAR},
-    "q56_tfidf": {"nested-loop-join": "1-row corpus-size broadcast"},
+    "q40_knn_bruteforce": {
+        "nested-loop-join": "K query vectors broadcast",
+        "fact-scaled-broadcast": PROBE_SET,
+    },
+    "q42_knn_ivf": {
+        "nested-loop-join": "k centroids broadcast",
+        "fact-scaled-broadcast": PROBE_SET + "; the centroid and residual "
+        "sides are kmeans-k-bounded grouped aggregates",
+    },
+    "q45_ann_recall": {
+        "nested-loop-join": BROADCAST_SCALAR,
+        "fact-scaled-broadcast": PROBE_SET + "; plus kmeans-k-bounded "
+        "centroids for the IVF arm",
+    },
+    "q56_tfidf": {
+        "nested-loop-join": "1-row corpus-size broadcast",
+        "fact-scaled-broadcast": TOKEN_VOCAB,
+    },
     "q105_bigram_lift": {"nested-loop-join": "1-row token-total broadcast"},
     "q107_vector_quantize": {"nested-loop-join": "1-row calibration broadcast"},
-    "q113_bm25_topk": {"nested-loop-join": "1-row corpus stats broadcast"},
-    "q115_source_mix": {"nested-loop-join": "1-row total broadcast"},
+    "q113_bm25_topk": {
+        "nested-loop-join": "1-row corpus stats broadcast",
+        "fact-scaled-broadcast": "df postings joined in are restricted to "
+        "the query's terms — query-vocabulary-bounded",
+    },
+    "q115_source_mix": {
+        "nested-loop-join": "1-row total broadcast",
+        "fact-scaled-broadcast": BOUNDED_DOMAIN_AGG,
+    },
     "q135_campaign_overlap": {"nested-loop-join": BROADCAST_SCALAR},
     "q137_json_key_profile": {"nested-loop-join": "1-row doc-count broadcast"},
-    "q146_token_jsd": {"nested-loop-join": "lang-pair sketch cross, vocab-bounded"},
-    "q147_kmv_sketch_overlap": {"nested-loop-join": "K-row sketch pair cross"},
-    "q150_matryoshka_recall": {"nested-loop-join": "K query vectors broadcast"},
-    "q161_hard_negatives": {"nested-loop-join": "query-set broadcast, non-equi <>"},
+    "q146_token_jsd": {
+        "nested-loop-join": "lang-pair sketch cross, vocab-bounded",
+        "fact-scaled-broadcast": TOKEN_VOCAB,
+    },
+    "q147_kmv_sketch_overlap": {
+        "nested-loop-join": "K-row sketch pair cross",
+        "fact-scaled-broadcast": SKETCH_RELATION,
+    },
+    "q150_matryoshka_recall": {
+        "nested-loop-join": "K query vectors broadcast",
+        "fact-scaled-broadcast": PROBE_SET,
+    },
+    "q161_hard_negatives": {
+        "nested-loop-join": "query-set broadcast, non-equi <>",
+        "fact-scaled-broadcast": PROBE_SET,
+    },
     "q162_quality_funnel": {"nested-loop-join": "stage-literal broadcast"},
     "q165_vocab_coverage": {
         "nested-loop-join": "1-row token-total broadcast",
@@ -43,21 +101,33 @@ ALLOWANCES: dict[str, dict[str, str]] = {
     },
     "q167_truncation_loss": {"nested-loop-join": "3-row ctx-limit literal broadcast"},
     "q171_temperature_mix": {"nested-loop-join": "1-row total + 1-row Z broadcast"},
-    "q173_label_shard_balance": {"nested-loop-join": "1-row N broadcast"},
+    "q173_label_shard_balance": {
+        "nested-loop-join": "1-row N broadcast",
+        "fact-scaled-broadcast": BOUNDED_DOMAIN_AGG,
+    },
     "q175_length_calibration": {
         "nested-loop-join": "1-row N broadcast",
         "single-partition": "cumulative window over DISTINCT n_chars values",
+        "fact-scaled-broadcast": BOUNDED_DOMAIN_AGG,
     },
-    "q178_canary_scan": {"nested-loop-join": "K-row canary set broadcast"},
+    "q178_canary_scan": {
+        "nested-loop-join": "K-row canary set broadcast",
+        "fact-scaled-broadcast": PROBE_SET,
+    },
     "q179_filter_redundancy": {
         "nested-loop-join": "1-row quartile-cutoff broadcast",
         "single-partition": "exact-quartile ranking window; docstring documents "
         "the q175 distinct-value swap at scale",
     },
-    "q180_event_cooccurrence": {"nested-loop-join": "1-row user-count broadcast"},
+    "q180_event_cooccurrence": {
+        "nested-loop-join": "1-row user-count broadcast",
+        "fact-scaled-broadcast": BOUNDED_DOMAIN_AGG,
+    },
     "q185_dsir_importance": {
         "nested-loop-join": "1-row corpus-total broadcast onto the <=4096-row "
-        "feature table"
+        "feature table",
+        "fact-scaled-broadcast": "the <=4096-row hash-bucketed feature table "
+        "(modulus-bounded grouping key)",
     },
     "q187_blocking_audit": {
         "nested-loop-join": "1-row count aggregates crossJoined into the "
@@ -70,14 +140,16 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "nested-loop-join": "1-row vocab-total broadcast"
     },
     "q200_label_silhouette": {
-        "nested-loop-join": "|labels|-row centroid table broadcast"
+        "nested-loop-join": "|labels|-row centroid table broadcast",
+        "fact-scaled-broadcast": BOUNDED_DOMAIN_AGG,
     },
     "q201_basket_lift": {
         "nested-loop-join": "1-row basket-total broadcast"
     },
     "q205_lang_source_chi2": {
         "nested-loop-join": "|langs|x|sources| marginal grid + 1-row totals "
-        "broadcast"
+        "broadcast",
+        "fact-scaled-broadcast": BOUNDED_DOMAIN_AGG,
     },
     "q206_langid_kappa": {
         "nested-loop-join": "1-row (n, agree) + 1-row pe aggregates crossed "
@@ -86,6 +158,39 @@ ALLOWANCES: dict[str, dict[str, str]] = {
     "q208_benford_price_audit": {
         "nested-loop-join": "1-row order-total broadcast onto the 9-digit "
         "relation"
+    },
+    # fact-scaled-broadcast: contract-bounded build sides (see constants)
+    "q41_knn_lsh": {"fact-scaled-broadcast": PROBE_SET},
+    "q43_knn_pq": {
+        "fact-scaled-broadcast": PROBE_SET + "; the PQ codebook / distance "
+        "tables are (m x k)-bounded grouped aggregates"
+    },
+    "q100_decontaminate": {"fact-scaled-broadcast": PROBE_SET},
+    "q106_count_min": {"fact-scaled-broadcast": SKETCH_RELATION},
+    "q110_fuzzy_decontaminate": {"fact-scaled-broadcast": PROBE_SET},
+    "q116_decontaminated_stats": {"fact-scaled-broadcast": PROBE_SET},
+    "q140_heavy_hitters": {"fact-scaled-broadcast": SKETCH_RELATION},
+    "q145_winsorized_stats": {"fact-scaled-broadcast": BOUNDED_DOMAIN_AGG},
+    "q153_bloom_decontaminate": {"fact-scaled-broadcast": PROBE_SET},
+    "q154_line_dedup_rebuild": {
+        "fact-scaled-broadcast": "boilerplate-line relation: lines with "
+        "df >= threshold — the hot-line vocabulary, df-threshold-pruned "
+        "before the hint"
+    },
+    "q155_char_lm_score": {
+        "fact-scaled-broadcast": BOUNDED_DOMAIN_AGG + " (char bigrams: "
+        "alphabet^2 rows)"
+    },
+    "q166_source_overlap": {"fact-scaled-broadcast": BOUNDED_DOMAIN_AGG},
+    "q170_deletion_manifest": {"fact-scaled-broadcast": PROBE_SET},
+    "q189_label_margin_audit": {"fact-scaled-broadcast": BOUNDED_DOMAIN_AGG},
+    "q209_embedding_cov_probe": {"fact-scaled-broadcast": BOUNDED_DOMAIN_AGG},
+    # band-join: residual inequality over a bounded equi-key group
+    "q139_semantic_dedup": {
+        "band-join": "within-cluster candidate residual (id_a < id_b) over "
+        "the kmeans cluster-id equi-key; pair work is cluster-blocked by "
+        "construction, pinned in tests/test_plans.py::"
+        "test_semantic_dedup_pairs_are_cluster_blocked"
     },
     # bounded / surface-demo single-partition + global-sort shapes
     "q12_rank_dense": {

@@ -404,3 +404,44 @@ def test_debounce_single_window_shuffle(spark):
     # formatted explain lists nodes twice (tree + detail) — count the tree
     n_exchange = plan.count("- Exchange")
     assert n_exchange <= 2, f"{n_exchange} exchanges:\n{plan}"
+
+
+def test_q207_candidate_join_keyed_on_block_and_rank(spark):
+    """r9 fix pin: the sorted-neighborhood candidate join folds the window
+    offset into the EQUI-KEY — the physical join is keyed on (blk, rb),
+    never on blk alone with an rn band residual (which enumerates
+    |block|^2 pairs inside a hot stopword block before filtering)."""
+    import re
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.plan_lint import lint_plan
+
+    df = Q["q207_sorted_neighborhood"].fn(spark, SF_DIR)
+    assert not [f for f in lint_plan(df) if f["rule"] == "band-join"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    key_lists = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[([^\]]*)\], \[([^\]]*)\]",
+        plan,
+    )
+    cand = [
+        (l, r) for l, r in key_lists if "blk" in l or "blk" in r
+    ]
+    assert cand, f"candidate join not found in plan:\n{plan}"
+    for left, right in cand:
+        assert "rb" in left or "rb" in right, (
+            f"candidate join keyed on blk alone (band residual): "
+            f"[{left}], [{right}]"
+        )
+
+
+def test_q203_q201_no_fact_scaled_broadcast_hints(spark):
+    """r9 fix pin: TPC-H Q5's supplier join and basket-lift's per-part
+    marginal joins carry NO explicit broadcast hint (supplier and the
+    marginals scale with SF; AQE picks broadcast only when the side
+    actually fits). The only hints left are constant-cardinality dims
+    (nation/region) and 1-row aggregates."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.plan_lint import (
+        broadcast_hint_findings,
+    )
+
+    for name in ("q203_tpch_q5_local_volume", "q201_basket_lift"):
+        assert broadcast_hint_findings(Q[name].fn(spark, SF_DIR)) == [], name
