@@ -421,30 +421,63 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
     rest = emb.filter(F.col("vec_id") >= 200)
     work = tempfile.mkdtemp(prefix="bench_ann_")
     out: dict[str, float] = {}
+    # Untimed warm-up on a scratch store: in the isolated subprocess JVM
+    # the first job pays scheduler + codegen + JIT ramp; without this the
+    # build entry absorbs it (~+1 s) and the sub-second entries swing
+    # outside ±10% run-to-run. Same policy as bench_rollup's warm step.
+    warm = tempfile.mkdtemp(prefix="bench_ann_warm_")
     try:
-        t0 = time.time()
-        ivf_build(spark, f"{work}/ivf", half, k=8)
-        out["ann_ivf_build"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        ivf_upsert(spark, f"{work}/ivf", rest)
-        out["ann_ivf_upsert"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        force(ivf_health(spark, f"{work}/ivf"))
-        out["ann_ivf_health"] = round(time.time() - t0, 3)
-        # the serving pair: pre-pay the cid-partitioned layout once, then
-        # query through it — the per-call cost of a similarity service
-        # (partition-pruned scan + broadcast probes, no corpus shuffle)
-        t0 = time.time()
-        write_ivf_layout(spark, f"{work}/ivf", emb, f"{work}/layout")
-        out["ann_layout_write"] = round(time.time() - t0, 3)
-        queries = emb.filter(F.col("vec_id") < 16)
-        t0 = time.time()
+        wv = emb.filter(F.col("vec_id") < 64)
+        ivf_build(spark, f"{warm}/ivf", wv, k=4, iterations=1)
+        ivf_upsert(spark, f"{warm}/ivf", emb.filter((F.col("vec_id") >= 64) & (F.col("vec_id") < 96)))
+        force(ivf_health(spark, f"{warm}/ivf"))
+        write_ivf_layout(spark, f"{warm}/ivf", wv, f"{warm}/layout")
         force(
             ivf_query_layout(
-                spark, f"{work}/ivf", f"{work}/layout", queries, k=10, nprobe=2
+                spark, f"{warm}/ivf", f"{warm}/layout", wv.limit(4), k=3, nprobe=2
             )
         )
-        out["ann_ivf_query"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
+    # Three full store lifecycles into fresh paths, median per stage:
+    # every stage is a one-shot pipeline (a build can't re-run into a live
+    # store), so the usual warm-up+median-of-3 on ONE plan doesn't apply —
+    # instead the whole cycle repeats and each stage reports its median.
+    # Single cold runs swung ±30% JVM-to-JVM even after the warm-up.
+    try:
+        runs: dict[str, list[float]] = {}
+
+        def rec(key: str, t0: float) -> None:
+            runs.setdefault(key, []).append(time.time() - t0)
+
+        for i in range(3):
+            ivf = f"{work}/ivf{i}"
+            t0 = time.time()
+            ivf_build(spark, ivf, half, k=8)
+            rec("ann_ivf_build", t0)
+            t0 = time.time()
+            ivf_upsert(spark, ivf, rest)
+            rec("ann_ivf_upsert", t0)
+            t0 = time.time()
+            force(ivf_health(spark, ivf))
+            rec("ann_ivf_health", t0)
+            # the serving pair: pre-pay the cid-partitioned layout once,
+            # then query through it — the per-call cost of a similarity
+            # service (partition-pruned scan + broadcast probes, no corpus
+            # shuffle)
+            t0 = time.time()
+            write_ivf_layout(spark, ivf, emb, f"{work}/layout{i}")
+            rec("ann_layout_write", t0)
+            queries = emb.filter(F.col("vec_id") < 16)
+            t0 = time.time()
+            force(
+                ivf_query_layout(
+                    spark, ivf, f"{work}/layout{i}", queries, k=10, nprobe=2
+                )
+            )
+            rec("ann_ivf_query", t0)
+        for key, ts in runs.items():
+            out[key] = round(statistics.median(ts), 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
@@ -452,10 +485,17 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
 
 def bench_lsh_index(spark, sf_dir: str) -> dict[str, float]:
     """DIAGNOSTIC: streaming near-dup index maintenance cost — one batch
-    that BUILDS the bucket index from 80% of the corpus vs one that
-    CLASSIFIES the remaining 20% against it and advances a version. The
-    classify entry is the steady-state per-batch cost of the service;
-    it reads |batch| docs + the bucket relation, never the corpus."""
+    that BUILDS the bucket index from 80% of the corpus, one that
+    CLASSIFIES the remaining 20% against it, then the r9 independence
+    check: a SMALL (64-doc) batch timed against the index as built AND
+    against a ~5×-grown, compacted index. Since r9 each version commit is
+    an O(|batch|)-row delta and the classify read prunes to the hash
+    partitions the batch's buckets touch, so the two small-batch entries
+    should be ≈ equal (``lsh_small_grown_ratio`` ≈ 1) — the r8 store
+    rewrote the full bucket relation per version, which made this ratio
+    track index growth instead. ``lsh_index_compact`` prices the
+    scheduled roll-up (O(live index) by design, amortized across
+    batches)."""
     import shutil
     import tempfile
 
@@ -463,21 +503,110 @@ def bench_lsh_index(spark, sf_dir: str) -> dict[str, float]:
 
     from etl_pipeline_for_elasticsearch_json_document_spark.streaming.lsh_ingest import (
         _lsh_batch_processor,
+        compact,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
+    n = docs.count()
     work = tempfile.mkdtemp(prefix="bench_lsh_")
     out: dict[str, float] = {}
     try:
-        proc = _lsh_batch_processor(f"{work}/idx", f"{work}/out", "bench")
+        # P=256 so a 64-doc batch (≤256 band buckets) touches a strict
+        # subset of the partitions — the pruning the small entries measure
+        proc = _lsh_batch_processor(
+            f"{work}/idx", f"{work}/out", "bench", n_partitions=256
+        )
         t0 = time.time()
         proc(docs.filter(F.col("doc_id") % 5 != 0), 0)
         out["lsh_index_build"] = round(time.time() - t0, 3)
         t0 = time.time()
         proc(docs.filter(F.col("doc_id") % 5 == 0), 1)
         out["lsh_index_classify"] = round(time.time() - t0, 3)
+        small = docs.filter(F.col("doc_id") % 97 == 3).limit(64)
+        t0 = time.time()
+        proc(small.select((F.col("doc_id") + F.lit(50 * n)).alias("doc_id"), "text"), 2)
+        out["lsh_index_batch_small"] = round(time.time() - t0, 3)
+        # grow the BUCKET relation ~5×: replicas with per-replica salted
+        # text (unsalted copies collide into the same buckets and grow
+        # nothing). Untimed — its cost is batch-proportional by the same
+        # argument the entries measure.
+        reps = spark.range(4).select(F.col("id").alias("__r"))
+        grown = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + (F.col("__r") + 1) * F.lit(10 * n)).alias("doc_id"),
+            F.concat("text", F.lit(" salt"), F.col("__r")).alias("text"),
+        )
+        proc(grown, 3)
+        t0 = time.time()
+        compact(spark, f"{work}/idx")
+        out["lsh_index_compact"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        proc(small.select((F.col("doc_id") + F.lit(60 * n)).alias("doc_id"), "text"), 4)
+        out["lsh_index_batch_small_grown"] = round(time.time() - t0, 3)
+        out["lsh_small_grown_ratio"] = round(
+            out["lsh_index_batch_small_grown"] / out["lsh_index_batch_small"], 2
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def bench_scale_ladder(spark, sf_dir: str, x1: dict[str, float]) -> dict:
+    """DIAGNOSTIC: the ×10 scale ladder (VERDICT r8 item 2). The 100 TB
+    posture claims are plan-shape arguments; this measures the actual
+    slope for the top headliners by replicating their inputs ×10 into a
+    scratch sf-dir and re-running the SAME query functions against it.
+
+    Reported per query: the ×1 headline median, the ×10 median, and the
+    ratio. Reading the ratio honestly: a ratio ≈10 is linear scaling; a
+    ratio well UNDER 10 means the ×1 number is dominated by fixed
+    per-query cost (plan/serde/scheduler floor, usual for sub-second
+    entries); a ratio ≫10 is super-linear work growth — a real scale
+    hazard worth a plan audit. Doc ids are remapped per replica (same
+    scheme as dedup_close_x10) so dedup/grouping cardinalities scale
+    honestly instead of collapsing onto 10× duplicates.
+
+    The flatten ladder needs no extra runs: flatten_100docs →
+    flatten_10000docs is already a ×100 rung measured every round, so its
+    per-×10 ratio is sqrt(t10k/t100) — reported as
+    ``flatten_ratio_per_x10``. dedup_close's ladder likewise reuses the
+    existing dedup_close_e2e / dedup_close_x10 pair."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.queries import all_queries
+
+    queries = all_queries()
+    work = tempfile.mkdtemp(prefix="bench_ladder_")
+    out: dict = {}
+    try:
+        # stage ×10 replicas of the two tables the ladder queries read
+        # (staging is untimed — at real scale the data ARRIVES that size)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        reps = F.broadcast(spark.range(10).select(F.col("id").alias("__r")))
+        li.crossJoin(reps).drop("__r").write.mode("overwrite").parquet(
+            f"{work}/lineitem.parquet"
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        nd = docs.count()
+        others = [c for c in docs.columns if c != "doc_id"]
+        docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("__r") * F.lit(10 * nd)).alias("doc_id"),
+            *others,
+        ).write.mode("overwrite").parquet(f"{work}/documents.parquet")
+        for name in ("q01_pricing_summary", "q100_decontaminate", "q113_bm25_topk"):
+            df = queries[name].fn(spark, work)
+            force(df)  # warm-up, same policy as the headline loop
+            t10 = timed_median(lambda: force(df))
+            t1 = x1.get(name)
+            out[name] = {
+                "x1": t1,
+                "x10": t10,
+                "ratio": round(t10 / t1, 2) if t1 else None,
+            }
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
@@ -502,6 +631,44 @@ def run_flatten_isolated() -> dict[str, float]:
         capture_output=True,
         text=True,
         check=True,
+    )
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def ann_subprocess_main() -> None:
+    """``bench.py --ann-subprocess``: the ANN-store maintenance entries in
+    a JVM of their own. Through r8 they ran LAST in the shared main JVM and
+    absorbed its accumulated heap/GC/codegen-cache state — ann_ivf_build
+    drifted 5.68 → 7.30 s in r8 with NO change to ivf_build itself, purely
+    because the shared session had gained two more bench sections (the
+    same artifact class run_flatten_isolated fixed for the flatten entries
+    in r6). Subprocess JVM startup is NOT timed.
+
+    Measured stability (r9, two consecutive isolated runs at sf0.1):
+    ann_ivf_build 3.077 vs 3.063 s (±0.5%), ann_ivf_upsert ±1.4%,
+    ann_layout_write ±6%, ann_ivf_query ±5% — the isolation + untimed
+    warm-up + median-of-3 store cycles brought build from the shared-JVM
+    7.30 s (and a raw cold-subprocess 8.2-8.6 s: fresh-JVM first-job
+    ramp) to a stable ~3.1 s. Sub-second entries (health ~0.55 s) keep a
+    ~±0.1 s scheduler-jitter floor in absolute terms."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("etl-pipeline-bench-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = bench_ann_index(spark, sf_dir)
+    spark.stop()
+    print(json.dumps(out))
+
+
+def run_ann_isolated(sf_dir: str) -> dict[str, float]:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    res = subprocess.run(
+        [sys.executable, __file__, "--ann-subprocess"],
+        capture_output=True,
+        text=True,
+        check=True,
+        env=env,
     )
     return json.loads(res.stdout.strip().splitlines()[-1])
 
@@ -553,8 +720,30 @@ def main() -> None:
     timings.update(prod)
     diagnostics.update(close_diag)
     diagnostics.update(bench_rollup(spark, sf_dir))
-    diagnostics.update(bench_ann_index(spark, sf_dir))
+    # ANN entries in their own subprocess JVM (see ann_subprocess_main) —
+    # shared-session state inflated ann_ivf_build by 28% in r8.
+    diagnostics.update(run_ann_isolated(sf_dir))
     diagnostics.update(bench_lsh_index(spark, sf_dir))
+
+    # ×10 scale ladder for the top headliners (VERDICT r8 item 2); the
+    # dedup and flatten rungs reuse entries measured above.
+    ladder = bench_scale_ladder(spark, sf_dir, timings)
+    e2e, x10 = timings.get("dedup_close_e2e"), diagnostics.get("dedup_close_x10")
+    if e2e and x10:
+        ladder["dedup_close"] = {
+            "x1": e2e,
+            "x10": x10,
+            "ratio": round(x10 / e2e, 2),
+        }
+    f100, f10k = timings.get("flatten_100docs"), timings.get("flatten_10000docs")
+    if f100 and f10k:
+        # 100 → 10k docs is a ×100 rung; per-×10 ratio is its square root
+        ladder["flatten_10000docs"] = {
+            "x1": f100,
+            "x100": f10k,
+            "ratio_per_x10": round((f10k / f100) ** 0.5, 2),
+        }
+    diagnostics["scale_ladder"] = ladder
 
     total = round(sum(timings.values()), 3)
     print(
@@ -574,5 +763,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--flatten-subprocess" in sys.argv:
         flatten_subprocess_main()
+    elif "--ann-subprocess" in sys.argv:
+        ann_subprocess_main()
     else:
         main()

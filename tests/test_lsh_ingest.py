@@ -121,34 +121,129 @@ def test_stream_entry_point_end_to_end(spark, sf_dir, tmp_path):
     ).collect()[0][0] == 1
 
 
-def test_prune_versions_gc_interop(spark, tmp_path):
-    """The shared v=N GC works on this store: prune to keep_last=2, a
-    replay of the last batch still reads its pinned base version and
-    converges; the pruned version is gone from disk."""
-    from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
-        prune_versions,
+def test_compact_and_prune_gc(spark, tmp_path):
+    """Delta-store GC contract: deltas after the last snapshot are
+    load-bearing (every later version resolves through them), so prune
+    deletes NOTHING until a compact rolls them up; after the compact the
+    pre-snapshot versions go, a replay of a retained batch still reads
+    its pinned base version, and classification still sees the full
+    history through the snapshot."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.lsh_ingest import (
+        compact,
+        prune_lsh_versions,
     )
 
     t = "some shared text repeated across every batch for bucket overlap"
     idx = str(tmp_path / "lsh")
     out = str(tmp_path / "out")
     proc = _lsh_batch_processor(idx, out, "gc")
-    proc(spark.createDataFrame([(1, t)], SCHEMA), 0)   # v=0
-    proc(spark.createDataFrame([(2, t)], SCHEMA), 1)   # v=1 (base 0)
-    proc(spark.createDataFrame([(3, t)], SCHEMA), 2)   # v=2 (base 1)
-    assert prune_versions(idx, keep_last=2) == [0]
-    assert _committed_versions(idx) == [1, 2]
+    proc(spark.createDataFrame([(1, t)], SCHEMA), 0)   # v=0 delta
+    proc(spark.createDataFrame([(2, t)], SCHEMA), 1)   # v=1 delta (base 0)
+    proc(spark.createDataFrame([(3, t)], SCHEMA), 2)   # v=2 delta (base 1)
+    # no snapshot yet: v=1 and v=2 both resolve through v=0 — nothing
+    # is deletable regardless of keep_last
+    assert prune_lsh_versions(idx, keep_last=2) == []
+    assert _committed_versions(idx) == [0, 1, 2]
+    assert compact(spark, idx) == 3                    # v=3 snapshot
+    proc(spark.createDataFrame([(4, t)], SCHEMA), 3)   # v=4 delta (base 3)
+    # retained = [3, 4]; v=3 is a snapshot, so 0..2 are GC-eligible
+    assert prune_lsh_versions(idx, keep_last=2) == [0, 1, 2]
+    assert _committed_versions(idx) == [3, 4]
+    # doc 4 classified against the compacted history: anchored to doc 1
+    s = {
+        r["doc_id"]: (r["status"], r["corpus_anchor"])
+        for r in spark.read.parquet(os.path.join(out, "batch=gc-3", "status")).collect()
+    }
+    assert s[4] == ("near_dup_corpus", 1)
     before = {
         tuple(r)
-        for r in spark.read.parquet(os.path.join(out, "batch=gc-2", "status")).collect()
+        for r in spark.read.parquet(os.path.join(out, "batch=gc-3", "status")).collect()
     }
-    proc(spark.createDataFrame([(3, t)], SCHEMA), 2)  # replay reads base v=1
+    proc(spark.createDataFrame([(4, t)], SCHEMA), 3)  # replay reads base v=3
     after = {
         tuple(r)
-        for r in spark.read.parquet(os.path.join(out, "batch=gc-2", "status")).collect()
+        for r in spark.read.parquet(os.path.join(out, "batch=gc-3", "status")).collect()
     }
     assert after == before
-    assert _committed_versions(idx) == [1, 2]
+    assert _committed_versions(idx) == [3, 4]
+
+
+def test_compact_is_resolution_invariant(spark, sf_dir, tmp_path):
+    """Two stores fed the same two batches, one with a compact in
+    between: the resolved index and the second batch's classification
+    are identical — compaction is pure representation change."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.lsh_ingest import (
+        _read_resolved,
+        compact,
+    )
+
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(F.col("doc_id") % 2 == 0)
+
+    plain_idx, plain_out = str(tmp_path / "plain"), str(tmp_path / "plain_out")
+    comp_idx, comp_out = str(tmp_path / "comp"), str(tmp_path / "comp_out")
+    plain = _lsh_batch_processor(plain_idx, plain_out, "lin")
+    comp = _lsh_batch_processor(comp_idx, comp_out, "lin")
+    plain(b1, 0)
+    plain(b2, 1)
+    comp(b1, 0)
+    assert compact(spark, comp_idx) == 1  # snapshot between the batches
+    comp(b2, 1)
+
+    def resolved(idx):
+        from etl_pipeline_for_elasticsearch_json_document_spark.streaming.lsh_ingest import (
+            _committed_versions as cv,
+        )
+
+        return {
+            tuple(r)
+            for r in _read_resolved(spark, idx, cv(idx)[-1]).collect()
+        }
+
+    assert resolved(plain_idx) == resolved(comp_idx)
+    for sub in ("status", "edges"):
+        a = {
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(plain_out, "batch=lin-1", sub)
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(comp_out, "batch=lin-1", sub)
+            ).collect()
+        }
+        assert a == b, sub
+
+
+def test_delta_commit_is_batch_sized(spark, tmp_path):
+    """The r9 store property the bench measures: a version commit writes
+    the BATCH's buckets only, not the merged relation — a 1-doc batch
+    against a 50-doc index commits a delta of ≤ bands rows."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.lsh_ingest import (
+        BUCKET_SCHEMA,
+    )
+
+    big = spark.createDataFrame(
+        [(i, f"document number {i} with some moderately unique text body {i * 7}")
+         for i in range(50)],
+        SCHEMA,
+    )
+    one = spark.createDataFrame([(999, "a single new arrival document")], SCHEMA)
+    idx = str(tmp_path / "lsh")
+    proc = _lsh_batch_processor(idx, str(tmp_path / "out"), "sz")
+    proc(big, 0)
+    proc(one, 1)
+    v1 = spark.read.schema(BUCKET_SCHEMA).parquet(
+        *[
+            os.path.join(idx, "v=1", d)
+            for d in os.listdir(os.path.join(idx, "v=1"))
+            if d.startswith("p=")
+        ]
+    )
+    assert v1.count() <= 4  # bands=4: one row per band bucket of THE batch
 
 
 def test_live_es_tail_feeds_near_dup_index(spark, tmp_path):
