@@ -393,9 +393,11 @@ def write_ivf_layout(
     version the layout was derived from; :func:`ivf_query_layout`
     refuses a layout whose pin doesn't match the store's latest version,
     because pruning with yesterday's cell assignment silently returns
-    wrong neighbors. After an upsert, re-run this (at scale: append only
-    the new batch's rows into their ``cid=`` dirs — same layout, same
-    plan) to re-pin. Returns the pinned version.
+    wrong neighbors. After an upsert, catch up incrementally instead of
+    re-running this: :func:`append_ivf_layout` for pure-append batches
+    (O(|batch|), no reads), :func:`upsert_ivf_layout` when the batch
+    replaced ids (rewrites only the touched ``cid=`` partitions).
+    Returns the pinned version.
     """
     versions = _committed_versions(index_path)
     if not versions:
@@ -566,12 +568,111 @@ def append_ivf_layout(
     if n_replaced:
         raise ValueError(
             f"{n_replaced} batch ids already exist in the pinned layout — "
-            "an append cannot retract their stale rows; re-run "
-            "write_ivf_layout for replace-upserts"
+            "an append cannot retract their stale rows; use "
+            "upsert_ivf_layout (partition-scoped rewrite) for "
+            "replace-upserts"
         )
     _, postings = read_ann_index(spark, index_path)
     laid = batch.join(postings.select("vec_id", "cid"), "vec_id")
     laid.write.mode("append").partitionBy("cid").parquet(layout_path)
+    tmp = pin_file + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(latest))
+    os.replace(tmp, pin_file)
+    return latest
+
+
+def upsert_ivf_layout(
+    spark: SparkSession,
+    index_path: str,
+    new_vectors: DataFrame,
+    layout_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Catch a serving layout up after ONE :func:`ivf_upsert` that may
+    REPLACE existing ids — the case :func:`append_ivf_layout` refuses
+    (an append cannot retract a replaced id's stale row). Instead of the
+    full :func:`write_ivf_layout` rewrite, this rewrites ONLY the
+    affected ``cid=`` partitions:
+
+    - every cell a replaced id USED to live in (per the pinned version's
+      postings — the stale row to retract), and
+    - every cell a batch id NOW lives in (per the latest postings).
+
+    Each affected partition's content is rebuilt as (surviving existing
+    rows) ∪ (batch rows with their committed cells) and swapped in with
+    Spark's dynamic partition overwrite, so untouched cells are never
+    read or written — per-upsert cost is O(touched cells), not
+    O(corpus). A cell emptied by the rewrite (its only vector moved
+    away) is deleted explicitly: dynamic overwrite only replaces
+    partitions PRESENT in the written frame, so an empty result would
+    otherwise leave the stale directory standing. Same one-version-
+    behind pin contract as :func:`append_ivf_layout`; advances the pin
+    and returns it.
+    """
+    versions = _committed_versions(index_path)
+    if not versions:
+        raise ValueError(f"no committed index at {index_path}; run ivf_build first")
+    latest = versions[-1]
+    pin_file = os.path.join(layout_path, "_STORE_VERSION")
+    if not os.path.exists(pin_file):
+        raise ValueError(
+            f"{layout_path} has no _STORE_VERSION pin; build it with "
+            "write_ivf_layout before upserting"
+        )
+    with open(pin_file) as f:
+        pinned = int(f.read())
+    if pinned != latest - 1:
+        raise ValueError(
+            f"layout pin is {pinned} but the store is at {latest}; upsert "
+            "catches up exactly one store upsert — apply batches in order, "
+            "or re-run write_ivf_layout"
+        )
+    batch = new_vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    _, postings = read_ann_index(spark, index_path)
+    prev_dir = os.path.join(index_path, f"v={pinned}", "postings")
+    prev = spark.read.schema(POSTINGS_SCHEMA).parquet(prev_dir)
+    batch_ids = batch.select("vec_id")
+    # affected = old cells of replaced ids ∪ new cells of the whole batch;
+    # both sides are |batch|-bounded joins against 24-byte posting rows
+    old_cells = prev.join(batch_ids, "vec_id").select("cid")
+    new_cells = postings.join(batch_ids, "vec_id").select("cid")
+    affected = sorted(
+        r["cid"] for r in old_cells.unionByName(new_cells).distinct().collect()
+    )
+    if not affected:
+        raise ValueError("batch assigns to no committed cell; run ivf_upsert first")
+    # rebuild exactly the affected partitions: survivors (existing layout
+    # rows in those cells, minus the batch's ids) plus the batch at its
+    # committed cells. localCheckpoint pins the survivors BEFORE the
+    # overwrite touches the directories they were read from.
+    existing = (
+        spark.read.parquet(layout_path)
+        .filter(F.col("cid").isin([int(c) for c in affected]))
+        .join(batch_ids, "vec_id", "left_anti")
+        .select("vec_id", "embedding", "cid")
+        .localCheckpoint(eager=True)
+    )
+    fresh = batch.join(postings.select("vec_id", "cid"), "vec_id").select(
+        "vec_id", "embedding", "cid"
+    )
+    content = existing.unionByName(fresh).localCheckpoint(eager=True)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old_mode = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        content.write.mode("overwrite").partitionBy("cid").parquet(layout_path)
+    finally:
+        spark.conf.set(mode_key, old_mode)
+    present = {r["cid"] for r in content.select("cid").distinct().collect()}
+    for cid in set(affected) - present:
+        import shutil
+
+        shutil.rmtree(os.path.join(layout_path, f"cid={int(cid)}"), ignore_errors=True)
     tmp = pin_file + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(latest))

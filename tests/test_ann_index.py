@@ -548,3 +548,123 @@ def test_layout_append_three_cycles_stays_rewrite_equivalent(spark, emb, tmp_pat
         assert {tuple(r) for r in got.collect()} == {
             tuple(r) for r in want.collect()
         }
+
+
+def test_layout_upsert_replaces_in_place(spark, emb, tmp_path):
+    """r9 (VERDICT item 5): a REPLACE-upsert catches the serving layout
+    up through upsert_ivf_layout — only the affected cid= partitions are
+    rewritten, no full write_ivf_layout — and the layout then serves
+    top-k identical to the semi-join ivf_query on the post-replace
+    corpus, with the replaced id's stale row really retracted."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        ivf_query,
+        ivf_query_layout,
+        read_ann_index,
+        upsert_ivf_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    build = emb.filter(F.col("vec_id") < 100)
+    ivf_build(spark, path, build, k=4)
+    write_ivf_layout(spark, path, build, layout)
+
+    # vec 5 gets vec 150's embedding (a replace that can change its cell);
+    # vecs 150-169 are brand new — one upsert mixing both cases
+    moved = emb.filter(F.col("vec_id") == 150).select(
+        F.lit(5).cast("long").alias("vec_id"), "embedding"
+    )
+    new = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 170)).select(
+        "vec_id", "embedding"
+    )
+    batch = moved.unionByName(new)
+    ivf_upsert(spark, path, batch)
+    assert upsert_ivf_layout(spark, path, batch, layout) == 1
+
+    corpus = (
+        build.select("vec_id", "embedding")
+        .filter(F.col("vec_id") != 5)
+        .unionByName(batch)
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    semi = ivf_query(spark, path, queries, corpus, k=5, nprobe=4)
+    laid = ivf_query_layout(spark, path, layout, queries, k=5, nprobe=4)
+    assert {tuple(r) for r in laid.collect()} == {tuple(r) for r in semi.collect()}
+
+    # exactly one row for the replaced id, in its NEW committed cell
+    row5 = spark.read.parquet(layout).filter(F.col("vec_id") == 5).collect()
+    assert len(row5) == 1
+    _, postings = read_ann_index(spark, path)
+    cid5 = postings.filter(F.col("vec_id") == 5).collect()[0]["cid"]
+    assert row5[0]["cid"] == cid5
+
+
+def test_layout_upsert_deletes_emptied_cell(spark, tmp_path):
+    """Dynamic partition overwrite only replaces partitions PRESENT in
+    the written frame — a cell whose only vector moved away must be
+    deleted explicitly, or its stale directory would keep serving the
+    old row. Crafted store: cell B holds exactly one vector, which the
+    replace moves into cell A."""
+    import os
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        ivf_query,
+        ivf_query_layout,
+        upsert_ivf_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    pts = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.5, 0.0]),
+            (3, [0.0, 0.5]),
+            (9, [10.0, 10.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_build(spark, path, pts, k=2, iterations=2)
+    write_ivf_layout(spark, path, pts, layout)
+    cells_before = {d for d in os.listdir(layout) if d.startswith("cid=")}
+    assert len(cells_before) == 2
+
+    moved = spark.createDataFrame(
+        [(9, [0.25, 0.25])], "vec_id long, embedding array<double>"
+    )
+    ivf_upsert(spark, path, moved)
+    upsert_ivf_layout(spark, path, moved, layout)
+    cells_after = {d for d in os.listdir(layout) if d.startswith("cid=")}
+    assert len(cells_after) == 1  # the emptied cell directory is gone
+
+    corpus = pts.filter(F.col("vec_id") != 9).unionByName(moved)
+    queries = spark.createDataFrame(
+        [(100, [9.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    semi = ivf_query(spark, path, queries, corpus, k=4, nprobe=2)
+    laid = ivf_query_layout(spark, path, layout, queries, k=4, nprobe=2)
+    assert {tuple(r) for r in laid.collect()} == {tuple(r) for r in semi.collect()}
+    # and nothing anywhere still claims the old location for vec 9
+    assert spark.read.parquet(layout).filter(F.col("vec_id") == 9).count() == 1
+
+
+def test_layout_upsert_enforces_pin_order(spark, emb, tmp_path):
+    """Same one-version-behind contract as append_ivf_layout."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        upsert_ivf_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    build = emb.filter(F.col("vec_id") < 60)
+    ivf_build(spark, path, build, k=4)
+    write_ivf_layout(spark, path, build, layout)
+    b1 = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80))
+    b2 = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 90))
+    ivf_upsert(spark, path, b1)
+    ivf_upsert(spark, path, b2)  # layout now two behind
+    with pytest.raises(ValueError, match="exactly one store upsert"):
+        upsert_ivf_layout(spark, path, b2, layout)
