@@ -435,3 +435,114 @@ def test_scan_or_push_scan_branch_handles_cardinality(
     assert {tuple(r) for r in chosen.collect()} == {
         tuple(r) for r in scanned.collect()
     }
+
+
+def test_scan_or_push_date_histogram_chooser_parity(
+    spark, sf_dir, fake_es, tmp_path
+):
+    """The date_histogram chooser (r9, VERDICT item 6): day buckets over
+    the events index span few months — the month probe bounds the bucket
+    count well under the ratio, so the planner PUSHES (scan must not
+    run); an hour grouping over a tiny doc count crosses the ratio and
+    runs the provided scan with the SAME schema; no scan ⇒ loud error.
+    Both branches return identical buckets."""
+    ev = _seed_events(spark, sf_dir, fake_es, tmp_path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+        scan_or_push_date_histogram,
+    )
+
+    pushed = scan_or_push_date_histogram(
+        spark, fake_es, "agg_events", field="ts", calendar_interval="day",
+        metrics={"total_value": ("sum", "value")},
+        scan=lambda: (_ for _ in ()).throw(AssertionError("scan must not run")),
+    )
+    want = ev.groupBy(F.substring("ts", 1, 10).alias("bucket")).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("value").cast("double").alias("total_value"),
+    )
+    assert {tuple(r) for r in pushed.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+    # a 3-doc index: the hour upper bound (31*24 buckets/month) exceeds
+    # ratio*3, so the chooser scans — same schema, same buckets
+    tiny = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 2.0), (2, "2024-01-01 11:30:00", 3.0),
+         (3, "2024-01-02 10:15:00", 5.0)],
+        "event_id long, ts string, value double",
+    )
+    out = str(tmp_path / "bulk_tiny")
+    es_sink.write_bulk_files(tiny.coalesce(1), out, "tiny_events", id_col="event_id")
+    es_sink.replay_bulk_files(out, fake_es)
+    chosen = scan_or_push_date_histogram(
+        spark, fake_es, "tiny_events", field="ts", calendar_interval="hour",
+        metrics={"total_value": ("sum", "value")},
+        scan=lambda: tiny,
+    )
+    assert chosen.columns == ["bucket", "doc_count", "total_value"]
+    want_tiny = tiny.groupBy(F.substring("ts", 1, 13).alias("bucket")).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("value").cast("double").alias("total_value"),
+    )
+    assert {tuple(r) for r in chosen.collect()} == {
+        tuple(r) for r in want_tiny.collect()
+    }
+    with pytest.raises(ValueError, match="scan path wins"):
+        scan_or_push_date_histogram(
+            spark, fake_es, "tiny_events", field="ts", calendar_interval="hour"
+        )
+    with pytest.raises(ValueError, match="calendar_interval"):
+        scan_or_push_date_histogram(
+            spark, fake_es, "tiny_events", field="ts", calendar_interval="week"
+        )
+
+
+def test_scan_or_push_range_chooser_parity(spark, sf_dir, fake_es, tmp_path):
+    """The range chooser (r9, VERDICT item 6): a 3-band facet over
+    hundreds of docs pushes (scan must not run); banding a 2-doc corpus
+    into 3 ranges crosses the ratio and runs the scan branch, whose
+    left-join-from-the-range-side keeps EMPTY and OVERLAPPING ranges —
+    the two ES behaviors a naive groupBy would drop."""
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+        scan_or_push_range,
+    )
+
+    ranges = [{"to": 200.0}, {"from": 200.0, "to": 600.0}, {"from": 600.0}]
+    pushed = scan_or_push_range(
+        spark, fake_es, "agg_docs", field="n_chars", ranges=ranges,
+        metrics={"avg_chars": ("avg", "n_chars")},
+        scan=lambda: (_ for _ in ()).throw(AssertionError("scan must not run")),
+    )
+    scanned = scan_or_push_range(
+        spark, fake_es, "agg_docs", field="n_chars", ranges=ranges,
+        metrics={"avg_chars": ("avg", "n_chars")},
+        scan=lambda: docs, push_cardinality_ratio=0.0,  # force the scan branch
+    )
+    assert {tuple(r) for r in pushed.collect()} == {
+        tuple(r) for r in scanned.collect()
+    }
+
+    # 2-doc corpus, 3 ranges incl. an empty one and an overlap: the scan
+    # branch (forced by the ratio) matches the pushed truth exactly
+    two = spark.createDataFrame(
+        [(1, 100.0), (2, 500.0)], "doc_id long, n_chars double"
+    )
+    out = str(tmp_path / "bulk_two")
+    es_sink.write_bulk_files(two.coalesce(1), out, "two_docs", id_col="doc_id")
+    es_sink.replay_bulk_files(out, fake_es)
+    odd = [{"to": 50.0}, {"from": 0.0, "to": 1000.0}, {"from": 400.0}]
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import es_range_agg
+
+    truth = es_range_agg(spark, fake_es, "two_docs", field="n_chars", ranges=odd)
+    chosen = scan_or_push_range(
+        spark, fake_es, "two_docs", field="n_chars", ranges=odd,
+        scan=lambda: two,
+    )
+    assert {tuple(r) for r in chosen.collect()} == {
+        tuple(r) for r in truth.collect()
+    }
+    with pytest.raises(ValueError, match="scan path wins"):
+        scan_or_push_range(
+            spark, fake_es, "two_docs", field="n_chars", ranges=odd
+        )
