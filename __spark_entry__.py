@@ -38,30 +38,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # round in dict order, so _ordered() emits (1) queries never yet driver-
 # checked, (2) queries first registered this round, (3) already-driver-
 # verified names ordered STALEST FIRST (by the round whose
-# CORRECTNESS_r{N}.json last proved them green) — with all 190 previously
-# registered queries cumulatively driver-verified (r1–r7), the r8 budget
-# takes the 18 new names first and then deliberately re-verifies the
-# least-recently-checked (round-3-vintage) names to catch regressions.
+# CORRECTNESS_r{N}.json last proved them green) — with all 208 registered
+# queries cumulatively driver-verified (r1-r8, zero failures), the r9 budget
+# takes any new names first and then re-verifies the least-recently-checked
+# band (the round-3-vintage leftovers q92-q99 and the round-4 block — the
+# oldest green proofs on the board, as VERDICT r8 item 8 prescribes).
 # ALL of (1) and (2) are locally green against the same DuckDB oracles at the
 # driver's sf0.01 (scripts/compare_oracle.py); the remainder keeps regression
 # coverage via tests/test_queries.py. Round maintenance: after each
 # CORRECTNESS_r{N}.json, record its green names as last-verified in round N
 # and empty the new-this-round set.
 
-#: Queries first registered in round 8 — ordered first (never driver-checked,
-#: newest). All are locally oracle-green at sf0.01 AND sf0.001
+#: Queries first registered in round 9 — ordered first (never driver-checked,
+#: newest); locally oracle-green at sf0.01 AND sf0.001 before registration
 #: (scripts/compare_oracle.py).
-_NEW_IN_R8: set[str] = {
-    "q193_contamination_fraction", "q194_dedup_pareto",
-    "q195_source_dup_matrix", "q196_prefix_template_groups",
-    "q197_embedding_dim_clip", "q198_packing_boundary_curve",
-    "q199_gram_df_spectrum", "q200_label_silhouette",
-    "q201_basket_lift", "q202_supply_concentration",
-    "q203_tpch_q5_local_volume", "q204_large_order_customers",
-    "q205_lang_source_chi2", "q206_langid_kappa",
-    "q207_sorted_neighborhood", "q208_benford_price_audit",
-    "q209_embedding_cov_probe", "q210_budget_selection",
-}
+_NEW_IN_R9: set[str] = set()
 
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {
@@ -83,18 +74,18 @@ _LAST_VERIFIED: dict[str, int] = {
     "q43_knn_pq": 5, "q44_label_centroids": 5, "q45_ann_recall": 5,
     "q48_pagerank": 5, "q50_token_stats": 5,
     # round 3
-    "q46_cdc_chunk_dedup": 3, "q47_flatten_families": 3, "q56_tfidf": 3,
-    "q61_multimodal_decode": 3, "q62_frame_sample": 3, "q63_pipeline_e2e": 3,
-    "q64_sessionize": 3, "q65_outlink_domains": 3, "q66_audio_chunks": 3,
-    "q68_ntile_deciles": 3, "q69_group_concat": 3, "q70_flatten_events": 3,
-    "q71_winnowing_fingerprints": 3, "q72_bpe_token_stats": 3,
-    "q73_zorder_key": 3, "q74_binned_quantile_sketch": 3,
-    "q75_top_tokens_per_lang": 3, "q76_variant_json": 3,
-    "q77_latest_by_key": 3, "q78_mode_per_group": 3, "q79_histogram": 3,
-    "q80_math_funcs": 3, "q81_null_handling": 3, "q82_string_more": 3,
-    "q83_date_more": 3, "q84_scalar_subquery": 3, "q85_in_subquery": 3,
-    "q86_literal_dim_join": 3, "q88_posexplode": 3, "q89_full_outer_join": 3,
-    "q90_map_functions": 3, "q91_pivot": 3, "q92_unpivot": 3,
+    "q46_cdc_chunk_dedup": 8, "q47_flatten_families": 8, "q56_tfidf": 8,
+    "q61_multimodal_decode": 8, "q62_frame_sample": 8, "q63_pipeline_e2e": 8,
+    "q64_sessionize": 8, "q65_outlink_domains": 8, "q66_audio_chunks": 8,
+    "q68_ntile_deciles": 8, "q69_group_concat": 8, "q70_flatten_events": 8,
+    "q71_winnowing_fingerprints": 8, "q72_bpe_token_stats": 8,
+    "q73_zorder_key": 8, "q74_binned_quantile_sketch": 8,
+    "q75_top_tokens_per_lang": 8, "q76_variant_json": 8,
+    "q77_latest_by_key": 8, "q78_mode_per_group": 8, "q79_histogram": 8,
+    "q80_math_funcs": 8, "q81_null_handling": 8, "q82_string_more": 8,
+    "q83_date_more": 8, "q84_scalar_subquery": 8, "q85_in_subquery": 8,
+    "q86_literal_dim_join": 8, "q88_posexplode": 8, "q89_full_outer_join": 8,
+    "q90_map_functions": 8, "q91_pivot": 8, "q92_unpivot": 3,
     "q93_stats_agg": 3, "q94_window_distribution": 3, "q95_sessionize": 3,
     "q96_regexp_extract_all": 3, "q97_rolling_time_window": 3,
     "q98_nth_value": 3, "q99_bool_bit_agg": 3,
@@ -153,13 +144,24 @@ _LAST_VERIFIED: dict[str, int] = {
     "q188_embedding_qa": 7, "q189_label_margin_audit": 7,
     "q190_split_leakage": 7, "q191_rare_ngram_loss": 7,
     "q192_dedup_signal_agreement": 7,
+    # round 8 (CORRECTNESS_r08: 50/50 green — the 18 r8-new plus the 32
+    # stalest re-verifications, whose entries above are bumped to 8)
+    "q193_contamination_fraction": 8, "q194_dedup_pareto": 8,
+    "q195_source_dup_matrix": 8, "q196_prefix_template_groups": 8,
+    "q197_embedding_dim_clip": 8, "q198_packing_boundary_curve": 8,
+    "q199_gram_df_spectrum": 8, "q200_label_silhouette": 8,
+    "q201_basket_lift": 8, "q202_supply_concentration": 8,
+    "q203_tpch_q5_local_volume": 8, "q204_large_order_customers": 8,
+    "q205_lang_source_chi2": 8, "q206_langid_kappa": 8,
+    "q207_sorted_neighborhood": 8, "q208_benford_price_audit": 8,
+    "q209_embedding_cov_probe": 8, "q210_budget_selection": 8,
 }
 
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
     never_checked = [
-        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R8
+        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R9
     ]
     verified = sorted(
         (n for n in names if n in _LAST_VERIFIED),
@@ -167,7 +169,7 @@ def _ordered() -> list[str]:
     )
     return (
         never_checked
-        + [n for n in names if n in _NEW_IN_R8]
+        + [n for n in names if n in _NEW_IN_R9]
         + verified
     )
 
