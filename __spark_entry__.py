@@ -52,7 +52,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Queries first registered in round 9 — ordered first (never driver-checked,
 #: newest); locally oracle-green at sf0.01 AND sf0.001 before registration
 #: (scripts/compare_oracle.py).
-_NEW_IN_R9: set[str] = set()
+_NEW_IN_R9: set[str] = {
+    "q211_cheapest_supplier", "q212_part_value_concentration",
+    "q213_order_count_distribution", "q214_idle_customer_audit",
+    "q215_readability_scores", "q216_fingerprint_bucket_health",
+    "q217_scorer_rank_correlation", "q218_event_burstiness",
+    "q219_price_band_match", "q220_nation_trade_volume",
+    "q221_lexical_richness", "q222_user_value_gini",
+}
 
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {

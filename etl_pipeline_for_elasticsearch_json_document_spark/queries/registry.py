@@ -52,6 +52,7 @@ def all_queries() -> dict[str, Query]:
         r6,
         r7,
         r8,
+        r9,
         relational,
     )
 

@@ -159,6 +159,14 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "nested-loop-join": "1-row order-total broadcast onto the 9-digit "
         "relation"
     },
+    "q212_part_value_concentration": {
+        "nested-loop-join": "1-row total/part-count aggregate crossJoined "
+        "back onto the per-part relation (the Q11 scalar threshold)"
+    },
+    "q214_idle_customer_audit": {
+        "nested-loop-join": "1-row average-balance aggregate crossJoined "
+        "onto customer (the Q22 scalar threshold)"
+    },
     # fact-scaled-broadcast: contract-bounded build sides (see constants)
     "q41_knn_lsh": {"fact-scaled-broadcast": PROBE_SET},
     "q43_knn_pq": {
