@@ -1,0 +1,226 @@
+"""Shared versioned DELTA store: the LSM-flavored commit protocol behind
+the streaming maintenance family (near-dup LSH bucket index, content-
+fingerprint index).
+
+The problem it solves: a continuously-fed index that rewrites its full
+relation per version pays a commit cost that grows with INDEX size, not
+batch size (VERDICT r8, missing #1 — found on the LSH store, equally
+true of the fingerprint store). The store here makes per-batch cost
+batch-bounded on both ends:
+
+- **Layout** — ``path/v=N/p=X/*.parquet`` where ``p = pmod(xxhash64(key
+  cols), P)`` and ``P`` is fixed per store in ``path/_META`` (size it
+  like bucket counts — live-index bytes / ~128 MB — and re-shard at a
+  compact). ``v=N/_COMMITTED`` is written LAST: a version is atomic-or-
+  absent. A snapshot version additionally carries ``_SNAPSHOT``, written
+  BEFORE ``_COMMITTED`` so no reader ever sees a committed version of
+  ambiguous kind.
+- **Commit** — each version is a DELTA holding only the batch's own
+  rows: O(|batch|) written, independent of index size.
+- **Read** — the index AS OF version V is a RESOLUTION (caller-supplied,
+  e.g. min-per-bucket for LSH anchors, min-first-id per fingerprint)
+  over the latest snapshot ≤ V plus the deltas after it. Readers that
+  probe specific keys prune the union to the hash partitions those keys
+  touch (``touched_partitions`` + ``read_union(touched_p=...)``) — a
+  small batch reads a small fraction of the index, directory-pruned.
+- **Compact** — :func:`compact` folds the live tail into one new
+  snapshot version: O(live index), scheduled maintenance, bounds read
+  amplification and unlocks GC.
+- **GC** — :func:`prune` deletes only versions no retained resolution
+  can reference: strictly older than the latest snapshot at-or-before
+  the oldest retained version. Deltas newer than that snapshot are
+  load-bearing and kept regardless of age — compaction cadence bounds
+  retained disk, exactly like any LSM store.
+
+The resolution function MUST be idempotent over duplicated rows
+(min/max/distinct-style): the snapshot marker lands between the data
+write and the commit marker, and at-least-once replays can briefly
+expose a snapshot's rows alongside the deltas it folded — an
+idempotent resolve makes that overlap harmless by construction.
+
+Local-FS note: directory listing stands in for the manifest a real
+object store would keep; the swap is mechanical (list → manifest read)
+and changes no protocol step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Default partition count for new stores — sane directory counts at
+#: bench/test scale; production stores size it explicitly.
+DEFAULT_PARTITIONS = 64
+
+_META = "_META"
+_COMMITTED = "_COMMITTED"
+_SNAPSHOT = "_SNAPSHOT"
+
+
+def load_or_init_meta(path: str, n_partitions: int) -> dict:
+    """The store's immutable metadata ({'n_partitions': P}); created on
+    first touch, afterwards the PERSISTED value always wins — writers
+    and readers of one store must agree on the partitioning function."""
+    mp = os.path.join(path, _META)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            return json.load(f)
+    os.makedirs(path, exist_ok=True)
+    meta = {"n_partitions": int(n_partitions)}
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, mp)
+    return meta
+
+
+def committed_versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("v=") and os.path.exists(
+            os.path.join(path, name, _COMMITTED)
+        ):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def is_snapshot(path: str, version: int) -> bool:
+    return os.path.exists(os.path.join(path, f"v={version}", _SNAPSHOT))
+
+
+def source_versions(path: str, version: int) -> list[int]:
+    """The minimal version set whose union resolves the store AS OF
+    ``version``: the latest snapshot ≤ version (if any) plus every delta
+    after it. Raises if ``version`` itself is not committed (GC'd or
+    never landed)."""
+    committed = [v for v in committed_versions(path) if v <= version]
+    if version >= 0 and version not in committed:
+        raise ValueError(
+            f"version {version} is not committed at {path} "
+            f"(committed: {committed_versions(path)}) — it may have been "
+            "GC'd past its retention (prune keep_last)"
+        )
+    snaps = [v for v in committed if is_snapshot(path, v)]
+    base = max(snaps) if snaps else None
+    return [v for v in committed if base is None or v >= base]
+
+
+def partition_expr(key_cols: list[str], n_partitions: int) -> Column:
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_partitions)).cast(
+        "int"
+    )
+
+
+def touched_partitions(df: DataFrame, key_cols: list[str], n_partitions: int) -> list[int]:
+    """The hash partitions ``df``'s keys fall into — a driver-bounded
+    collect (≤ P ints). Rows in other partitions cannot share a key with
+    ``df``, so pruning reads to this set is exact."""
+    return sorted(
+        r["p"]
+        for r in df.select(partition_expr(key_cols, n_partitions).alias("p"))
+        .distinct()
+        .collect()
+    )
+
+
+def read_union(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    schema: str,
+    touched_p: list[int] | None = None,
+) -> DataFrame:
+    """The UNRESOLVED snapshot+delta union as of ``version`` (the caller
+    applies its resolution); empty with the right schema for version <
+    0. ``touched_p`` prunes to those hash partitions."""
+    if version < 0:
+        return spark.createDataFrame([], schema)
+    paths: list[str] = []
+    for v in source_versions(path, version):
+        vdir = os.path.join(path, f"v={v}")
+        for d in os.listdir(vdir):
+            if not d.startswith("p="):
+                continue
+            if touched_p is not None and int(d[2:]) not in touched_p:
+                continue
+            paths.append(os.path.join(vdir, d))
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def write_version(
+    df: DataFrame,
+    path: str,
+    version: int,
+    key_cols: list[str],
+    n_partitions: int,
+    snapshot: bool = False,
+) -> None:
+    """Commit ``df`` as ``v=version``: one repartition on the store hash
+    so each ``p=`` dir is a single file, ``_SNAPSHOT`` (if any) BEFORE
+    ``_COMMITTED``."""
+    vdir = os.path.join(path, f"v={version}")
+    (
+        df.withColumn("p", partition_expr(key_cols, n_partitions))
+        .repartition(min(32, n_partitions), "p")
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(vdir)
+    )
+    if snapshot:
+        with open(os.path.join(vdir, _SNAPSHOT), "w"):
+            pass
+    with open(os.path.join(vdir, _COMMITTED), "w"):
+        pass
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    key_cols: list[str],
+    resolve: Callable[[DataFrame], DataFrame],
+) -> int:
+    """Fold the latest snapshot + delta tail into ONE new snapshot
+    version (returned). O(live index) by design — scheduled maintenance.
+    Single writer: run between stream drains."""
+    versions = committed_versions(path)
+    if not versions:
+        raise ValueError(f"no committed versions at {path}; nothing to compact")
+    meta = load_or_init_meta(path, DEFAULT_PARTITIONS)
+    latest = versions[-1]
+    resolved = resolve(
+        read_union(spark, path, latest, schema)
+    ).localCheckpoint(eager=True)
+    next_v = latest + 1
+    write_version(
+        resolved, path, next_v, key_cols, meta["n_partitions"], snapshot=True
+    )
+    return next_v
+
+
+def prune(path: str, keep_last: int = 2) -> list[int]:
+    """GC: delete versions no retained resolution references — strictly
+    older than the latest snapshot at-or-before the oldest of the last
+    ``keep_last`` versions. Returns the deleted version numbers; [] when
+    no snapshot floor exists yet (run :func:`compact` first)."""
+    versions = committed_versions(path)
+    if len(versions) <= keep_last:
+        return []
+    oldest_retained = versions[-keep_last]
+    snaps = [v for v in versions if v <= oldest_retained and is_snapshot(path, v)]
+    if not snaps:
+        return []
+    floor = max(snaps)
+    deleted = [v for v in versions if v < floor]
+    for v in deleted:
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return deleted

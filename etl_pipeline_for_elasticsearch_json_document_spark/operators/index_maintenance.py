@@ -5,18 +5,28 @@ re-derivable; a real continuously-fed pipeline instead MAINTAINS the
 fingerprint set as its own versioned table and updates it per batch —
 this module is that index.
 
-Layout: ``index_path/v=N/`` parquet dirs, one per committed version.
-A version counts only when Spark's ``_SUCCESS`` marker landed (the
-atomic-commit signal of the parquet writer), so a crashed update leaves
-a dangling uncommitted dir that readers skip and the next update
-overwrites — the same staged-commit discipline as sinks/compact.py.
+Store (r9 revision — delta commits on the shared
+:mod:`operators.delta_store` protocol, the same rework the LSH bucket
+index got): ``index_path/v=N/p=X/`` parquet of ``(fp, first_doc_id)``,
+hash-partitioned on ``pmod(xxhash64(fp), P)``. Each version is a DELTA
+holding only the batch's genuinely-new fingerprints — O(|batch|)
+written per commit regardless of index size (through r8 every version
+rewrote the full relation; at 100 TB that rewrite, not the batch, was
+the cost). Deltas are DISJOINT by protocol (a fingerprint ingests only
+when absent from its base version), and resolution takes
+``min(first_doc_id)`` per fp — a no-op under the invariant that also
+makes replay/compaction row overlaps harmless, exactly the
+idempotent-resolve contract delta_store documents. Classification
+prunes its index read to the hash partitions the batch's fingerprints
+touch, so the read side is batch-bounded too. :func:`compact_fingerprint_index`
+folds the tail into a snapshot; :func:`prune_fingerprint_versions` GCs
+behind the snapshot floor (the generic :func:`prune_versions` below is
+for the FULL-snapshot-per-version stores — rollups, the ANN postings —
+and would corrupt a delta store by deleting load-bearing deltas).
 
 Scale: the index is (16-byte fp, first_doc_id) — orders of magnitude
-smaller than the corpus; the update is one broadcast-or-shuffle left
-join of the batch against it plus a distinct union of the genuinely new
-fingerprints. Each version rewrites the full index; at 100 TB swap the
-rewrite for partitioned appends bucketed by fp prefix (same keys, same
-classification plan).
+smaller than the corpus; the update is one pruned left join of the
+batch against it plus an O(|batch|) delta commit.
 """
 
 from __future__ import annotations
@@ -26,10 +36,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_for_elasticsearch_json_document_spark.operators import delta_store
+
 INDEX_SCHEMA = "fp string, first_doc_id long"
 
+_KEYS = ["fp"]
 
-def _committed_versions(index_path: str, marker: str = "_SUCCESS") -> list[int]:
+#: shared delta-store default; production stores size P explicitly
+DEFAULT_PARTITIONS = delta_store.DEFAULT_PARTITIONS
+
+
+def _committed_versions(index_path: str, marker: str = "_COMMITTED") -> list[int]:
     if not os.path.isdir(index_path):
         return []
     out = []
@@ -42,9 +59,13 @@ def _committed_versions(index_path: str, marker: str = "_SUCCESS") -> list[int]:
 
 
 def prune_versions(path: str, keep_last: int = 2, marker: str = "_SUCCESS") -> list[int]:
-    """Garbage-collect old committed versions of a ``v=N/`` store (this
-    index, a rollup, or the ANN store — same layout; the ANN store's
-    commit marker is ``_COMMITTED``), keeping the newest ``keep_last``.
+    """Garbage-collect old committed versions of a FULL-SNAPSHOT ``v=N/``
+    store (a rollup, or the ANN store with ``marker='_COMMITTED'``),
+    keeping the newest ``keep_last``. Every version of such a store is
+    self-contained, so oldest-first deletion is safe. Do NOT point this
+    at a delta store (this fingerprint index, the LSH bucket index) —
+    their old versions are load-bearing for later resolutions; use
+    :func:`prune_fingerprint_versions` / ``lsh_ingest.prune_lsh_versions``.
 
     ``keep_last`` must be >= 2 for streams: a crash-replayed micro-batch
     re-reads its BASE version, which is one behind the latest. Dangling
@@ -62,36 +83,69 @@ def prune_versions(path: str, keep_last: int = 2, marker: str = "_SUCCESS") -> l
     return doomed
 
 
-def read_fingerprint_index(spark: SparkSession, index_path: str) -> DataFrame:
-    """The current committed index (empty with the right schema if none)."""
-    versions = _committed_versions(index_path)
-    if not versions:
-        return spark.createDataFrame([], INDEX_SCHEMA)
-    return spark.read.schema(INDEX_SCHEMA).parquet(
-        os.path.join(index_path, f"v={versions[-1]}")
+def _resolve(union: DataFrame) -> DataFrame:
+    """min(first_doc_id) per fp — a no-op under the disjoint-delta
+    invariant, and the idempotent resolve the protocol requires (replay
+    and compact-marker races can briefly duplicate rows)."""
+    return union.groupBy("fp").agg(F.min("first_doc_id").alias("first_doc_id"))
+
+
+def read_fingerprint_index(
+    spark: SparkSession,
+    index_path: str,
+    version: int | None = None,
+    touched_p: list[int] | None = None,
+) -> DataFrame:
+    """The committed index resolved AS OF ``version`` (latest by
+    default; empty with the right schema if none). ``touched_p`` prunes
+    the union read to those hash partitions — exact for key-probe reads
+    (rows elsewhere cannot share an fp with the probes)."""
+    versions = delta_store.committed_versions(index_path)
+    if version is None:
+        if not versions:
+            return spark.createDataFrame([], INDEX_SCHEMA)
+        version = versions[-1]
+    return _resolve(
+        delta_store.read_union(spark, index_path, version, INDEX_SCHEMA, touched_p)
     )
 
 
-def ingest_with_index(
+def compact_fingerprint_index(spark: SparkSession, index_path: str) -> int:
+    """Fold the snapshot + delta tail into ONE new snapshot version
+    (returned) — bounds per-batch read amplification and unlocks GC.
+    Single writer: run between stream drains."""
+    return delta_store.compact(spark, index_path, INDEX_SCHEMA, _KEYS, _resolve)
+
+
+def prune_fingerprint_versions(index_path: str, keep_last: int = 2) -> list[int]:
+    """GC for THIS delta store: delete only versions older than the
+    snapshot floor the oldest retained version resolves through (see
+    :func:`operators.delta_store.prune`); [] until a compact creates
+    that floor. Keep ``keep_last >= 2`` for stream replays."""
+    return delta_store.prune(index_path, keep_last)
+
+
+def _classify(
     spark: SparkSession,
     index_path: str,
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    base_v: int,
+    id_col: str,
+    text_col: str,
+    n_partitions: int,
 ) -> DataFrame:
-    """Classify ``docs`` against the current index, then commit a new
-    index version that includes the batch's genuinely-new fingerprints.
-
-    Returns the classification (materialized BEFORE the index advances,
-    so a failed write never half-applies): columns ``doc_id``, ``fp``,
-    ``status`` ∈ {'duplicate_corpus', 'duplicate_batch', 'ingested'} —
-    corpus match outranks within-batch (q158's precedence), first
-    occurrence (min id) wins within a batch.
-    """
-    idx = read_fingerprint_index(spark, index_path)
+    """Shared batch/stream classification body: fingerprint the batch,
+    prune the index read to the batch's hash partitions, classify with
+    q158's precedence (corpus match > within-batch repeat > ingested).
+    Returns the classification MATERIALIZED (localCheckpoint) so the
+    caller can advance the store without re-running it."""
+    meta = delta_store.load_or_init_meta(index_path, n_partitions)
+    P = meta["n_partitions"]
     h = docs.select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
-    )
+    ).localCheckpoint(eager=True)  # one md5 pass feeds probe set + classify
+    touched = delta_store.touched_partitions(h, _KEYS, P)
+    idx = read_fingerprint_index(spark, index_path, version=base_v, touched_p=touched)
     first = h.groupBy("fp").agg(F.min("doc_id").alias("first_in_batch"))
     cls = (
         h.join(idx.withColumnRenamed("first_doc_id", "idx_first"), "fp", "left")
@@ -105,13 +159,42 @@ def ingest_with_index(
             .alias("status"),
         )
     )
-    result = cls.localCheckpoint(eager=True)  # pin the pre-update view
-    new_fps = (
-        result.filter(F.col("status") == "ingested")
-        .select("fp", F.col("doc_id").cast("long").alias("first_doc_id"))
+    return cls.localCheckpoint(eager=True)  # pin before the index moves
+
+
+def _commit_delta(result: DataFrame, index_path: str, next_v: int) -> None:
+    """Commit the batch's genuinely-new fingerprints as delta v=next_v."""
+    meta = delta_store.load_or_init_meta(index_path, DEFAULT_PARTITIONS)
+    new_fps = result.filter(F.col("status") == "ingested").select(
+        "fp", F.col("doc_id").cast("long").alias("first_doc_id")
     )
-    versions = _committed_versions(index_path)
-    next_v = (versions[-1] + 1) if versions else 0
-    merged = idx.unionByName(new_fps)
-    merged.write.mode("overwrite").parquet(os.path.join(index_path, f"v={next_v}"))
+    delta_store.write_version(
+        new_fps, index_path, next_v, _KEYS, meta["n_partitions"]
+    )
+
+
+def ingest_with_index(
+    spark: SparkSession,
+    index_path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int = DEFAULT_PARTITIONS,
+) -> DataFrame:
+    """Classify ``docs`` against the current index, then commit a delta
+    version holding the batch's genuinely-new fingerprints.
+
+    Returns the classification (materialized BEFORE the index advances,
+    so a failed write never half-applies): columns ``doc_id``, ``fp``,
+    ``status`` ∈ {'duplicate_corpus', 'duplicate_batch', 'ingested'} —
+    corpus match outranks within-batch (q158's precedence), first
+    occurrence (min id) wins within a batch. ``n_partitions`` applies
+    only when this call CREATES the store (the persisted _META wins).
+    """
+    versions = delta_store.committed_versions(index_path)
+    base_v = versions[-1] if versions else -1
+    result = _classify(
+        spark, index_path, docs, base_v, id_col, text_col, n_partitions
+    )
+    _commit_delta(result, index_path, base_v + 1)
     return result

@@ -3,21 +3,28 @@
 
 Each micro-batch is classified against the index as it stood BEFORE the
 batch and then advances the index by exactly one version — the streaming
-twin of q158's batch semantics, running forever.
+twin of q158's batch semantics, running forever. Since r9 the store is
+the shared DELTA protocol (:mod:`operators.delta_store`): each version
+commits only the batch's genuinely-new fingerprints (O(|batch|), never
+an index rewrite) and classification prunes its read to the hash
+partitions the batch's fingerprints touch — per-batch cost is bounded
+by the batch on both ends; ``compact_fingerprint_index`` /
+``prune_fingerprint_versions`` are the scheduled roll-up and GC.
 
 Exactly-once protocol (foreachBatch is at-least-once): a marker-first
 ledger under ``index_path/_ledger/`` pins, per (checkpoint-lineage,
 batch), the BASE index version the batch classifies against, before any
 index write happens. On replay the marker already exists, so the batch
-re-classifies against the SAME base version (old versions are retained —
-that is why the index is versioned rather than updated in place), skips
-the version commit if it already landed, and overwrites its own
-deterministic output dir. Every step is idempotent:
+re-classifies against the SAME base resolution (old versions are
+retained — that is why the index is versioned rather than updated in
+place), skips the version commit if it already landed, and overwrites
+its own deterministic output dir. Every step is idempotent:
 
 1. marker exists? read base_v : record base_v = latest committed version
    (atomic tmp+rename, so a torn write is invisible);
-2. classify the batch against ``v=base_v`` (empty index for base_v=-1);
-3. commit ``v=base_v+1`` unless it is already committed;
+2. classify the batch against the resolution of ``v<=base_v`` (empty
+   index for base_v=-1);
+3. commit delta ``v=base_v+1`` unless it is already committed;
 4. overwrite ``out_path/batch=<lineage>-<id>/`` with the classification.
 
 Crash between any two steps replays into the identical result. Markers
@@ -37,22 +44,15 @@ import os
 
 from pyspark.sql import DataFrame
 
+from etl_pipeline_for_elasticsearch_json_document_spark.operators import delta_store
 from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
-    INDEX_SCHEMA,
-    _committed_versions,
+    DEFAULT_PARTITIONS,
+    _classify,
+    _commit_delta,
 )
 from etl_pipeline_for_elasticsearch_json_document_spark.streaming.identity import (
     checkpoint_identity,
 )
-from pyspark.sql import functions as F
-
-
-def _read_version(spark, index_path: str, version: int) -> DataFrame:
-    if version < 0:
-        return spark.createDataFrame([], INDEX_SCHEMA)
-    return spark.read.schema(INDEX_SCHEMA).parquet(
-        os.path.join(index_path, f"v={version}")
-    )
 
 
 def _write_marker(path: str, base_v: int) -> None:
@@ -68,8 +68,11 @@ def _index_batch_processor(
     ckpt_id: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_partitions: int = DEFAULT_PARTITIONS,
 ):
-    """The per-batch body, exposed for direct replay testing."""
+    """The per-batch body, exposed for direct replay testing.
+    ``n_partitions`` applies only when this batch CREATES the store (the
+    persisted _META wins)."""
 
     ledger = os.path.join(index_path, "_ledger")
 
@@ -81,37 +84,16 @@ def _index_batch_processor(
             with open(marker) as f:
                 base_v = int(f.read())
         else:
-            versions = _committed_versions(index_path)
+            versions = delta_store.committed_versions(index_path)
             base_v = versions[-1] if versions else -1
             _write_marker(marker, base_v)
 
-        idx = _read_version(spark, index_path, base_v)
-        h = batch_df.select(
-            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
+        result = _classify(
+            spark, index_path, batch_df, base_v, id_col, text_col, n_partitions
         )
-        first = h.groupBy("fp").agg(F.min("doc_id").alias("first_in_batch"))
-        cls = (
-            h.join(idx.withColumnRenamed("first_doc_id", "idx_first"), "fp", "left")
-            .join(first, "fp")
-            .select(
-                "doc_id",
-                "fp",
-                F.when(F.col("idx_first").isNotNull(), "duplicate_corpus")
-                .when(F.col("doc_id") != F.col("first_in_batch"), "duplicate_batch")
-                .otherwise("ingested")
-                .alias("status"),
-            )
-        )
-        result = cls.localCheckpoint(eager=True)  # pin before the index moves
-
         next_v = base_v + 1
-        if next_v not in _committed_versions(index_path):
-            new_fps = result.filter(F.col("status") == "ingested").select(
-                "fp", F.col("doc_id").cast("long").alias("first_doc_id")
-            )
-            idx.unionByName(new_fps).write.mode("overwrite").parquet(
-                os.path.join(index_path, f"v={next_v}")
-            )
+        if next_v not in delta_store.committed_versions(index_path):
+            _commit_delta(result, index_path, next_v)
         # deterministic per-(lineage, batch) dir + overwrite = idempotent
         result.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")
@@ -128,13 +110,16 @@ def run_index_ingest_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     trigger_available_now: bool = True,
+    n_partitions: int = DEFAULT_PARTITIONS,
 ):
     """Attach the fingerprint-index ingest to a streaming DataFrame of
     documents. Returns the StreamingQuery (caller awaits termination)."""
     ckpt_id = checkpoint_identity(checkpoint_dir)
     writer = (
         stream.writeStream.foreachBatch(
-            _index_batch_processor(index_path, out_path, ckpt_id, id_col, text_col)
+            _index_batch_processor(
+                index_path, out_path, ckpt_id, id_col, text_col, n_partitions
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

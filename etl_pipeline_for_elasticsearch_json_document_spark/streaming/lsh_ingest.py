@@ -70,13 +70,12 @@ exact memory, this adds NEAR-duplicate memory at stream pace.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_for_elasticsearch_json_document_spark.operators import delta_store
 from etl_pipeline_for_elasticsearch_json_document_spark.operators.dedup import (
     lsh_band_buckets,
 )
@@ -89,69 +88,23 @@ from etl_pipeline_for_elasticsearch_json_document_spark.streaming.index_ingest i
 
 BUCKET_SCHEMA = "band int, bucket long, anchor_id long"
 
-#: Default partition count for new stores. At bench/test scale this keeps
-#: directory counts sane; a production store sizes it so live-index bytes
-#: / P ≈ one parquet split (128 MB) and re-shards at compact time.
-DEFAULT_PARTITIONS = 64
+#: see operators/delta_store.py — shared default; production stores size
+#: P so live-index bytes / P ≈ one parquet split and re-shard at compact.
+DEFAULT_PARTITIONS = delta_store.DEFAULT_PARTITIONS
 
-
-def _pexpr(n_partitions: int):
-    """The store's partitioning function — MUST be identical for writers
-    and readers of one store (it is persisted via _META, never passed
-    ad hoc)."""
-    return F.pmod(F.xxhash64(F.col("band"), F.col("bucket")), F.lit(n_partitions)).cast(
-        "int"
-    )
-
-
-def _meta_path(index_path: str) -> str:
-    return os.path.join(index_path, "_META")
-
-
-def _load_or_init_meta(index_path: str, n_partitions: int) -> dict:
-    mp = _meta_path(index_path)
-    if os.path.exists(mp):
-        with open(mp) as f:
-            return json.load(f)
-    os.makedirs(index_path, exist_ok=True)
-    meta = {"n_partitions": int(n_partitions)}
-    tmp = mp + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, mp)
-    return meta
+_KEYS = ["band", "bucket"]
 
 
 def _committed_versions(index_path: str) -> list[int]:
-    if not os.path.isdir(index_path):
-        return []
-    out = []
-    for name in os.listdir(index_path):
-        if name.startswith("v=") and os.path.exists(
-            os.path.join(index_path, name, "_COMMITTED")
-        ):
-            out.append(int(name[2:]))
-    return sorted(out)
+    return delta_store.committed_versions(index_path)
 
 
-def _is_snapshot(index_path: str, version: int) -> bool:
-    return os.path.exists(os.path.join(index_path, f"v={version}", "_SNAPSHOT"))
-
-
-def _source_versions(index_path: str, version: int) -> list[int]:
-    """The minimal version set whose union resolves the index AS OF
-    ``version``: the latest snapshot ≤ version (if any) plus every delta
-    after it. Raises if the base of that chain was GC'd."""
-    committed = [v for v in _committed_versions(index_path) if v <= version]
-    if version >= 0 and version not in committed:
-        raise ValueError(
-            f"version {version} is not committed at {index_path} "
-            f"(committed: {_committed_versions(index_path)}) — it may have "
-            "been GC'd past its retention (prune_lsh_versions keep_last)"
-        )
-    snaps = [v for v in committed if _is_snapshot(index_path, v)]
-    base = max(snaps) if snaps else None
-    return [v for v in committed if base is None or v >= base]
+def _resolve(union: DataFrame) -> DataFrame:
+    """Anchor resolution: min doc id per bucket over snapshot+deltas —
+    exactly the eagerly-merged relation (min is associative, commutative,
+    idempotent), and idempotent over duplicated rows as the delta-store
+    protocol requires."""
+    return union.groupBy("band", "bucket").agg(F.min("anchor_id").alias("anchor_id"))
 
 
 def _read_resolved(
@@ -161,90 +114,28 @@ def _read_resolved(
     touched_p: list[int] | None = None,
 ) -> DataFrame:
     """The index AS OF ``version``, resolved to ONE row per (band,
-    bucket): min(anchor_id) over the snapshot+delta union. With
-    ``touched_p`` the read prunes to those hash partitions — rows in
-    other partitions cannot share a (band, bucket) with the probe set,
-    so the resolution is exact on the pruned domain. Local-FS directory
-    listing stands in for the manifest a real object store would keep."""
-    if version < 0:
-        return spark.createDataFrame([], BUCKET_SCHEMA)
-    paths: list[str] = []
-    for v in _source_versions(index_path, version):
-        vdir = os.path.join(index_path, f"v={v}")
-        for d in os.listdir(vdir):
-            if not d.startswith("p="):
-                continue
-            if touched_p is not None and int(d[2:]) not in touched_p:
-                continue
-            paths.append(os.path.join(vdir, d))
-    if not paths:
-        return spark.createDataFrame([], BUCKET_SCHEMA)
-    union = spark.read.schema(BUCKET_SCHEMA).parquet(*paths)
-    return union.groupBy("band", "bucket").agg(F.min("anchor_id").alias("anchor_id"))
-
-
-def _write_version(
-    df: DataFrame, index_path: str, version: int, n_partitions: int, snapshot: bool
-) -> None:
-    """Commit ``df`` (band, bucket, anchor_id) as ``v=version``: one
-    ``repartition`` on the store hash so each ``p=`` dir is a single
-    file, the ``_SNAPSHOT`` kind marker (if any) BEFORE the
-    ``_COMMITTED`` marker — readers never see a committed version of
-    ambiguous kind."""
-    vdir = os.path.join(index_path, f"v={version}")
-    (
-        df.withColumn("p", _pexpr(n_partitions))
-        .repartition(min(32, n_partitions), "p")
-        .write.mode("overwrite")
-        .partitionBy("p")
-        .parquet(vdir)
+    bucket); ``touched_p`` prunes the union read to those hash
+    partitions (rows elsewhere cannot share a bucket with the probes)."""
+    return _resolve(
+        delta_store.read_union(spark, index_path, version, BUCKET_SCHEMA, touched_p)
     )
-    if snapshot:
-        with open(os.path.join(vdir, "_SNAPSHOT"), "w"):
-            pass
-    with open(os.path.join(vdir, "_COMMITTED"), "w"):
-        pass
 
 
 def compact(spark: SparkSession, index_path: str) -> int:
     """Fold the latest snapshot + delta tail into ONE new snapshot
-    version (returned). O(live index) by design — the scheduled
-    maintenance step that bounds per-batch read amplification and makes
-    older versions GC-eligible (:func:`prune_lsh_versions`). Single
-    writer: run between stream drains, like
-    :func:`operators.ann_index.append_ivf_layout`'s catch-up."""
-    versions = _committed_versions(index_path)
-    if not versions:
-        raise ValueError(f"no committed versions at {index_path}; nothing to compact")
-    meta = _load_or_init_meta(index_path, DEFAULT_PARTITIONS)
-    latest = versions[-1]
-    resolved = _read_resolved(spark, index_path, latest).localCheckpoint(eager=True)
-    next_v = latest + 1
-    _write_version(resolved, index_path, next_v, meta["n_partitions"], snapshot=True)
-    return next_v
+    version (returned) — the scheduled maintenance step that bounds
+    per-batch read amplification and makes older versions GC-eligible
+    (:func:`prune_lsh_versions`). Single writer: run between stream
+    drains, like :func:`operators.ann_index.append_ivf_layout`."""
+    return delta_store.compact(spark, index_path, BUCKET_SCHEMA, _KEYS, _resolve)
 
 
 def prune_lsh_versions(index_path: str, keep_last: int = 2) -> list[int]:
-    """GC: delete versions no retained resolution can reference —
-    strictly older than the latest snapshot at-or-before the oldest of
-    the last ``keep_last`` versions. Deltas newer than that snapshot are
-    load-bearing (resolution unions them) and are kept regardless of
-    age; run :func:`compact` to roll them up and widen the deletable
-    range. Returns the deleted version numbers."""
-    versions = _committed_versions(index_path)
-    if len(versions) <= keep_last:
-        return []
-    oldest_retained = versions[-keep_last]
-    snaps = [
-        v for v in versions if v <= oldest_retained and _is_snapshot(index_path, v)
-    ]
-    if not snaps:
-        return []  # every retained version still resolves through v=0's chain
-    floor = max(snaps)
-    deleted = [v for v in versions if v < floor]
-    for v in deleted:
-        shutil.rmtree(os.path.join(index_path, f"v={v}"), ignore_errors=True)
-    return deleted
+    """GC: delete versions no retained resolution can reference (see
+    :func:`operators.delta_store.prune` — deltas newer than the snapshot
+    floor are load-bearing and kept regardless of age; compact to widen
+    the deletable range). Returns the deleted version numbers."""
+    return delta_store.prune(index_path, keep_last)
 
 
 def _lsh_batch_processor(
@@ -266,7 +157,7 @@ def _lsh_batch_processor(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        meta = _load_or_init_meta(index_path, n_partitions)
+        meta = delta_store.load_or_init_meta(index_path, n_partitions)
         P = meta["n_partitions"]
         os.makedirs(ledger, exist_ok=True)
         marker = os.path.join(ledger, f"{ckpt_id}-{batch_id}")
@@ -293,10 +184,7 @@ def _lsh_batch_processor(
         # own buckets hash into — collect that partition set (≤ P ints,
         # driver-bounded) and prune the index read to it. This is what
         # keeps per-batch cost tied to |batch|, not |index|.
-        touched = sorted(
-            r["p"]
-            for r in batch_min.select(_pexpr(P).alias("p")).distinct().collect()
-        )
+        touched = delta_store.touched_partitions(batch_min, _KEYS, P)
         idx = _read_resolved(spark, index_path, base_v, touched_p=touched)
         j = (
             bb.join(idx, ["band", "bucket"], "left")
@@ -334,7 +222,7 @@ def _lsh_batch_processor(
             delta = batch_min.select(
                 "band", "bucket", F.col("batch_min").alias("anchor_id")
             )
-            _write_version(delta, index_path, next_v, P, snapshot=False)
+            delta_store.write_version(delta, index_path, next_v, _KEYS, P)
         # deterministic per-(lineage, batch) dirs + overwrite = idempotent
         base = os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")
         edges.write.mode("overwrite").parquet(os.path.join(base, "edges"))

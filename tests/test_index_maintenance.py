@@ -55,7 +55,7 @@ def test_ingest_classification_and_versioning(spark, tmp_path):
 def test_uncommitted_version_is_invisible(spark, tmp_path):
     idx_path = str(tmp_path / "fpidx2")
     ingest_with_index(spark, idx_path, _docs(spark, [(1, "a"), (2, "b")]))
-    # simulate a crashed update: dir exists, no _SUCCESS marker
+    # simulate a crashed update: dir exists, no _COMMITTED marker
     dangling = os.path.join(idx_path, "v=1")
     os.makedirs(dangling)
     assert read_fingerprint_index(spark, idx_path).count() == 2  # reads v=0
@@ -65,13 +65,40 @@ def test_uncommitted_version_is_invisible(spark, tmp_path):
         for x in ingest_with_index(spark, idx_path, _docs(spark, [(9, "c")])).collect()
     }
     assert r == {9: "ingested"}
-    assert os.path.exists(os.path.join(dangling, "_SUCCESS"))
+    assert os.path.exists(os.path.join(dangling, "_COMMITTED"))
     assert read_fingerprint_index(spark, idx_path).count() == 3
 
 
-def test_prune_versions_keeps_replay_window(spark, tmp_path):
+def test_delta_commit_is_batch_sized(spark, tmp_path):
+    """The r9 store property: a version commit writes the BATCH's new
+    fingerprints only — one new doc against a 50-doc index commits a
+    1-row delta (through r8 it rewrote all 51)."""
     from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
-        prune_versions,
+        INDEX_SCHEMA,
+    )
+
+    idx_path = str(tmp_path / "fpidx_delta")
+    big = _docs(spark, [(i, f"text number {i}") for i in range(50)])
+    ingest_with_index(spark, idx_path, big)
+    ingest_with_index(spark, idx_path, _docs(spark, [(999, "a new arrival")]))
+    # read v=1's directories directly: exactly the 1 new fingerprint
+    paths = [
+        os.path.join(idx_path, "v=1", d)
+        for d in os.listdir(os.path.join(idx_path, "v=1"))
+        if d.startswith("p=")
+    ]
+    assert spark.read.schema(INDEX_SCHEMA).parquet(*paths).count() == 1
+    assert read_fingerprint_index(spark, idx_path).count() == 51
+
+
+def test_compact_and_prune_fingerprint_versions(spark, tmp_path):
+    """Delta-store GC discipline: nothing is deletable until a compact
+    creates a snapshot floor; after it, pre-snapshot versions go, the
+    live index still resolves the full history, and classification
+    still sees fingerprints whose delta was GC'd."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
+        compact_fingerprint_index,
+        prune_fingerprint_versions,
     )
 
     idx_path = str(tmp_path / "fpidx3")
@@ -80,20 +107,28 @@ def test_prune_versions_keeps_replay_window(spark, tmp_path):
     assert sorted(d for d in os.listdir(idx_path) if d.startswith("v=")) == [
         "v=0", "v=1", "v=2", "v=3",
     ]
-    removed = prune_versions(idx_path, keep_last=2)
-    assert removed == [0, 1]
+    # no snapshot yet: every retained version resolves through v=0
+    assert prune_fingerprint_versions(idx_path, keep_last=2) == []
+    assert compact_fingerprint_index(spark, idx_path) == 4  # snapshot
+    ingest_with_index(spark, idx_path, _docs(spark, [(8, "e")]))  # v=5 delta
+    removed = prune_fingerprint_versions(idx_path, keep_last=2)
+    assert removed == [0, 1, 2, 3]
     assert sorted(d for d in os.listdir(idx_path) if d.startswith("v=")) == [
-        "v=2", "v=3",
+        "v=4", "v=5",
     ]
     # the live index is intact and updates keep working after GC
-    assert read_fingerprint_index(spark, idx_path).count() == 4
+    assert read_fingerprint_index(spark, idx_path).count() == 5
     r = {
         x["doc_id"]: x["status"]
-        for x in ingest_with_index(spark, idx_path, _docs(spark, [(9, "a"), (10, "e")])).collect()
+        for x in ingest_with_index(spark, idx_path, _docs(spark, [(9, "a"), (10, "f")])).collect()
     }
     assert r == {9: "duplicate_corpus", 10: "ingested"}
 
     import pytest
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
+        prune_versions,
+    )
 
     with pytest.raises(ValueError):
         prune_versions(idx_path, keep_last=0)
