@@ -495,7 +495,19 @@ def bench_lsh_index(spark, sf_dir: str) -> dict[str, float]:
     rewrote the full bucket relation per version, which made this ratio
     track index growth instead. ``lsh_index_compact`` prices the
     scheduled roll-up (O(live index) by design, amortized across
-    batches)."""
+    batches).
+
+    Cross-round comparability (r8 → r9): ``lsh_index_build`` 2.2 → ~5.6 s
+    and ``lsh_index_classify`` 2.2 → ~4.5 s measure a DIFFERENT store —
+    the delta layout pays per-batch constants the r8 monolith didn't
+    (hash-partitioned P=256 delta write, touched-partition listing, the
+    resolve aggregate) in exchange for per-batch cost that no longer
+    grows with index size (measured: small-batch ratio 0.96 on a ~5×
+    index vs the r8 design where every commit rewrote the full
+    relation). At 100 TB the r8 store is unusable and the constants here
+    are file-count artifacts of local-FS small files; the steady-state
+    metric is the ``lsh_index_batch_small*`` pair, not the bulk-load
+    entries."""
     import shutil
     import tempfile
 

@@ -445,3 +445,32 @@ def test_q203_q201_no_fact_scaled_broadcast_hints(spark):
 
     for name in ("q203_tpch_q5_local_volume", "q201_basket_lift"):
         assert broadcast_hint_findings(Q[name].fn(spark, SF_DIR)) == [], name
+
+
+def test_q211_argmin_is_single_aggregate_no_window(spark):
+    """The Q2-shape argmin rides the grouping shuffle as min(struct) —
+    the plan carries no Window and no second join-back of the aggregate
+    onto itself."""
+    plan = plan_text(Q["q211_cheapest_supplier"].fn(spark, SF_DIR))
+    assert "Window" not in plan
+    # exactly the dim joins (supplier + 2 broadcast dims) appear; the
+    # argmin itself adds no join
+    assert plan.count("- SortMergeJoin") + plan.count("- ShuffledHashJoin") <= 1
+
+
+def test_q219_band_match_joins_on_bucket_not_class(spark):
+    """The price band matcher's join is keyed on (priority, bucket) —
+    bucket-local candidates — and carries no band-join residual the
+    linter would flag (the q207 discipline as a first-class operator)."""
+    import re
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.plan_lint import lint_plan
+
+    df = Q["q219_price_band_match"].fn(spark, SF_DIR)
+    assert not [f for f in lint_plan(df) if f["rule"] == "band-join"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    key_lists = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[([^\]]*)\]", plan
+    )
+    pair_joins = [k for k in key_lists if "prio" in k]
+    assert pair_joins and all("bkt" in k for k in pair_joins), plan
