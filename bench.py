@@ -393,9 +393,19 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
     """DIAGNOSTIC: ANN-store maintenance cost — the build (kmeans fit +
     assign + commit) vs one incremental upsert of a same-sized batch
     against the frozen codebook. The upsert should cost a small fraction
-    of the build (map-only assignment + postings merge, no Lloyd
-    iterations); that gap is what the versioned store buys a continuously
-    fed similarity service."""
+    of the build (map-only assignment + an O(|batch|) delta commit, no
+    Lloyd iterations); that gap is what the versioned store buys a
+    continuously fed similarity service.
+
+    Cross-round comparability (r8 → r9): the postings store moved to
+    delta commits (ann_index docstring) — upsert no longer reads or
+    rewrites the old postings (asymptotically O(|batch|), was O(corpus)),
+    while the read-side entries (health/layout_write/query) now pay the
+    snapshot+delta RESOLUTION when deltas are live (~+0.5-1 s of
+    small-file and aggregate constants at this scale; a single-snapshot
+    chain takes a fast path with no overhead). The r8 numbers measured
+    the full-rewrite monolith; compare within-round trends, not across
+    the store designs."""
     import shutil
     import tempfile
 

@@ -7,12 +7,29 @@ this module is that store, the ANN sibling of
 :mod:`index_maintenance` (fingerprints) and
 :mod:`rollup_maintenance` (aggregates).
 
-Layout: ``index_path/v=N/{centroids,postings}/`` parquet dirs plus a
-``v=N/_COMMITTED`` marker written LAST — a version exists only once both
-relations landed, so a crash mid-write leaves a dangling dir that
-readers skip and the next writer overwrites (the staged-commit
-discipline of sinks/compact.py). :func:`index_maintenance.prune_versions`
-GCs this store unchanged (same ``v=N`` layout, ``marker='_COMMITTED'``).
+Layout (r9 revision — delta commits, the :mod:`operators.delta_store`
+protocol adapted to a two-relation version): ``index_path/v=N/
+{centroids, postings/p=X}`` plus a ``v=N/_COMMITTED`` marker written
+LAST — a version exists only once both relations landed, so a crash
+mid-write leaves a dangling dir that readers skip and the next writer
+overwrites. Postings are hash-partitioned on ``pmod(xxhash64(vec_id),
+P)`` (P in ``_META``) and each non-snapshot version is a DELTA holding
+only that upsert's assignments — O(|batch|) written per commit (through
+r8 every upsert rewrote the full postings relation). The postings AS OF
+version V resolve LAST-WRITE-WINS per vec_id (max version) over the
+latest snapshot ≤ V plus later deltas — exactly the replace-upsert merge
+the r8 store applied eagerly. ``ivf_build`` commits v=0 as a snapshot;
+:func:`compact_ann_index` folds the delta tail into a new snapshot;
+:func:`prune_ann_versions` GCs behind the snapshot floor (the generic
+``index_maintenance.prune_versions`` is for full-snapshot stores and
+would delete load-bearing deltas here). Centroids are k rows, rewritten
+per version (frozen within a lineage — refits go to a fresh path).
+Partitioning is by vec_id, NOT cid: a replace can move a vector between
+cells, and resolution must see every version of a vec_id in one
+partition to retract the stale row; the cid-pruned read lives in the
+SERVING layout (:func:`write_ivf_layout`), which is the at-scale query
+path anyway — :func:`ivf_query`'s store-side semi-join reads the
+resolved postings in full and stays the layout-agnostic fallback.
 
 The maintenance contract (pinned in tests/test_ann_index.py):
 
@@ -26,11 +43,9 @@ The maintenance contract (pinned in tests/test_ann_index.py):
   the measurement that schedules the (expensive) refit.
 
 Scale: centroids are k×dim doubles (broadcast-sized, ride the task
-closure exactly as :func:`similarity.kmeans_assign` does); an upsert
-touches the new batch (map-only assignment) plus one postings rewrite —
-at 100 TB swap the rewrite for a partitioned append bucketed by ``cid``
-(same keys, same plans; see :func:`layout.write_bucketed`). Postings are
-(id, cid, dist) — 24 bytes/vector, independent of dim. Serving at scale
+closure exactly as :func:`similarity.kmeans_assign` does); an upsert is
+a map-only assignment of the batch plus an O(|batch|) delta commit.
+Postings are (id, cid, dist) — 24 bytes/vector, independent of dim. Serving at scale
 goes through the cid-partitioned corpus layout
 (:func:`write_ivf_layout` → :func:`ivf_query_layout`): probes become
 partition pruning at the scan, reading ~nprobe/n_cells of the corpus
@@ -44,6 +59,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_for_elasticsearch_json_document_spark.operators import delta_store
 from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
     kmeans_assign,
     kmeans_assign_pandas,
@@ -80,13 +96,103 @@ def _committed_versions(index_path: str) -> list[int]:
 
 
 def _write_version(
-    index_path: str, version: int, centroids: DataFrame, postings: DataFrame
+    index_path: str,
+    version: int,
+    centroids: DataFrame,
+    postings: DataFrame,
+    snapshot: bool = False,
 ) -> None:
+    """Commit one version: centroids (k rows, full), postings (delta or
+    snapshot) hash-partitioned on vec_id, ``_SNAPSHOT`` (if any) before
+    the ``_COMMITTED`` marker — atomic-or-absent, kind never ambiguous."""
+    meta = delta_store.load_or_init_meta(index_path, delta_store.DEFAULT_PARTITIONS)
+    P = meta["n_partitions"]
     vdir = os.path.join(index_path, f"v={version}")
     centroids.write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
-    postings.write.mode("overwrite").parquet(os.path.join(vdir, "postings"))
+    (
+        postings.withColumn("p", delta_store.partition_expr(["vec_id"], P))
+        .repartition(min(32, P), "p")
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(os.path.join(vdir, "postings"))
+    )
+    if snapshot:
+        with open(os.path.join(vdir, "_SNAPSHOT"), "w"):
+            pass
     with open(os.path.join(vdir, "_COMMITTED"), "w"):
         pass  # marker LAST: a version is atomic-or-absent
+
+
+def _is_snapshot(index_path: str, version: int) -> bool:
+    return os.path.exists(os.path.join(index_path, f"v={version}", "_SNAPSHOT"))
+
+
+def _postings_sources(index_path: str, version: int) -> list[int]:
+    """Latest snapshot ≤ version plus the deltas after it (raises if
+    ``version`` is not committed — GC'd or never landed)."""
+    committed = [v for v in _committed_versions(index_path) if v <= version]
+    if version not in committed:
+        raise ValueError(
+            f"version {version} is not committed at {index_path} "
+            f"(committed: {_committed_versions(index_path)}) — it may have "
+            "been GC'd by prune_ann_versions"
+        )
+    snaps = [v for v in committed if _is_snapshot(index_path, v)]
+    base = max(snaps) if snaps else None
+    return [v for v in committed if base is None or v >= base]
+
+
+def _read_postings(
+    spark: SparkSession,
+    index_path: str,
+    version: int,
+    touched_p: list[int] | None = None,
+) -> DataFrame:
+    """Postings AS OF ``version``, resolved LAST-WRITE-WINS per vec_id
+    (``max_by`` over the version tag — replace-upserts retract their
+    stale row by construction). ``touched_p`` prunes the union to those
+    vec_id hash partitions — exact for id-probe reads (every version of
+    one vec_id hashes to the same partition)."""
+    sources = _postings_sources(index_path, version)
+    # Fast path: a single-snapshot chain (fresh build, or just compacted)
+    # needs no version tagging and no resolution aggregate — the snapshot
+    # IS the resolved relation. This keeps the common read (one snapshot,
+    # zero deltas) as cheap as the r8 monolith's.
+    if len(sources) == 1 and _is_snapshot(index_path, sources[0]):
+        pdir = os.path.join(index_path, f"v={sources[0]}", "postings")
+        paths = [
+            os.path.join(pdir, d)
+            for d in os.listdir(pdir)
+            if d.startswith("p=")
+            and (touched_p is None or int(d[2:]) in touched_p)
+        ]
+        if not paths:
+            return spark.createDataFrame([], POSTINGS_SCHEMA)
+        return spark.read.schema(POSTINGS_SCHEMA).parquet(*paths)
+    parts = []
+    for v in sources:
+        pdir = os.path.join(index_path, f"v={v}", "postings")
+        paths = [
+            os.path.join(pdir, d)
+            for d in os.listdir(pdir)
+            if d.startswith("p=")
+            and (touched_p is None or int(d[2:]) in touched_p)
+        ]
+        if paths:
+            parts.append(
+                spark.read.schema(POSTINGS_SCHEMA)
+                .parquet(*paths)
+                .withColumn("__v", F.lit(v))
+            )
+    if not parts:
+        return spark.createDataFrame([], POSTINGS_SCHEMA)
+    union = parts[0]
+    for x in parts[1:]:
+        union = union.unionByName(x)
+    latest = union.groupBy("vec_id").agg(
+        F.max_by(F.struct("cid", "dist"), F.col("__v")).alias("b")
+    )
+    return latest.select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
 
 
 def read_ann_index(
@@ -95,9 +201,10 @@ def read_ann_index(
     """The committed (centroids, postings) pair — latest by default, or
     AS OF an explicit ``version`` (time travel over the ``v=N`` lineage:
     reproduce what a query served before an upsert, diff two versions,
-    debug a drift report). A requested version that is missing or GC'd
-    (:func:`index_maintenance.prune_versions`) raises instead of silently
-    serving a neighbor. Empty relations with the right schemas if nothing
+    debug a drift report) — postings resolve last-write-wins over the
+    snapshot+delta chain. A requested version that is missing or GC'd
+    (:func:`prune_ann_versions`) raises instead of silently serving a
+    neighbor. Empty relations with the right schemas if nothing
     is committed and no version was requested."""
     versions = _committed_versions(index_path)
     if version is not None:
@@ -105,26 +212,19 @@ def read_ann_index(
             raise ValueError(
                 f"version {version} is not committed at {index_path} "
                 f"(committed: {versions}) — it may have been GC'd by "
-                "prune_versions"
+                "prune_ann_versions"
             )
-        vdir = os.path.join(index_path, f"v={version}")
-        return (
-            spark.read.schema(CENTROIDS_SCHEMA).parquet(
-                os.path.join(vdir, "centroids")
-            ),
-            spark.read.schema(POSTINGS_SCHEMA).parquet(
-                os.path.join(vdir, "postings")
-            ),
-        )
-    if not versions:
+    elif not versions:
         return (
             spark.createDataFrame([], CENTROIDS_SCHEMA),
             spark.createDataFrame([], POSTINGS_SCHEMA),
         )
-    vdir = os.path.join(index_path, f"v={versions[-1]}")
+    else:
+        version = versions[-1]
+    vdir = os.path.join(index_path, f"v={version}")
     return (
         spark.read.schema(CENTROIDS_SCHEMA).parquet(os.path.join(vdir, "centroids")),
-        spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(vdir, "postings")),
+        _read_postings(spark, index_path, version),
     )
 
 
@@ -166,7 +266,7 @@ def ivf_build(
         id_col,
         vec_col,
     ).select(F.col(id_col).cast("long").alias("vec_id"), "cid", "dist")
-    _write_version(index_path, 0, cents, asg)
+    _write_version(index_path, 0, cents, asg, snapshot=True)
     return asg
 
 
@@ -179,11 +279,13 @@ def ivf_upsert(
     assign: str = "expr",
 ) -> DataFrame:
     """Absorb a new batch WITHOUT refitting: assign against the current
-    codebook, commit a new version whose postings are the old postings
-    plus the batch (ids already present are replaced — last write wins,
-    the upsert semantic). Returns the batch assignment. ``assign`` must
-    match the method the store was built with (see :func:`_assign_fn`)."""
-    cents, postings = read_ann_index(spark, index_path)
+    codebook and commit the batch's assignments as a DELTA version —
+    O(|batch|) written; ids already present are replaced at READ time by
+    the last-write-wins resolution (:func:`_read_postings`), the upsert
+    semantic the r8 store applied eagerly with a full-relation rewrite.
+    Returns the batch assignment. ``assign`` must match the method the
+    store was built with (see :func:`_assign_fn`)."""
+    cents, _ = read_ann_index(spark, index_path)
     if cents.isEmpty():
         raise ValueError(f"no committed index at {index_path}; run ivf_build first")
     asg = _assign_fn(assign)(
@@ -193,13 +295,8 @@ def ivf_upsert(
         vec_col,
     ).select(F.col(id_col).cast("long").alias("vec_id"), "cid", "dist")
     asg = asg.localCheckpoint(eager=True)  # pin before the store advances
-    merged = postings.join(
-        asg.select(F.col("vec_id").alias("__new_id")),
-        postings["vec_id"] == F.col("__new_id"),
-        "left_anti",
-    ).unionByName(asg)
     version = _committed_versions(index_path)[-1] + 1
-    _write_version(index_path, version, cents, merged)
+    _write_version(index_path, version, cents, asg)
     return asg
 
 
@@ -233,11 +330,8 @@ def ivf_health(
     if not versions:
         raise ValueError(f"no committed index at {index_path}")
     cents, postings = read_ann_index(spark, index_path)
-    base_dir = os.path.join(index_path, f"v={versions[0]}", "postings")
-    base_ids = (
-        spark.read.schema(POSTINGS_SCHEMA)
-        .parquet(base_dir)
-        .select("vec_id", F.lit(1).alias("__base"))
+    base_ids = _read_postings(spark, index_path, versions[0]).select(
+        "vec_id", F.lit(1).alias("__base")
     )
     tagged = postings.join(base_ids, "vec_id", "left").select(
         "cid",
@@ -554,12 +648,7 @@ def append_ivf_layout(
             "catches up exactly one upsert — apply batches in order, or "
             "re-run write_ivf_layout"
         )
-    prev_dir = os.path.join(index_path, f"v={pinned}", "postings")
-    prev_ids = (
-        spark.read.schema(POSTINGS_SCHEMA)
-        .parquet(prev_dir)
-        .select("vec_id")
-    )
+    prev_ids = _read_postings(spark, index_path, pinned).select("vec_id")
     batch = new_vectors.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
@@ -634,8 +723,7 @@ def upsert_ivf_layout(
         F.col(vec_col).cast("array<double>").alias("embedding"),
     )
     _, postings = read_ann_index(spark, index_path)
-    prev_dir = os.path.join(index_path, f"v={pinned}", "postings")
-    prev = spark.read.schema(POSTINGS_SCHEMA).parquet(prev_dir)
+    prev = _read_postings(spark, index_path, pinned)
     batch_ids = batch.select("vec_id")
     # affected = old cells of replaced ids ∪ new cells of the whole batch;
     # both sides are |batch|-bounded joins against 24-byte posting rows
@@ -678,3 +766,45 @@ def upsert_ivf_layout(
         f.write(str(latest))
     os.replace(tmp, pin_file)
     return latest
+
+
+def compact_ann_index(spark: SparkSession, index_path: str) -> int:
+    """Fold the latest snapshot + delta tail into ONE new snapshot
+    version (returned): the resolved postings written whole, centroids
+    carried over. O(live index) by design — scheduled maintenance that
+    bounds read amplification and unlocks :func:`prune_ann_versions`.
+    Single writer: run between stream drains (the ann_ingest ledger
+    pins base versions, so a replay still resolves through the
+    snapshot)."""
+    versions = _committed_versions(index_path)
+    if not versions:
+        raise ValueError(f"no committed index at {index_path}; nothing to compact")
+    latest = versions[-1]
+    cents, postings = read_ann_index(spark, index_path)
+    resolved = postings.localCheckpoint(eager=True)
+    next_v = latest + 1
+    _write_version(index_path, next_v, cents, resolved, snapshot=True)
+    return next_v
+
+
+def prune_ann_versions(index_path: str, keep_last: int = 2) -> list[int]:
+    """GC for this DELTA store: delete only versions older than the
+    latest snapshot at-or-before the oldest retained version — deltas
+    newer than that snapshot are load-bearing for every later
+    resolution and are kept regardless of age (run
+    :func:`compact_ann_index` to widen the deletable range). [] until a
+    snapshot floor exists. Keep ``keep_last >= 2`` for stream replays."""
+    import shutil
+
+    versions = _committed_versions(index_path)
+    if len(versions) <= keep_last:
+        return []
+    oldest_retained = versions[-keep_last]
+    snaps = [v for v in versions if v <= oldest_retained and _is_snapshot(index_path, v)]
+    if not snaps:
+        return []
+    floor = max(snaps)
+    deleted = [v for v in versions if v < floor]
+    for v in deleted:
+        shutil.rmtree(os.path.join(index_path, f"v={v}"), ignore_errors=True)
+    return deleted

@@ -14,7 +14,8 @@ store version, before any store write. On replay the marker already
 exists, so the batch re-assigns against the SAME retained base version,
 skips the version commit if it already landed, and overwrites its own
 deterministic output dir. The codebook NEVER changes inside the stream —
-upserts only append postings; :func:`ann_index.ivf_health` is the
+upserts only append postings (r9: as O(|batch|) DELTA versions —
+see the ann_index store docs); :func:`ann_index.ivf_health` is the
 scheduled measurement that decides when to stop the stream, refit
 (``ivf_build`` to a fresh path), and re-point queries.
 
@@ -33,7 +34,6 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
     CENTROIDS_SCHEMA,
-    POSTINGS_SCHEMA,
     _assign_fn,
     _committed_versions,
     _write_version,
@@ -89,9 +89,6 @@ def _ann_batch_processor(
         cents = spark.read.schema(CENTROIDS_SCHEMA).parquet(
             os.path.join(vdir, "centroids")
         )
-        postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
-            os.path.join(vdir, "postings")
-        )
         asg = _assign_fn(assign)(
             batch_df,
             cents.select(
@@ -104,12 +101,11 @@ def _ann_batch_processor(
 
         next_v = base_v + 1
         if next_v not in _committed_versions(index_path):
-            merged = postings.join(
-                asg.select(F.col("vec_id").alias("__new_id")),
-                postings["vec_id"] == F.col("__new_id"),
-                "left_anti",
-            ).unionByName(asg)
-            _write_version(index_path, next_v, cents, merged)
+            # DELTA commit (r9): the batch's own assignments, O(|batch|)
+            # written — the store's last-write-wins resolution replaces
+            # re-upserted ids at read time, so the old postings never
+            # need to be read (or rewritten) here at all.
+            _write_version(index_path, next_v, cents, asg)
         # deterministic per-(lineage, batch) dir + overwrite = idempotent
         asg.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")

@@ -16,9 +16,6 @@ from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index impo
     ivf_upsert,
     read_ann_index,
 )
-from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
-    prune_versions,
-)
 from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
     kmeans_assign,
     kmeans_fit,
@@ -132,18 +129,32 @@ def test_health_flags_imbalance(spark, emb, tmp_path):
     assert h["needs_refit"]
 
 
-def test_prune_versions_interop(spark, emb, tmp_path):
+def test_compact_and_prune_ann_versions(spark, emb, tmp_path):
+    """Delta-store GC discipline (r9): deltas after the last snapshot
+    are load-bearing, so nothing behind them is deletable until a
+    compact rolls the tail up; after it the pre-snapshot versions go,
+    the resolved postings are unchanged, and health still runs with the
+    snapshot as its drift baseline."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        compact_ann_index,
+        prune_ann_versions,
+    )
+
     path = str(tmp_path / "ivf")
     build, batch = _split(emb)
-    ivf_build(spark, path, build, k=4)
-    ivf_upsert(spark, path, batch.filter(F.col("vec_id") < 50))
-    ivf_upsert(spark, path, batch.filter(F.col("vec_id") >= 50))
-    removed = prune_versions(path, keep_last=2, marker="_COMMITTED")
-    assert removed == [0]
+    ivf_build(spark, path, build, k=4)                          # v=0 snapshot
+    ivf_upsert(spark, path, batch.filter(F.col("vec_id") < 50))  # v=1 delta
+    ivf_upsert(spark, path, batch.filter(F.col("vec_id") >= 50)) # v=2 delta
+    # deltas v=1/v=2 resolve through v=0: only-floor is v=0, nothing older
+    assert prune_ann_versions(path, keep_last=2) == []
+    assert compact_ann_index(spark, path) == 3                  # snapshot
+    # one more (replace-)upsert so the snapshot can become the floor
+    ivf_upsert(spark, path, batch.filter(F.col("vec_id") < 50))  # v=4 delta
+    assert prune_ann_versions(path, keep_last=2) == [0, 1, 2]
     _, postings = read_ann_index(spark, path)
     assert postings.count() == build.count() + batch.count()
-    # health still works with the build version pruned: base = earliest kept
-    assert ivf_health(spark, path).collect()[0]["version"] == 2
+    # health still works with the pre-snapshot lineage pruned
+    assert ivf_health(spark, path).collect()[0]["version"] == 4
 
 
 def test_refit_resets_drift(spark, emb, tmp_path):
@@ -307,11 +318,11 @@ def test_ivf_build_refuses_live_store(spark, emb, tmp_path):
 
 
 def test_health_baseline_shifts_after_gc(spark, emb, tmp_path):
-    """prune_versions dropping v=0 makes the drift baseline the earliest
-    RETAINED version — the documented intent: the 'build set' for drift
-    purposes is the oldest lineage still on disk, so needs_refit stays
-    meaningful (comparing recent arrivals against the oldest surviving
-    cohort) instead of erroring on a GC'd dir."""
+    """GC'ing the pre-snapshot lineage makes the drift baseline the
+    earliest RETAINED version — the documented intent: the 'build set'
+    for drift purposes is the oldest lineage still on disk, so
+    needs_refit stays meaningful (comparing recent arrivals against the
+    oldest surviving cohort) instead of erroring on a GC'd dir."""
     path = str(tmp_path / "ivf")
     build = emb.filter(F.col("vec_id") < 40)
     b1 = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 80))
@@ -321,14 +332,24 @@ def test_health_baseline_shifts_after_gc(spark, emb, tmp_path):
     ivf_upsert(spark, path, b2)                 # v=2
     before = ivf_health(spark, path).collect()[0]
     assert before["n_vectors"] == 120
-    removed = prune_versions(path, keep_last=2, marker="_COMMITTED")
-    assert removed == [0]
+    # GC discipline for the delta store: compact (v=3 snapshot), add a
+    # delta on top (v=4), then prune — v=0..2 fall behind the floor
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        compact_ann_index,
+        prune_ann_versions,
+    )
+
+    compact_ann_index(spark, path)              # v=3 snapshot (baseline-to-be)
+    b3 = emb.filter((F.col("vec_id") >= 120) & (F.col("vec_id") < 160))
+    ivf_upsert(spark, path, b3)                 # v=4 delta
+    removed = prune_ann_versions(path, keep_last=2)
+    assert removed == [0, 1, 2]
     after = ivf_health(spark, path).collect()[0]
-    # postings are cumulative, so totals are unchanged...
-    assert after["n_vectors"] == before["n_vectors"]
-    assert after["version"] == before["version"] == 2
-    # ...but the base set grew from v=0's 40 build vectors to v=1's 80,
-    # so the drift split (base vs new means) must shift with it
+    # postings are cumulative, so totals only grew by the new batch...
+    assert after["n_vectors"] == before["n_vectors"] + 40
+    assert after["version"] == 4
+    # ...and the drift base set grew from v=0's 40 build vectors to the
+    # snapshot's 120, so only b3 counts as "new" now
     assert after["mean_dist_new"] != before["mean_dist_new"]
     assert after["needs_refit"] in (True, False)  # still a decidable signal
 
@@ -513,9 +534,20 @@ def test_read_as_of_version(spark, emb, tmp_path):
     assert len(latest) == len(v0) + batch.count()
     with pytest.raises(ValueError, match="not committed"):
         read_ann_index(spark, path, version=7)
-    prune_versions(path, keep_last=1, marker="_COMMITTED")
+    # GC v=0 behind a snapshot floor (compact v=2, delta v=3, prune):
+    # the pruned version now raises instead of silently serving a neighbor
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        compact_ann_index,
+        prune_ann_versions,
+    )
+
+    compact_ann_index(spark, path)                                # v=2 snapshot
+    ivf_upsert(spark, path, batch.limit(5))                        # v=3 delta
+    assert prune_ann_versions(path, keep_last=2) == [0, 1]
     with pytest.raises(ValueError, match="GC'd"):
         read_ann_index(spark, path, version=0)
+    # the retained lineage still resolves exactly
+    assert {tuple(r) for r in read_ann_index(spark, path, version=2)[1].collect()} == latest
 
 
 def test_layout_append_three_cycles_stays_rewrite_equivalent(spark, emb, tmp_path):
@@ -668,3 +700,26 @@ def test_layout_upsert_enforces_pin_order(spark, emb, tmp_path):
     ivf_upsert(spark, path, b2)  # layout now two behind
     with pytest.raises(ValueError, match="exactly one store upsert"):
         upsert_ivf_layout(spark, path, b2, layout)
+
+
+def test_upsert_commit_is_batch_sized(spark, emb, tmp_path):
+    """The r9 store property: an upsert commits the BATCH's assignments
+    only — one vector against a 120-vector store writes a 1-row delta
+    (through r8 every upsert rewrote all 121 postings)."""
+    import os
+
+    path = str(tmp_path / "ivf")
+    build = emb.filter(F.col("vec_id") < 120)
+    ivf_build(spark, path, build, k=4)
+    one = emb.filter(F.col("vec_id") >= 120).limit(1)
+    ivf_upsert(spark, path, one)
+    pdir = os.path.join(path, "v=1", "postings")
+    paths = [os.path.join(pdir, d) for d in os.listdir(pdir) if d.startswith("p=")]
+    assert (
+        spark.read.schema("vec_id long, cid long, dist double")
+        .parquet(*paths)
+        .count()
+        == 1
+    )
+    _, postings = read_ann_index(spark, path)
+    assert postings.count() == 121
