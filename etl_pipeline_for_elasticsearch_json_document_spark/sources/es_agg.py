@@ -714,3 +714,83 @@ def scan_or_push_range(
     return joined.groupBy("range_from", "range_to").agg(
         F.count("__v").alias("doc_count"), *_scan_metric_aggs(metrics)
     )
+
+
+def es_field_stats(
+    base_url: str, index: str, field: str, query: Optional[dict[str, Any]] = None
+) -> tuple[Optional[float], Optional[float]]:
+    """(min, max) of a numeric field via two top-level metric aggs — one
+    bounded ``_search``, the planners' span probe (both real ES and the
+    test fake serve bare metric aggs). (None, None) on an empty field."""
+    body: dict[str, Any] = {
+        "size": 0,
+        "aggs": {"lo": {"min": {"field": field}}, "hi": {"max": {"field": field}}},
+    }
+    if query is not None:
+        body["query"] = query
+    resp = HttpEsClient(base_url).search(index, body)
+    lo = resp["aggregations"]["lo"]["value"]
+    hi = resp["aggregations"]["hi"]["value"]
+    return (
+        float(lo) if lo is not None else None,
+        float(hi) if hi is not None else None,
+    )
+
+
+def scan_or_push_histogram(
+    spark: SparkSession,
+    base_url: str,
+    index: str,
+    field: str,
+    interval: float,
+    metrics: Optional[dict[str, tuple[str, str]]] = None,
+    scan: Optional[Any] = None,
+    push_cardinality_ratio: float = 0.5,
+    max_push_buckets: int = _MAX_PUSH_BUCKETS,
+) -> DataFrame:
+    """:func:`scan_or_push` for the fixed-interval numeric histogram —
+    the last of the four agg families to get a chooser (terms/composite,
+    date_histogram, range, now histogram).
+
+    Probe: one min/max metric pair (:func:`es_field_stats`) bounds the
+    bucket count EXACTLY at ``(max-min)/interval + 1`` (histogram
+    buckets are the populated subset of that span). Push iff the bound
+    clears both the cardinality ratio and ES's un-paged
+    search.max_buckets ceiling. The scan branch groups by the same
+    ``floor(v/interval)*interval`` key the pushed buckets carry; an
+    empty field pushes trivially (zero buckets either way).
+    """
+    from pyspark.sql import functions as F
+
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    metrics = metrics or {}
+    for name, (mtype, _) in metrics.items():
+        if mtype not in _METRICS:
+            raise ValueError(f"unsupported metric {mtype!r} for {name!r}")
+    client = HttpEsClient(base_url)
+    n_docs = int(client.count(index)["count"])
+    lo, hi = es_field_stats(base_url, index, field)
+    if lo is None:
+        upper = 0
+    else:
+        import math
+
+        upper = int(math.floor(hi / interval) - math.floor(lo / interval)) + 1
+    if upper <= push_cardinality_ratio * max(n_docs, 1) and upper <= max_push_buckets:
+        return es_histogram_agg(spark, base_url, index, field, interval, metrics)
+    if scan is None:
+        raise ValueError(
+            f"histogram({interval}) on {index}.{field} spans ≤{upper} "
+            f"buckets vs {n_docs} docs — the scan path wins, but no scan "
+            "callable was provided (pass scan=lambda: <es_live read>)"
+        )
+    df = scan()
+    bucket = (
+        F.floor(F.col(field).cast("double") / interval) * interval
+    ).alias("bucket")
+    return (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(bucket)
+        .agg(F.count("*").alias("doc_count"), *_scan_metric_aggs(metrics))
+    )

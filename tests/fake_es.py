@@ -228,6 +228,32 @@ class _Handler(BaseHTTPRequestHandler):
             hist = spec.get("histogram")
             dhist = spec.get("date_histogram")
             rng = spec.get("range")
+            # top-level METRIC aggs (no bucketing) — real ES allows
+            # min/max/sum/avg/value_count directly under "aggs"; the
+            # pushdown planners probe field spans this way (es_agg.py)
+            metric = next(
+                (m for m in ("min", "max", "sum", "avg", "value_count") if m in spec),
+                None,
+            )
+            if metric is not None and terms is None and hist is None \
+                    and dhist is None and rng is None:
+                field = spec[metric]["field"]
+                vals = [
+                    d[field] for d in docs
+                    if field in d and d[field] is not None
+                ]
+                if metric == "min":
+                    v: Any = min(vals) if vals else None
+                elif metric == "max":
+                    v = max(vals) if vals else None
+                elif metric == "sum":
+                    v = sum(vals)
+                elif metric == "avg":
+                    v = (sum(vals) / len(vals)) if vals else None
+                else:
+                    v = len(vals)
+                out[name] = {"value": v}
+                continue
             if terms is None and hist is None and dhist is None and rng is None:
                 self._reply({"error": f"unsupported agg {name}"}, status=400)
                 return

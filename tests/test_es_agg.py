@@ -546,3 +546,66 @@ def test_scan_or_push_range_chooser_parity(spark, sf_dir, fake_es, tmp_path):
         scan_or_push_range(
             spark, fake_es, "two_docs", field="n_chars", ranges=odd
         )
+
+
+def test_scan_or_push_histogram_chooser_parity(spark, sf_dir, fake_es, tmp_path):
+    """The histogram chooser (completing the four-family set): n_chars
+    at interval 100 spans few hundred buckets over hundreds of docs —
+    the min/max probe bounds cardinality under the ratio and the planner
+    pushes (scan must not run); a 2-doc corpus at a fine interval
+    crosses the ratio and runs the scan branch with the same
+    floor(v/interval)*interval keys; no scan ⇒ loud error."""
+    docs = _seed(spark, sf_dir, fake_es, tmp_path)
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import (
+        es_field_stats,
+        scan_or_push_histogram,
+    )
+
+    lo, hi = es_field_stats(fake_es, "agg_docs", "n_chars")
+    assert lo is not None and hi > lo
+
+    pushed = scan_or_push_histogram(
+        spark, fake_es, "agg_docs", field="n_chars", interval=100.0,
+        metrics={"total_chars": ("sum", "n_chars")},
+        scan=lambda: (_ for _ in ()).throw(AssertionError("scan must not run")),
+    )
+    want = (
+        docs.filter(F.col("n_chars").isNotNull())
+        .groupBy(
+            (F.floor(F.col("n_chars").cast("double") / 100.0) * 100.0).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_chars").cast("double").alias("total_chars"),
+        )
+    )
+    assert {tuple(r) for r in pushed.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+    two = spark.createDataFrame(
+        [(1, 100.0), (2, 5000.0)], "doc_id long, n_chars double"
+    )
+    out = str(tmp_path / "bulk_two_hist")
+    es_sink.write_bulk_files(two.coalesce(1), out, "two_hist", id_col="doc_id")
+    es_sink.replay_bulk_files(out, fake_es)
+    chosen = scan_or_push_histogram(
+        spark, fake_es, "two_hist", field="n_chars", interval=1.0,
+        scan=lambda: two,
+    )
+    want2 = two.groupBy(
+        (F.floor(F.col("n_chars").cast("double") / 1.0) * 1.0).alias("bucket")
+    ).agg(F.count("*").alias("doc_count"))
+    assert {tuple(r) for r in chosen.collect()} == {
+        tuple(r) for r in want2.collect()
+    }
+    with pytest.raises(ValueError, match="scan path wins"):
+        scan_or_push_histogram(
+            spark, fake_es, "two_hist", field="n_chars", interval=1.0
+        )
+    with pytest.raises(ValueError, match="interval"):
+        scan_or_push_histogram(
+            spark, fake_es, "two_hist", field="n_chars", interval=0.0
+        )
