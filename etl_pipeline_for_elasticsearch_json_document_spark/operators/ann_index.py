@@ -648,11 +648,20 @@ def append_ivf_layout(
             "catches up exactly one upsert — apply batches in order, or "
             "re-run write_ivf_layout"
         )
-    prev_ids = _read_postings(spark, index_path, pinned).select("vec_id")
     batch = new_vectors.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
     )
+    # the only question asked of the pinned postings is "does any batch id
+    # already exist?" — prune the resolution read to the batch ids' own
+    # hash partitions (exact: all versions of one vec_id share a partition)
+    meta = delta_store.load_or_init_meta(index_path, delta_store.DEFAULT_PARTITIONS)
+    touched = delta_store.touched_partitions(
+        batch.select("vec_id"), ["vec_id"], meta["n_partitions"]
+    )
+    prev_ids = _read_postings(
+        spark, index_path, pinned, touched_p=touched
+    ).select("vec_id")
     n_replaced = batch.join(prev_ids, "vec_id", "left_semi").count()
     if n_replaced:
         raise ValueError(
@@ -661,7 +670,9 @@ def append_ivf_layout(
             "upsert_ivf_layout (partition-scoped rewrite) for "
             "replace-upserts"
         )
-    _, postings = read_ann_index(spark, index_path)
+    # cells come from the committed truth, probed by batch id only —
+    # the same pruned resolution read as the replaced-id check above
+    postings = _read_postings(spark, index_path, latest, touched_p=touched)
     laid = batch.join(postings.select("vec_id", "cid"), "vec_id")
     laid.write.mode("append").partitionBy("cid").parquet(layout_path)
     tmp = pin_file + ".tmp"
@@ -722,9 +733,15 @@ def upsert_ivf_layout(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
     )
-    _, postings = read_ann_index(spark, index_path)
-    prev = _read_postings(spark, index_path, pinned)
     batch_ids = batch.select("vec_id")
+    # both the pinned and the latest postings are only probed BY BATCH ID
+    # here — prune both resolution reads to the ids' hash partitions
+    meta = delta_store.load_or_init_meta(index_path, delta_store.DEFAULT_PARTITIONS)
+    touched = delta_store.touched_partitions(
+        batch_ids, ["vec_id"], meta["n_partitions"]
+    )
+    postings = _read_postings(spark, index_path, latest, touched_p=touched)
+    prev = _read_postings(spark, index_path, pinned, touched_p=touched)
     # affected = old cells of replaced ids ∪ new cells of the whole batch;
     # both sides are |batch|-bounded joins against 24-byte posting rows
     old_cells = prev.join(batch_ids, "vec_id").select("cid")
