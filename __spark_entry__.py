@@ -59,6 +59,9 @@ _NEW_IN_R9: set[str] = {
     "q217_scorer_rank_correlation", "q218_event_burstiness",
     "q219_price_band_match", "q220_nation_trade_volume",
     "q221_lexical_richness", "q222_user_value_gini",
+    "q223_backlog_curve", "q224_shipping_delay_distribution",
+    "q225_repeat_purchase_interval", "q226_first_word_entropy",
+    "q227_balance_outliers_robust", "q228_crosslingual_mirror",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

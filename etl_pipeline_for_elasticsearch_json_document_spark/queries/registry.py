@@ -53,6 +53,7 @@ def all_queries() -> dict[str, Query]:
         r7,
         r8,
         r9,
+        r9b,
         relational,
     )
 

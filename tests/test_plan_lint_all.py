@@ -208,6 +208,14 @@ ALLOWANCES: dict[str, dict[str, str]] = {
     "q174_dedup_growth_curve": {
         "single-partition": "cumulative window over the corpus/100 bucket relation"
     },
+    "q223_backlog_curve": {
+        "single-partition": "cumulative backlog window over the calendar-"
+        "month relation (bounded: decades ≈ hundreds of rows)"
+    },
+    "q227_balance_outliers_robust": {
+        "fact-scaled-broadcast": BOUNDED_DOMAIN_AGG + " — the median/MAD "
+        "relations are keyed on nationkey, a 25-value domain at EVERY SF"
+    },
     "q160_lateral_topn": {
         "global-sort": "decorrelated LATERAL demo; window top-n twin is q10"
     },
