@@ -212,6 +212,8 @@ def prune(path: str, keep_last: int = 2) -> list[int]:
     older than the latest snapshot at-or-before the oldest of the last
     ``keep_last`` versions. Returns the deleted version numbers; [] when
     no snapshot floor exists yet (run :func:`compact` first)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
     versions = committed_versions(path)
     if len(versions) <= keep_last:
         return []
