@@ -813,6 +813,8 @@ def prune_ann_versions(index_path: str, keep_last: int = 2) -> list[int]:
     snapshot floor exists. Keep ``keep_last >= 2`` for stream replays."""
     import shutil
 
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
     versions = _committed_versions(index_path)
     if len(versions) <= keep_last:
         return []
