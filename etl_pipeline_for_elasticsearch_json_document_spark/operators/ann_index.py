@@ -116,6 +116,8 @@ def _write_version(
         .partitionBy("p")
         .parquet(os.path.join(vdir, "postings"))
     )
+    with open(os.path.join(vdir, "_P"), "w") as f:
+        f.write(str(P))  # pruning safety if the store is ever re-sharded
     if snapshot:
         with open(os.path.join(vdir, "_SNAPSHOT"), "w"):
             pass
@@ -159,24 +161,40 @@ def _read_postings(
     # IS the resolved relation. This keeps the common read (one snapshot,
     # zero deltas) as cheap as the r8 monolith's.
     if len(sources) == 1 and _is_snapshot(index_path, sources[0]):
+        meta_p = delta_store.load_or_init_meta(
+            index_path, delta_store.DEFAULT_PARTITIONS
+        )["n_partitions"]
+        prune_this = (
+            touched_p is not None
+            and delta_store.version_partitions(index_path, sources[0]) == meta_p
+        )
         pdir = os.path.join(index_path, f"v={sources[0]}", "postings")
         paths = [
             os.path.join(pdir, d)
             for d in os.listdir(pdir)
             if d.startswith("p=")
-            and (touched_p is None or int(d[2:]) in touched_p)
+            and (not prune_this or int(d[2:]) in touched_p)
         ]
         if not paths:
             return spark.createDataFrame([], POSTINGS_SCHEMA)
         return spark.read.schema(POSTINGS_SCHEMA).parquet(*paths)
+    meta_p = delta_store.load_or_init_meta(
+        index_path, delta_store.DEFAULT_PARTITIONS
+    )["n_partitions"]
     parts = []
     for v in sources:
         pdir = os.path.join(index_path, f"v={v}", "postings")
+        # prune only versions written under the probe set's hash (the _P
+        # sidecar; a version from before a re-shard reads whole)
+        prune_this = (
+            touched_p is not None
+            and delta_store.version_partitions(index_path, v) == meta_p
+        )
         paths = [
             os.path.join(pdir, d)
             for d in os.listdir(pdir)
             if d.startswith("p=")
-            and (touched_p is None or int(d[2:]) in touched_p)
+            and (not prune_this or int(d[2:]) in touched_p)
         ]
         if paths:
             parts.append(

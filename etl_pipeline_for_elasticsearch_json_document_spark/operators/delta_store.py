@@ -63,9 +63,12 @@ _SNAPSHOT = "_SNAPSHOT"
 
 
 def load_or_init_meta(path: str, n_partitions: int) -> dict:
-    """The store's immutable metadata ({'n_partitions': P}); created on
-    first touch, afterwards the PERSISTED value always wins — writers
-    and readers of one store must agree on the partitioning function."""
+    """The store's metadata ({'n_partitions': P}); created on first
+    touch, afterwards the PERSISTED value always wins — writers and
+    readers of one store must agree on the partitioning function. The
+    ONE sanctioned way to change P is :func:`compact`'s re-shard (every
+    retained row lands in the new snapshot, so no old-P dir is ever read
+    under the new hash)."""
     mp = os.path.join(path, _META)
     if os.path.exists(mp):
         with open(mp) as f:
@@ -77,6 +80,14 @@ def load_or_init_meta(path: str, n_partitions: int) -> dict:
         json.dump(meta, f)
     os.replace(tmp, mp)
     return meta
+
+
+def _store_meta(path: str, n_partitions: int) -> None:
+    mp = os.path.join(path, _META)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_partitions": int(n_partitions)}, f)
+    os.replace(tmp, mp)
 
 
 def committed_versions(path: str) -> list[int]:
@@ -130,25 +141,46 @@ def touched_partitions(df: DataFrame, key_cols: list[str], n_partitions: int) ->
     )
 
 
+def version_partitions(path: str, version: int) -> int | None:
+    """The partition count ``v=version`` was WRITTEN under (its ``_P``
+    sidecar; None for a version predating the sidecar). Versions written
+    before a re-shard carry the old hash — pruning them with new-P
+    partition ids would silently drop rows, so reads fall back to the
+    full directory set for any version whose P doesn't match the
+    caller's."""
+    f = os.path.join(path, f"v={version}", "_P")
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return int(fh.read())
+
+
 def read_union(
     spark: SparkSession,
     path: str,
     version: int,
     schema: str,
     touched_p: list[int] | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """The UNRESOLVED snapshot+delta union as of ``version`` (the caller
     applies its resolution); empty with the right schema for version <
-    0. ``touched_p`` prunes to those hash partitions."""
+    0. ``touched_p`` prunes to those hash partitions — pass the
+    ``n_partitions`` the probe set was hashed under: versions written
+    under a DIFFERENT P (pre-re-shard history a replayed batch may still
+    pin) are read whole instead of mis-pruned."""
     if version < 0:
         return spark.createDataFrame([], schema)
     paths: list[str] = []
     for v in source_versions(path, version):
         vdir = os.path.join(path, f"v={v}")
+        prune_this = touched_p is not None and (
+            n_partitions is None or version_partitions(path, v) == n_partitions
+        )
         for d in os.listdir(vdir):
             if not d.startswith("p="):
                 continue
-            if touched_p is not None and int(d[2:]) not in touched_p:
+            if prune_this and int(d[2:]) not in touched_p:
                 continue
             paths.append(os.path.join(vdir, d))
     if not paths:
@@ -175,6 +207,8 @@ def write_version(
         .partitionBy("p")
         .parquet(vdir)
     )
+    with open(os.path.join(vdir, "_P"), "w") as f:
+        f.write(str(int(n_partitions)))  # pruning safety across re-shards
     if snapshot:
         with open(os.path.join(vdir, _SNAPSHOT), "w"):
             pass
@@ -188,22 +222,34 @@ def compact(
     schema: str,
     key_cols: list[str],
     resolve: Callable[[DataFrame], DataFrame],
+    n_partitions: int | None = None,
 ) -> int:
     """Fold the latest snapshot + delta tail into ONE new snapshot
     version (returned). O(live index) by design — scheduled maintenance.
-    Single writer: run between stream drains."""
+    Single writer: run between stream drains.
+
+    ``n_partitions`` RE-SHARDS the store: the snapshot is written under
+    the new hash and ``_META`` advances with it, so every later delta
+    and pruned read uses the new partitioning. The snapshot holds every
+    retained row, so post-compact resolutions never mix hashes — and a
+    crash-REPLAYED batch still pinned to a pre-re-shard base stays
+    correct because each version carries its write-time ``_P`` sidecar
+    and :func:`read_union` refuses to prune a version whose P differs
+    from the probe set's (it reads that version whole instead). Size P
+    so live-index bytes / P stays near one parquet split."""
     versions = committed_versions(path)
     if not versions:
         raise ValueError(f"no committed versions at {path}; nothing to compact")
     meta = load_or_init_meta(path, DEFAULT_PARTITIONS)
+    P = meta["n_partitions"] if n_partitions is None else int(n_partitions)
     latest = versions[-1]
     resolved = resolve(
         read_union(spark, path, latest, schema)
     ).localCheckpoint(eager=True)
     next_v = latest + 1
-    write_version(
-        resolved, path, next_v, key_cols, meta["n_partitions"], snapshot=True
-    )
+    write_version(resolved, path, next_v, key_cols, P, snapshot=True)
+    if n_partitions is not None and P != meta["n_partitions"]:
+        _store_meta(path, P)
     return next_v
 
 

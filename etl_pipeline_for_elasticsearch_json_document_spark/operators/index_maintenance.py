@@ -95,6 +95,7 @@ def read_fingerprint_index(
     index_path: str,
     version: int | None = None,
     touched_p: list[int] | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """The committed index resolved AS OF ``version`` (latest by
     default; empty with the right schema if none). ``touched_p`` prunes
@@ -106,7 +107,9 @@ def read_fingerprint_index(
             return spark.createDataFrame([], INDEX_SCHEMA)
         version = versions[-1]
     return _resolve(
-        delta_store.read_union(spark, index_path, version, INDEX_SCHEMA, touched_p)
+        delta_store.read_union(
+            spark, index_path, version, INDEX_SCHEMA, touched_p, n_partitions
+        )
     )
 
 
@@ -145,7 +148,9 @@ def _classify(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
     ).localCheckpoint(eager=True)  # one md5 pass feeds probe set + classify
     touched = delta_store.touched_partitions(h, _KEYS, P)
-    idx = read_fingerprint_index(spark, index_path, version=base_v, touched_p=touched)
+    idx = read_fingerprint_index(
+        spark, index_path, version=base_v, touched_p=touched, n_partitions=P
+    )
     first = h.groupBy("fp").agg(F.min("doc_id").alias("first_in_batch"))
     cls = (
         h.join(idx.withColumnRenamed("first_doc_id", "idx_first"), "fp", "left")

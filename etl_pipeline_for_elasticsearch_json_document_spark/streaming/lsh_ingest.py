@@ -112,12 +112,17 @@ def _read_resolved(
     index_path: str,
     version: int,
     touched_p: list[int] | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """The index AS OF ``version``, resolved to ONE row per (band,
     bucket); ``touched_p`` prunes the union read to those hash
-    partitions (rows elsewhere cannot share a bucket with the probes)."""
+    partitions (rows elsewhere cannot share a bucket with the probes) —
+    pass the P the probes were hashed under so pre-re-shard versions
+    read whole instead of mis-pruned."""
     return _resolve(
-        delta_store.read_union(spark, index_path, version, BUCKET_SCHEMA, touched_p)
+        delta_store.read_union(
+            spark, index_path, version, BUCKET_SCHEMA, touched_p, n_partitions
+        )
     )
 
 
@@ -185,7 +190,9 @@ def _lsh_batch_processor(
         # driver-bounded) and prune the index read to it. This is what
         # keeps per-batch cost tied to |batch|, not |index|.
         touched = delta_store.touched_partitions(batch_min, _KEYS, P)
-        idx = _read_resolved(spark, index_path, base_v, touched_p=touched)
+        idx = _read_resolved(
+            spark, index_path, base_v, touched_p=touched, n_partitions=P
+        )
         j = (
             bb.join(idx, ["band", "bucket"], "left")
             .join(batch_min, ["band", "bucket"])

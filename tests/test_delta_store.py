@@ -88,3 +88,39 @@ def test_uncommitted_version_is_invisible(spark, tmp_path):
     os.makedirs(os.path.join(path, "v=1"))  # crashed write: no _COMMITTED
     assert ds.committed_versions(path) == [0]
     assert ds.source_versions(path, 0) == [0]
+
+
+def test_compact_reshard_changes_p_safely(spark, tmp_path):
+    """compact(n_partitions=...) re-shards: the snapshot and _META move
+    to the new hash, later pruned reads use it — and a pruned read of a
+    PRE-re-shard version (the replay case) falls back to the full
+    directory set via the per-version _P sidecar instead of mis-pruning
+    old-hash dirs with new-hash partition ids."""
+    path = str(tmp_path / "store")
+    ds.load_or_init_meta(path, 4)
+    rows = [(i, i) for i in range(40)]
+    ds.write_version(_df(spark, rows), path, 0, ["k"], 4)          # delta @P=4
+    assert ds.version_partitions(path, 0) == 4
+    assert ds.compact(spark, path, SCHEMA, ["k"], _resolve, n_partitions=16) == 1
+    assert ds.load_or_init_meta(path, 4) == {"n_partitions": 16}   # persisted new P
+    assert ds.version_partitions(path, 1) == 16
+
+    probes = _df(spark, [(7, 0), (23, 0)])
+    # post-re-shard read: pruned under the NEW P, exact
+    t_new = ds.touched_partitions(probes, ["k"], 16)
+    got = {
+        r["k"]
+        for r in ds.read_union(
+            spark, path, 1, SCHEMA, touched_p=t_new, n_partitions=16
+        ).collect()
+    }
+    assert {7, 23} <= got and len(got) < 40
+    # replay-style read of the PRE-re-shard version with new-P probe ids:
+    # the _P mismatch disables pruning for v=0, so nothing is dropped
+    got_old = {
+        r["k"]
+        for r in ds.read_union(
+            spark, path, 0, SCHEMA, touched_p=t_new, n_partitions=16
+        ).collect()
+    }
+    assert got_old == {i for i, _ in rows}
