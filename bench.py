@@ -634,6 +634,71 @@ def bench_scale_ladder(spark, sf_dir: str, x1: dict[str, float]) -> dict:
     return out
 
 
+def bench_fp_index(spark, sf_dir: str) -> dict[str, float]:
+    """DIAGNOSTIC: fingerprint-index maintenance cost — the second
+    delta-store consumer, measured the same way as bench_lsh_index: bulk
+    build (80% of the corpus), bulk classify (20%), then the
+    independence check — a 64-doc batch against the index as built and
+    against a ~5×-grown compacted index (``fp_small_grown_ratio`` ≈ 1:
+    per-batch cost is bounded by the batch, not the index; through r8
+    every version rewrote the full fingerprint relation)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
+        compact_fingerprint_index,
+        ingest_with_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    work = tempfile.mkdtemp(prefix="bench_fp_")
+    idx = f"{work}/idx"
+    out: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        ingest_with_index(spark, idx, docs.filter(F.col("doc_id") % 5 != 0),
+                          n_partitions=256).count()
+        out["fp_index_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ingest_with_index(spark, idx, docs.filter(F.col("doc_id") % 5 == 0)).count()
+        out["fp_index_classify"] = round(time.time() - t0, 3)
+        small = docs.filter(F.col("doc_id") % 97 == 3).limit(64)
+        t0 = time.time()
+        ingest_with_index(
+            spark, idx,
+            small.select((F.col("doc_id") + F.lit(50 * n)).alias("doc_id"), "text"),
+        ).count()
+        out["fp_index_batch_small"] = round(time.time() - t0, 3)
+        # grow ~5× with salted replicas (unsalted copies are exact dups and
+        # add no fingerprints), compact, re-measure the small batch
+        reps = spark.range(4).select(F.col("id").alias("__r"))
+        grown = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + (F.col("__r") + 1) * F.lit(10 * n)).alias("doc_id"),
+            F.concat("text", F.lit(" salt"), F.col("__r")).alias("text"),
+        )
+        ingest_with_index(spark, idx, grown).count()
+        t0 = time.time()
+        compact_fingerprint_index(spark, idx)
+        out["fp_index_compact"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ingest_with_index(
+            spark, idx,
+            small.select((F.col("doc_id") + F.lit(60 * n)).alias("doc_id"), "text"),
+        ).count()
+        out["fp_index_batch_small_grown"] = round(time.time() - t0, 3)
+        out["fp_small_grown_ratio"] = round(
+            out["fp_index_batch_small_grown"] / out["fp_index_batch_small"], 2
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def flatten_subprocess_main() -> None:
     """``bench.py --flatten-subprocess``: the Spark-path flatten
     micro-entries in a JVM of their own (see module docstring). Prints one
@@ -746,6 +811,7 @@ def main() -> None:
     # shared-session state inflated ann_ivf_build by 28% in r8.
     diagnostics.update(run_ann_isolated(sf_dir))
     diagnostics.update(bench_lsh_index(spark, sf_dir))
+    diagnostics.update(bench_fp_index(spark, sf_dir))
 
     # ×10 scale ladder for the top headliners (VERDICT r8 item 2); the
     # dedup and flatten rungs reuse entries measured above.
