@@ -38,31 +38,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # round in dict order, so _ordered() emits (1) queries never yet driver-
 # checked, (2) queries first registered this round, (3) already-driver-
 # verified names ordered STALEST FIRST (by the round whose
-# CORRECTNESS_r{N}.json last proved them green) — with all 208 registered
-# queries cumulatively driver-verified (r1-r8, zero failures), the r9 budget
+# CORRECTNESS_r{N}.json last proved them green) — with all 226 registered
+# queries cumulatively driver-verified (r1-r9, zero failures), the r10 budget
 # takes any new names first and then re-verifies the least-recently-checked
-# band (the round-3-vintage leftovers q92-q99 and the round-4 block — the
-# oldest green proofs on the board, as VERDICT r8 item 8 prescribes).
+# band (the remaining round-4 block q120-q143 and the r5 block q144-q152 —
+# the oldest green proofs on the board, as VERDICT r9 item 4 prescribes).
 # ALL of (1) and (2) are locally green against the same DuckDB oracles at the
 # driver's sf0.01 (scripts/compare_oracle.py); the remainder keeps regression
 # coverage via tests/test_queries.py. Round maintenance: after each
 # CORRECTNESS_r{N}.json, record its green names as last-verified in round N
 # and empty the new-this-round set.
 
-#: Queries first registered in round 9 — ordered first (never driver-checked,
+#: Queries first registered in round 10 — ordered first (never driver-checked,
 #: newest); locally oracle-green at sf0.01 AND sf0.001 before registration
 #: (scripts/compare_oracle.py).
-_NEW_IN_R9: set[str] = {
-    "q211_cheapest_supplier", "q212_part_value_concentration",
-    "q213_order_count_distribution", "q214_idle_customer_audit",
-    "q215_readability_scores", "q216_fingerprint_bucket_health",
-    "q217_scorer_rank_correlation", "q218_event_burstiness",
-    "q219_price_band_match", "q220_nation_trade_volume",
-    "q221_lexical_richness", "q222_user_value_gini",
-    "q223_backlog_curve", "q224_shipping_delay_distribution",
-    "q225_repeat_purchase_interval", "q226_first_word_entropy",
-    "q227_balance_outliers_robust", "q228_crosslingual_mirror",
-}
+_NEW_IN_R10: set[str] = set()
 
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {
@@ -95,21 +85,21 @@ _LAST_VERIFIED: dict[str, int] = {
     "q80_math_funcs": 8, "q81_null_handling": 8, "q82_string_more": 8,
     "q83_date_more": 8, "q84_scalar_subquery": 8, "q85_in_subquery": 8,
     "q86_literal_dim_join": 8, "q88_posexplode": 8, "q89_full_outer_join": 8,
-    "q90_map_functions": 8, "q91_pivot": 8, "q92_unpivot": 3,
-    "q93_stats_agg": 3, "q94_window_distribution": 3, "q95_sessionize": 3,
-    "q96_regexp_extract_all": 3, "q97_rolling_time_window": 3,
-    "q98_nth_value": 3, "q99_bool_bit_agg": 3,
-    # round 4
-    "q01_pricing_summary": 4, "q02_filter_predicates": 4,
-    "q03_revenue_topn": 4, "q04_join_region_rollup": 4,
-    "q05_count_distinct": 4, "q06_rollup": 4, "q07_cube": 4,
-    "q08_grouping_sets": 4, "q09_median_percentile": 4,
-    "q100_decontaminate": 4, "q106_count_min": 4, "q107_vector_quantize": 4,
-    "q108_scd2": 4, "q109_dedup_weights": 4, "q110_fuzzy_decontaminate": 4,
-    "q111_weighted_sample": 4, "q112_facets": 4, "q113_bm25_topk": 4,
-    "q114_triangle_counts": 4, "q115_source_mix": 4,
-    "q116_decontaminated_stats": 4, "q117_novelty_scores": 4,
-    "q118_profile": 4, "q119_gap_fill": 4, "q120_null_safe_join": 4,
+    "q90_map_functions": 8, "q91_pivot": 8, "q92_unpivot": 9,
+    "q93_stats_agg": 9, "q94_window_distribution": 9, "q95_sessionize": 9,
+    "q96_regexp_extract_all": 9, "q97_rolling_time_window": 9,
+    "q98_nth_value": 9, "q99_bool_bit_agg": 9,
+    # round 4 (entries re-verified by CORRECTNESS_r09's stalest band are 9)
+    "q01_pricing_summary": 9, "q02_filter_predicates": 9,
+    "q03_revenue_topn": 9, "q04_join_region_rollup": 9,
+    "q05_count_distinct": 9, "q06_rollup": 9, "q07_cube": 9,
+    "q08_grouping_sets": 9, "q09_median_percentile": 9,
+    "q100_decontaminate": 9, "q106_count_min": 9, "q107_vector_quantize": 9,
+    "q108_scd2": 9, "q109_dedup_weights": 9, "q110_fuzzy_decontaminate": 9,
+    "q111_weighted_sample": 9, "q112_facets": 9, "q113_bm25_topk": 9,
+    "q114_triangle_counts": 9, "q115_source_mix": 9,
+    "q116_decontaminated_stats": 9, "q117_novelty_scores": 9,
+    "q118_profile": 9, "q119_gap_fill": 9, "q120_null_safe_join": 4,
     "q121_union_schema_evolution": 4, "q122_bfs_levels": 4, "q123_funnel": 4,
     "q124_retention_cohorts": 4, "q125_fuzzy_match": 4,
     "q126_anomaly_days": 4, "q127_snapshot_diff": 4,
@@ -165,13 +155,24 @@ _LAST_VERIFIED: dict[str, int] = {
     "q205_lang_source_chi2": 8, "q206_langid_kappa": 8,
     "q207_sorted_neighborhood": 8, "q208_benford_price_audit": 8,
     "q209_embedding_cov_probe": 8, "q210_budget_selection": 8,
+    # round 9 (CORRECTNESS_r09: 50/50 green — the 18 r9-new plus the 32
+    # stalest re-verifications, whose entries above are bumped to 9)
+    "q211_cheapest_supplier": 9, "q212_part_value_concentration": 9,
+    "q213_order_count_distribution": 9, "q214_idle_customer_audit": 9,
+    "q215_readability_scores": 9, "q216_fingerprint_bucket_health": 9,
+    "q217_scorer_rank_correlation": 9, "q218_event_burstiness": 9,
+    "q219_price_band_match": 9, "q220_nation_trade_volume": 9,
+    "q221_lexical_richness": 9, "q222_user_value_gini": 9,
+    "q223_backlog_curve": 9, "q224_shipping_delay_distribution": 9,
+    "q225_repeat_purchase_interval": 9, "q226_first_word_entropy": 9,
+    "q227_balance_outliers_robust": 9, "q228_crosslingual_mirror": 9,
 }
 
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
     never_checked = [
-        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R9
+        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R10
     ]
     verified = sorted(
         (n for n in names if n in _LAST_VERIFIED),
@@ -179,7 +180,7 @@ def _ordered() -> list[str]:
     )
     return (
         never_checked
-        + [n for n in names if n in _NEW_IN_R9]
+        + [n for n in names if n in _NEW_IN_R10]
         + verified
     )
 
