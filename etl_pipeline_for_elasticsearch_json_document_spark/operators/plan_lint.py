@@ -46,6 +46,19 @@ the stable plan text):
   folding the band into the equi-key (offset explode) or bucketing
   the range dimension. Broadcast joins with residuals are not flagged
   (the build side bounds the pair count).
+- ``bounded-key-window`` — a window whose partition key consists ONLY
+  of bounded-domain columns (source / event_type / lang / ...: a
+  handful of values at EVERY scale factor) over an input that is not
+  bounded by construction. The plan renders as a healthy partitioned
+  window, but each partition holds ~input/|domain| rows sorted in ONE
+  task — a global sort divided by five (the q217/q222 shape). Fix by
+  moving the window onto the DISTINCT-VALUE relation (group by
+  (bounded key, score), cumulative counts over the value domain, tie
+  blocks ranked per (key, score) partition — the q175 trick); windows
+  whose input IS bounded (a grouped aggregate whose every grouping key
+  is a bounded domain or a calendar bucket, a limit, a scalar agg)
+  are exempt, and deliberately bounded inputs the rule cannot prove
+  (value-domain relations) carry reasoned allowances.
 
 A finding is a FACT about the plan, not always a bug: a vocabulary-sized
 relation may sort globally by design. The ``allow`` set documents
@@ -67,12 +80,42 @@ RULES = (
     "global-sort",
     "fact-scaled-broadcast",
     "band-join",
+    "bounded-key-window",
 )
 
 #: Tables whose cardinality is CONSTANT across TPC-H scale factors
 #: (nation = 25 rows, region = 5 rows at sf0.001 and at 100 TB alike).
 #: Broadcasting these is always safe; everything else grows with SF.
 CONSTANT_TABLES = frozenset({"nation", "region"})
+
+#: Columns whose VALUE DOMAIN is a handful of categories at every scale
+#: factor (the same vocabulary the fact-scaled-broadcast allowances
+#: name). A window partitioned ONLY by these concentrates
+#: ~input/|domain| rows in single sort tasks when the input scales with
+#: the corpus — the shape `bounded-key-window` exists to catch.
+BOUNDED_DOMAIN_COLUMNS = frozenset(
+    {
+        "source", "event_type", "lang", "label", "shard", "split",
+        "key_col", "type_a", "type_b",
+        "o_orderstatus", "c_mktsegment", "l_returnflag", "l_linestatus",
+        "l_shipmode", "o_orderpriority", "l_shipinstruct",
+        "n_name", "r_name", "n_nationkey", "r_regionkey",
+        "c_nationkey", "s_nationkey", "nationkey", "region",
+    }
+)
+
+#: Calendar-bucket columns: their domain grows with TIME, not with SF —
+#: a grouped aggregate keyed on (bounded domain × calendar bucket) is a
+#: bounded relation (|types| × |days|), safe as a window input.
+TIME_BUCKET_COLUMNS = frozenset(
+    {"day", "week", "month", "year", "hour", "date", "dt", "event_date"}
+)
+
+#: Columns bounded by a literal modulus/bucketing parameter (a histogram
+#: bin, a decile id): a grouped aggregate keyed on these has output
+#: cardinality fixed by the literal, not the corpus. Used only to prove
+#: a window INPUT bounded — never as a trigger key.
+MODULUS_BOUNDED_COLUMNS = frozenset({"bin", "decile"})
 
 #: Unary logical nodes that don't grow their child's row count — walking
 #: through them from a broadcast hint finds the node that actually
@@ -183,6 +226,100 @@ def broadcast_hint_findings(df: DataFrame) -> list[dict]:
     return findings
 
 
+_ATTR_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)#\d+")
+_ALIAS_RE = re.compile(r" AS ([A-Za-z_][A-Za-z0-9_]*)#\d+$")
+
+
+def _attr_name(expr) -> str | None:
+    """The column name when ``expr`` renders as a plain attribute
+    reference (``name#id``); None for computed expressions
+    (conservatively treated as not-bounded)."""
+    m = _ATTR_RE.match(expr.toString())
+    return m.group(1) if m else None
+
+
+def _grouping_key_name(expr, agg_node) -> str | None:
+    """A grouping key's EXPOSED name: the attribute name for a plain
+    reference; for a computed key (``groupBy(to_date("ts").alias("day"))``
+    — the Aggregate strips the alias from groupingExpressions), the alias
+    the matching RESULT expression gives it (``to_date(ts) AS day#N`` →
+    ``day``, the name whose domain the relation is keyed on). None for
+    anonymous computed keys."""
+    s = expr.toString()
+    m = _ATTR_RE.match(s)
+    if m:
+        return m.group(1)
+    res = agg_node.aggregateExpressions()
+    for i in range(res.size()):
+        rs = res.apply(i).toString().splitlines()[0]
+        if rs.startswith(s + " AS "):
+            m = _ALIAS_RE.search(rs)
+            if m:
+                return m.group(1)
+    return None
+
+
+#: Grouping-key names that bound an aggregate's output cardinality
+#: independent of corpus size (see each set's comment).
+_BOUNDED_GROUPING = BOUNDED_DOMAIN_COLUMNS | TIME_BUCKET_COLUMNS | MODULUS_BOUNDED_COLUMNS
+
+
+def _window_input_bounded(node) -> bool:
+    """True when a Window's input is bounded by construction: a
+    limit/scalar-agg/literal spine, OR a grouped aggregate whose every
+    grouping key is a bounded-domain / calendar-bucket / literal-modulus
+    column (output cardinality = product of bounded domains, independent
+    of SF)."""
+    while True:
+        name = node.nodeName()
+        if name in ("GlobalLimit", "LocalLimit", "LocalRelation", "OneRowRelation", "Range"):
+            return True
+        if name == "Aggregate":
+            exprs = node.groupingExpressions()
+            if exprs.isEmpty():
+                return True
+            keys = [_grouping_key_name(exprs.apply(i), node) for i in range(exprs.size())]
+            return all(k is not None and k.lower() in _BOUNDED_GROUPING for k in keys)
+        kids = _jchildren(node)
+        if name in _ROW_BOUND_PRESERVING and len(kids) == 1:
+            node = kids[0]
+            continue
+        return False
+
+
+def bounded_key_window_findings(df: DataFrame) -> list[dict]:
+    """Findings for windows partitioned ONLY by bounded-domain columns
+    over an unbounded input (the q217/q222 shape: a global sort divided
+    by |domain|). Walks the ANALYZED logical plan, where Window nodes
+    expose their partition spec directly; windows with an empty spec are
+    the ``single-partition`` rule's territory and skipped here."""
+    findings: list[dict] = []
+    analyzed = df._jdf.queryExecution().analyzed()
+    for node in _jwalk(analyzed):
+        if node.nodeName() != "Window":
+            continue
+        spec = node.partitionSpec()
+        if spec.isEmpty():
+            continue
+        names = [_attr_name(spec.apply(i)) for i in range(spec.size())]
+        if not all(n is not None and n.lower() in BOUNDED_DOMAIN_COLUMNS for n in names):
+            continue
+        if _window_input_bounded(_jchildren(node)[0]):
+            continue
+        findings.append(
+            {
+                "rule": "bounded-key-window",
+                "evidence": (
+                    f"window partitioned only by bounded-domain key(s) "
+                    f"{sorted(set(names))} over an unbounded input — each "
+                    f"partition sorts ~input/|domain| rows in one task"
+                )[:200],
+            }
+        )
+        break  # one finding per plan is enough for the gate
+    return findings
+
+
 _SHUFFLED_JOIN_RE = re.compile(r"\b(SortMergeJoin|ShuffledHashJoin)\b(.*)")
 # Comparisons in Catalyst's plan rendering are space-delimited:
 # "(rb#10 > ra#6)", "(ts#3 <= (start#7 + 100))".
@@ -239,6 +376,7 @@ def lint_plan(df: DataFrame) -> list[dict]:
         _hit("global-sort", "rangepartitioning")
     findings.extend(_band_join_findings(plan))
     findings.extend(broadcast_hint_findings(df))
+    findings.extend(bounded_key_window_findings(df))
     return findings
 
 

@@ -46,25 +46,82 @@ def deterministic_sample(df: DataFrame, key_col: str, per_16: int) -> DataFrame:
     return df.filter(hash_bucket(F.col(key_col)) < F.lit(threshold))
 
 
+def per_key_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    sort_cols: list[str],
+    k: int,
+    n_salts: int = 32,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """EXACT first-``k`` rows per key under the ascending total order of
+    ``sort_cols`` — the scalable form of
+    ``row_number().over(partitionBy(key).orderBy(...)) <= k``.
+
+    The naive window concentrates each key's ENTIRE slice (~corpus /
+    |keys| rows for a bounded key domain) in one sort task — the
+    ``bounded-key-window`` lint shape. This operator is two-level:
+
+    1. **Salted pre-trim** — rows are spread over ``n_salts`` deterministic
+       salt cells (xxhash64 of the sort columns) and ranked per
+       ``(key, salt)``; any true global top-k row is top-k within its
+       cell, so keeping k per cell is lossless. Task input shrinks to
+       ~corpus / (|keys| × n_salts) — size ``n_salts`` like a shuffle
+       partition count.
+    2. **Bounded merge** — the ≤ |keys| × n_salts × k survivors are
+       merged per key with sort_array + slice over a collect_list that
+       is ≤ n_salts × k structs by construction — no window, no
+       single-task corpus sort anywhere in the plan.
+
+    Requirements: ``sort_cols`` must end in a unique tiebreak (ranking
+    determinism — same contract every ranking query in the repo states)
+    and be ASCENDING; for a descending numeric order pass a negated
+    column. Returns ``df``'s columns (minus helper columns) plus
+    ``rank_col`` (1-based, bigint) when requested.
+    """
+    from pyspark.sql import Window
+
+    sort_structs = [F.col(c) for c in sort_cols]
+    payload = [c for c in df.columns if c not in key_cols]
+    salt = F.pmod(F.xxhash64(*sort_structs), F.lit(n_salts))
+    w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*sort_cols)
+    pre = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__salt", "__rn")
+    )
+    packed = pre.groupBy(*key_cols).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(*sort_structs, F.struct(*payload).alias("__p"))
+                )
+            ),
+            1,
+            k,
+        ).alias("__top")
+    )
+    ex = packed.select(
+        *key_cols, F.posexplode("__top").alias("__pos", "__row")
+    )
+    cols = [F.col(f"__row.__p.{c}").alias(c) for c in payload]
+    if rank_col:
+        cols.append((F.col("__pos") + 1).cast("bigint").alias(rank_col))
+    return ex.select(*key_cols, *cols)
+
+
 def per_key_quota(
-    df: DataFrame, key_col: str, order_col: str, quota: int
+    df: DataFrame, key_col: str, order_col: str, quota: int, n_salts: int = 32
 ) -> DataFrame:
     """Cap rows per key at ``quota``, keeping the first ``quota`` in
     ``order_col`` order — the Common-Crawl-style per-domain cap that stops
-    one mega-site from dominating a training mix. One window (a single
-    shuffle on the key); deterministic because the order column is a key,
-    not rand(). At 100 TB prefer a two-level variant (per-partition
-    pre-trim to ``quota`` rows per key via the same window over
-    ``(key, partition)`` first) when single keys exceed executor memory —
-    semantics identical, bounded state."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(key_col).orderBy(order_col)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= quota)
-        .drop("__rn")
-    )
+    one mega-site from dominating a training mix. Deterministic because
+    the order column is a key, not rand(); scalable because it rides
+    :func:`per_key_topk`'s salted two-level plan — no single task ever
+    sorts a whole key's slice, so a mega-domain cannot straddle one
+    executor's memory."""
+    return per_key_topk(df, [key_col], [order_col], quota, n_salts)
 
 
 def sequence_packing(
@@ -83,7 +140,14 @@ def sequence_packing(
 
     One window cumsum per group — a single shuffle on the group key; the
     pack id is a pure function of (order, token counts), so re-runs and
-    repartitioning cannot move a document between packs.
+    repartitioning cannot move a document between packs. The prefix sum
+    is order-sequential BY DEFINITION (each pack id depends on every
+    earlier token count), so the per-group window is the semantics, not
+    an accident; when one group's corpus slice outgrows a sort task,
+    the same result comes from a hierarchical prefix sum — cumsum
+    within doc_id-range chunks, then one pass over the tiny per-chunk
+    totals relation to add each chunk's carry — identical output,
+    chunk-bounded tasks.
 
     Columns: ``group, pack_id, n_docs, pack_tokens``.
     """

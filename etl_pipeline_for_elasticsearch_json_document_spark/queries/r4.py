@@ -411,19 +411,48 @@ SELECT lang, decile, CAST(count(*) AS BIGINT) AS n_total,
        CAST(max(n_tokens) AS BIGINT) AS max_tokens
 FROM s GROUP BY lang, decile
 """,
-    doc="Curriculum sampling: per-language token-length deciles (ntile "
-    "partitioned by lang — no global single-reducer sort; doc_id "
-    "tiebreak) sampled at per-decile rates — long docs kept at 12/16, "
-    "short at 6/16 — with the md5-bucket coin, so the SAME documents are "
-    "chosen under any partitioning, engine, or re-run (rand() would leak "
-    "docs between train sets across backfills).",
+    doc="Curriculum sampling: per-language token-length deciles sampled "
+    "at per-decile rates — long docs kept at 12/16, short at 6/16 — with "
+    "the md5-bucket coin, so the SAME documents are chosen under any "
+    "partitioning, engine, or re-run (rand() would leak docs between "
+    "train sets across backfills). Scale (the q175 distinct-value "
+    "decomposition): each doc's rank is count-strictly-below (one "
+    "cumulative window over the DISTINCT (lang, n_tokens) relation — "
+    "bounded by the length domain) plus a row_number inside its "
+    "(lang, n_tokens) tie block, and the decile is SQL ntile's exact "
+    "closed form over (rank, n) — first n%10 buckets hold "
+    "floor(n/10)+1 rows — verified bucket-for-bucket against F.ntile; "
+    "no task ever sorts a whole language's corpus slice.",
 )
 def q134(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
-    b = d.withColumn("decile", F.ntile(10).over(w))
+    g = d.groupBy("lang", "n_tokens").agg(F.count("*").alias("k"))
+    wv = (
+        Window.partitionBy("lang")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    below = g.select(
+        "lang",
+        "n_tokens",
+        (F.sum("k").over(wv) - F.col("k")).alias("below"),
+        F.sum("k").over(Window.partitionBy("lang")).alias("n"),
+    )
+    tie = Window.partitionBy("lang", "n_tokens").orderBy("doc_id")
+    ranked = d.join(below, ["lang", "n_tokens"]).withColumn(
+        "rk", F.col("below") + F.row_number().over(tie)
+    )
+    # ntile(10) closed form (double ceil is exact: ranks << 2^53)
+    q_ = F.floor(F.col("n") / 10)
+    r_ = F.col("n") % 10
+    decile = (
+        F.when(F.col("rk") <= (q_ + 1) * r_, F.ceil(F.col("rk") / (q_ + 1)))
+        .otherwise(r_ + F.ceil((F.col("rk") - (q_ + 1) * r_) / q_))
+        .cast("int")
+    )
+    b = ranked.withColumn("decile", decile)
     sampled = hash_bucket(F.col("doc_id")) < F.when(
         F.col("decile") >= 8, F.lit("c")
     ).otherwise(F.lit("6"))

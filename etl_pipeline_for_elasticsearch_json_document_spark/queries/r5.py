@@ -228,15 +228,14 @@ def q147(spark, sf_dir):
     hashed = du.select(
         "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
     )
-    w = Window.partitionBy("event_type").orderBy("h")
     # No .cache(): the sketch is K rows per type and rebuilt cheaply; caching
     # here leaked blocks into executor storage for the rest of the session
-    # every time the query gate ran (ADVICE r5).
-    kmv = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KMV_K)
-        .select("event_type", "h")
-    )
+    # every time the query gate ran (ADVICE r5). Bottom-K per type via the
+    # salted two-level top-k — no task ever sorts a whole type's user slice
+    # (h is md5 over distinct users: unique within a type, its own tiebreak).
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import sampling
+
+    kmv = sampling.per_key_topk(hashed, ["event_type"], ["h"], _KMV_K)
     types = du.select("event_type").distinct()
     pairs = (
         types.alias("a")
@@ -555,29 +554,34 @@ SELECT lang, rank, doc_id, n_chars, es_key FROM ranked WHERE rank <= 5
     "rates): this is the exact-k quota sampler. Determinism: u is an "
     "exact dyadic rational ((hash+0.5)/2^32 — never 0), keys round to 12 "
     "dp with doc_id tiebreak, so the SAME docs are chosen on any engine, "
-    "partitioning, or re-run. Scale: map-only key computation + per-group "
-    "top-k (bounded heap per partition via the window's partial "
-    "TakeOrdered) — no global sort, no rand().",
+    "partitioning, or re-run. Scale: map-only key computation + "
+    "sampling.per_key_topk's salted two-level top-k — the pre-trim ranks "
+    "per (lang, salt) cell (shuffle-partition-sized tasks, never a whole "
+    "language's corpus slice in one sort) and the merge is a k-bounded "
+    "sort_array; the descending es_key order rides the negated column, "
+    "row-for-row identical to the single-window spelling.",
 )
 def q148(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import sampling
+
     d = _t(spark, sf_dir, "documents")
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
+    es_key = F.round(F.log(u) / F.col("n_chars"), 12)
     keyed = d.select(
         "lang",
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.round(F.log(u) / F.col("n_chars"), 12).alias("es_key"),
+        es_key.alias("es_key"),
+        (-es_key).alias("neg_key"),
     )
-    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
-    return (
-        keyed.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 5)
-        .select("lang", "rank", "doc_id", "n_chars", "es_key")
+    top = sampling.per_key_topk(
+        keyed, ["lang"], ["neg_key", "doc_id"], 5, rank_col="rank"
     )
+    return top.select("lang", "rank", "doc_id", "n_chars", "es_key")
 
 
 # ---------------------------------------------------------------------------

@@ -760,11 +760,15 @@ FROM ranked GROUP BY key_col
     "the pre-shuffle planning report that decides whether a join or "
     "groupBy on that key needs salting (q133) or AQE skew handling BEFORE "
     "the 100 TB run, not after it spills. Scale: per-key counts "
-    "partial-aggregate map-side; the stats stage sees only (key_col, "
-    "distinct-key) rows; the ranked window partitions by the 2-value "
-    "key_col over already-reduced counts.",
+    "partial-aggregate map-side; the totals (n_keys/sum/max/min) reduce "
+    "map-side with no ranking at all; only the top-1/top-10 shares need "
+    "ranks, computed with sampling.per_key_topk's salted two-level top-k "
+    "— the per-key-count relation is |distinct user_ids| rows and never "
+    "funnels through one task per key_col value.",
 )
 def q163(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import sampling
+
     ev = _t(spark, sf_dir, "events")
     stats = (
         ev.select(F.col("user_id").cast("string").alias("k"))
@@ -778,26 +782,39 @@ def q163(spark, sf_dir):
             .select(F.lit("event_type").alias("key_col"), "k", "cnt")
         )
     )
-    w = Window.partitionBy("key_col").orderBy(F.col("cnt").desc(), F.col("k"))
-    ranked = stats.withColumn("r", F.row_number().over(w))
-    return ranked.groupBy("key_col").agg(
+    base = stats.groupBy("key_col").agg(
         F.count("*").cast("bigint").alias("n_keys"),
         F.sum("cnt").cast("bigint").alias("total_rows"),
         F.max("cnt").cast("bigint").alias("max_cnt"),
         F.min("cnt").cast("bigint").alias("min_cnt"),
+    )
+    top = sampling.per_key_topk(
+        stats.withColumn("neg", -F.col("cnt")),
+        ["key_col"],
+        ["neg", "k"],
+        10,
+        rank_col="r",
+    )
+    shares = top.groupBy("key_col").agg(
+        F.sum(F.when(F.col("r") == 1, F.col("cnt")).otherwise(0)).alias("top1"),
+        F.sum("cnt").alias("top10"),
+    )
+    return base.join(shares, "key_col").select(
+        "key_col",
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        "min_cnt",
         F.round(
-            F.max("cnt") / (F.sum("cnt") / F.count("*").cast("double")), 6
+            F.col("max_cnt") / (F.col("total_rows") / F.col("n_keys").cast("double")),
+            6,
         ).alias("skew_factor"),
-        F.round(
-            F.sum(F.when(F.col("r") == 1, F.col("cnt")).otherwise(0))
-            / F.sum("cnt").cast("double"),
-            6,
-        ).alias("top1_share"),
-        F.round(
-            F.sum(F.when(F.col("r") <= 10, F.col("cnt")).otherwise(0))
-            / F.sum("cnt").cast("double"),
-            6,
-        ).alias("top10_share"),
+        F.round(F.col("top1") / F.col("total_rows").cast("double"), 6).alias(
+            "top1_share"
+        ),
+        F.round(F.col("top10") / F.col("total_rows").cast("double"), 6).alias(
+            "top10_share"
+        ),
     )
 
 

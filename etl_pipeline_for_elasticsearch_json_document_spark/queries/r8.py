@@ -364,7 +364,10 @@ GROUP BY c.ctx, w.lang
     "division; one final rounded division. Scale: one per-lang window "
     "cumsum over (id, wc) pairs (text reduces to its count map-side); "
     "the ctx spine is a broadcast 3-row relation; output is "
-    "|ctx|x|langs|.",
+    "|ctx|x|langs|. The prefix sum is order-sequential by definition "
+    "(every boundary depends on all earlier lengths); past one sort "
+    "task per lang, the identical result comes from a hierarchical "
+    "prefix sum — chunk cumsums + a carry pass over per-chunk totals.",
 )
 def q198(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -1279,7 +1282,11 @@ FROM sel GROUP BY source
     "integer division; ranking orders by (rounded score, doc_id); the "
     "cumsum is integer. Scale: quality and word counts are map-only; "
     "one window cumsum per source partition (text never shuffles — only "
-    "(id, wc, q) rows); output is |sources| rows.",
+    "(id, wc, q) rows); output is |sources| rows. The greedy admission "
+    "prefix sum is order-sequential by definition; past one sort task "
+    "per source, the identical result comes from the hierarchical form "
+    "— cumsum within (source, score-range) chunks via the q175 "
+    "distinct-value relation, then a carry pass over chunk totals.",
 )
 def q210(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

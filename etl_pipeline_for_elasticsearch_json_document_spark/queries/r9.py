@@ -422,23 +422,40 @@ FROM r GROUP BY source
     "Determinism: ranks are row_numbers over (exact integer score, "
     "doc_id) — no ties ever reach the formula — and rho is one mirrored "
     "float expression over exact integer sums of squared rank "
-    "differences. Scale: two windows per source partition (no global "
-    "sort), then a |sources|-row aggregate.",
+    "differences. Scale (the q175 distinct-value decomposition — no "
+    "task ever sorts a per-source corpus slice): each rank is "
+    "count-strictly-below + rank-within-tie-block, where the cumulative "
+    "count runs over the DISTINCT (source, score) value relation "
+    "(bounded by the score domain) and the tie-block row_number is "
+    "partitioned by (source, score) — tasks are tie-block-sized, never "
+    "corpus/|sources|-sized. Exact: intra-tie order is doc_id in both "
+    "rankings, identical to the corpus-wide window spelling.",
 )
 def q217(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     s = d.select(
         "source", "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_words")
     )
-    r = s.select(
-        "source",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
-        .alias("r1"),
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy("n_words", "doc_id"))
-        .alias("r2"),
-    )
+
+    def add_rank(df, score, out):
+        # distinct-value relation: one row per (source, score value)
+        g = df.groupBy("source", score).agg(F.count("*").alias("k"))
+        wv = (
+            Window.partitionBy("source")
+            .orderBy(score)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        below = g.select(
+            "source", score, (F.sum("k").over(wv) - F.col("k")).alias("below")
+        )
+        tie = Window.partitionBy("source", score).orderBy("doc_id")
+        return (
+            df.join(below, ["source", score])
+            .withColumn(out, F.col("below") + F.row_number().over(tie))
+            .drop("below")
+        )
+
+    r = add_rank(add_rank(s, "n_chars", "r1"), "n_words", "r2")
     cnt = F.count("*")
     return r.groupBy("source").agg(
         cnt.cast("bigint").alias("n_docs"),
@@ -739,29 +756,50 @@ FROM r GROUP BY event_type
     "(n+1)Σx)/(nΣx) over users sorted ascending — the whale-risk / "
     "skew-monitoring economics metric (and the statistical cousin of "
     "q163's join-key skew audit: a high-Gini key column is a salting "
-    "candidate). Determinism: per-user totals are DECIMAL sums; ranks "
-    "break ties on user_id; Σi·x and Σx stay DECIMAL-exact and the Gini "
-    "is one mirrored float expression. Scale: one (type, user) partial "
-    "agg, a per-type window (no global sort), a |types|-row result.",
+    "candidate). Determinism: per-user totals are DECIMAL sums; Σi·x "
+    "and Σx stay DECIMAL-exact and the Gini is one mirrored float "
+    "expression. Scale (the q175 distinct-value decomposition): the "
+    "rank formula needs only Σi·x, and every user in an x-tie block "
+    "contributes the same x — so each block's rank mass is "
+    "x·(k·c + k(k+1)/2) with k the block size and c the users strictly "
+    "below, computed with ONE cumulative window over the DISTINCT "
+    "(type, x) value relation; no task ever sorts the per-type user "
+    "population, and the result is bit-identical to the per-user "
+    "row_number spelling (intra-tie order cannot change Σi·x).",
 )
 def q222(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     u = e.groupBy("event_type", "user_id").agg(
         F.sum(F.col("value").cast("decimal(18,4)")).alias("x")
     )
-    w = Window.partitionBy("event_type").orderBy("x", "user_id")
-    r = u.select(
+    # distinct-value relation: one row per (type, per-user total)
+    g = u.groupBy("event_type", "x").agg(F.count("*").alias("k"))
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = g.select(
         "event_type",
         "x",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+        "k",
+        (F.sum("k").over(wv) - F.col("k")).alias("c"),
     )
-    nD = F.max("n").cast("double")
-    return r.groupBy("event_type").agg(
-        F.max("n").cast("bigint").alias("n_users"),
+    # ranks in a tie block are c+1..c+k → Σranks = k·c + k(k+1)/2 (exact
+    # integer: shiftright halves the always-even k·(k+1))
+    rank_sum = F.col("k") * F.col("c") + F.shiftright(F.col("k") * (F.col("k") + 1), 1)
+    m = b.select(
+        "event_type",
+        "k",
+        (rank_sum * F.col("x")).alias("ix"),
+        (F.col("k") * F.col("x")).alias("kx"),
+    )
+    nD = F.sum("k").cast("double")
+    return m.groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("n_users"),
         F.round(
-            (2.0 * F.sum(F.col("i") * F.col("x")).cast("double") - (nD + 1) * F.sum("x").cast("double"))
-            / (nD * F.sum("x").cast("double")),
+            (2.0 * F.sum("ix").cast("double") - (nD + 1) * F.sum("kx").cast("double"))
+            / (nD * F.sum("kx").cast("double")),
             6,
         ).alias("gini"),
     )

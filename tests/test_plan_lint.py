@@ -125,6 +125,80 @@ def test_band_join_flagged(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bounded_key_window_flagged(spark, sf_dir):
+    """The rule fires on the pre-fix q217/q222 shape (window partitioned
+    only by a bounded-domain key over a fact table — one sort task owns
+    ~corpus/|domain| rows) and stays silent on every genuinely bounded or
+    fact-keyed window."""
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+    # the hostile shape: rank all events within each of ~5 event types
+    w_bad = Window.partitionBy("event_type").orderBy("value", "event_id")
+    assert "bounded-key-window" in _rules(
+        e.withColumn("r", F.row_number().over(w_bad))
+    )
+    # fact-scaled partition key: partitions stay small, clean
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    assert "bounded-key-window" not in _rules(
+        e.withColumn("r", F.row_number().over(w_user))
+    )
+    # mixed key including a non-bounded column (tie-block window): clean
+    w_tie = Window.partitionBy("source", "n_chars").orderBy("doc_id")
+    assert "bounded-key-window" not in _rules(
+        d.withColumn("r", F.row_number().over(w_tie))
+    )
+    # bounded input: grouped by (bounded domain x calendar bucket) —
+    # |types| x |days| rows, alias-through-Aggregate resolved
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w_daily = Window.partitionBy("event_type").orderBy("day")
+    assert "bounded-key-window" not in _rules(
+        daily.withColumn("r", F.row_number().over(w_daily))
+    )
+    # bounded input: explicit limit
+    assert "bounded-key-window" not in _rules(
+        e.limit(100).withColumn("r", F.row_number().over(w_bad))
+    )
+    # NOT bounded: grouped by (bounded domain x fact key) — per-user
+    # totals scale with the corpus even though the window key is bounded
+    per_user = e.groupBy("event_type", "user_id").agg(F.sum("value").alias("x"))
+    w_gini = Window.partitionBy("event_type").orderBy("x", "user_id")
+    assert "bounded-key-window" in _rules(
+        per_user.withColumn("r", F.row_number().over(w_gini))
+    )
+
+
+def test_per_key_topk_matches_window_spelling(spark, sf_dir):
+    """sampling.per_key_topk (salted pre-trim + bounded merge) returns
+    row-for-row what the naive bounded-key window returns, including the
+    rank column — while its own plan carries no bounded-key-window."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import (
+        per_key_topk,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    naive = (
+        e.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 7)
+        .select("event_type", "event_id", "user_id", "value", "rank")
+    )
+    fast = per_key_topk(
+        e, ["event_type"], ["value", "event_id"], 7, n_salts=5, rank_col="rank"
+    ).select("event_type", "event_id", "user_id", "value", "rank")
+    assert naive.exceptAll(fast).count() == 0
+    assert fast.exceptAll(naive).count() == 0
+    assert "bounded-key-window" not in _rules(fast)
+    # keys with fewer than k rows keep everything (k > group size)
+    few = per_key_topk(
+        e.limit(3), ["event_type"], ["value", "event_id"], 100, rank_col="rank"
+    )
+    assert few.count() == 3
+
+
 def test_assert_scalable_contract(spark):
     a = spark.range(10)
     b = spark.range(10).withColumnRenamed("id", "id2")

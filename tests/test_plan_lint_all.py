@@ -45,6 +45,26 @@ TOKEN_VOCAB = (
     "sublinear in corpus size (Heaps' law) and df-threshold-prunable — the "
     "docstring documents the shuffle fallback at open-vocab scale"
 )
+# bounded-key-window allowance vocabulary. The rule flags windows whose
+# partition key is ONLY bounded-domain columns over an input it cannot prove
+# bounded; these constants name the contracts that bound such inputs anyway.
+VALUE_DOMAIN_WINDOW = (
+    "cumulative window over a DISTINCT-VALUE relation (grouped by "
+    "(bounded key, exact score) before the window — the q175 trick): input "
+    "is bounded by the score's value domain, not the corpus; the rule "
+    "cannot prove it because the grouping key includes the score column"
+)
+VOCAB_WINDOW = (
+    "per-lang window over the (lang, token) vocabulary relation — "
+    "sublinear in corpus size (Heaps' law), the same bound TOKEN_VOCAB "
+    "documents for broadcasts"
+)
+PREFIX_SUM_WINDOW = (
+    "greedy prefix-sum semantics: the metric is DEFINED over a total "
+    "per-key document order, so a per-key running sum is the operator "
+    "itself; the docstring documents the hierarchical prefix-sum "
+    "(chunked partials + carry) spelling at open-corpus scale"
+)
 ALLOWANCES: dict[str, dict[str, str]] = {
     # BroadcastNestedLoopJoin: bounded broadcast side by contract
     "q40_knn_bruteforce": {
@@ -85,6 +105,10 @@ ALLOWANCES: dict[str, dict[str, str]] = {
     "q147_kmv_sketch_overlap": {
         "nested-loop-join": "K-row sketch pair cross",
         "fact-scaled-broadcast": SKETCH_RELATION,
+        "bounded-key-window": "pair-merge window input is the broadcast-"
+        "joined KMV union — ≤ 2K rows per (type_a, type_b) pair by "
+        "construction (the per-type sketches are K-bounded per_key_topk "
+        "output)",
     },
     "q150_matryoshka_recall": {
         "nested-loop-join": "K query vectors broadcast",
@@ -134,7 +158,8 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "3-row audit report"
     },
     "q198_packing_boundary_curve": {
-        "nested-loop-join": "3-row ctx spine literal broadcast"
+        "nested-loop-join": "3-row ctx spine literal broadcast",
+        "bounded-key-window": PREFIX_SUM_WINDOW,
     },
     "q199_gram_df_spectrum": {
         "nested-loop-join": "1-row vocab-total broadcast"
@@ -200,6 +225,24 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "construction, pinned in tests/test_plans.py::"
         "test_semantic_dedup_pairs_are_cluster_blocked"
     },
+    # bounded-key-window: value-domain / vocabulary / surface-demo windows
+    "q217_scorer_rank_correlation": {"bounded-key-window": VALUE_DOMAIN_WINDOW},
+    "q222_user_value_gini": {"bounded-key-window": VALUE_DOMAIN_WINDOW},
+    "q134_length_stratified_sample": {"bounded-key-window": VALUE_DOMAIN_WINDOW},
+    "q75_top_tokens_per_lang": {"bounded-key-window": VOCAB_WINDOW},
+    "q156_zipf_slope": {"bounded-key-window": VOCAB_WINDOW},
+    "q68_ntile_deciles": {
+        "bounded-key-window": "ntile SQL-surface demo (per-status deciles "
+        "over orders); the scalable quantile paths are q74's binned sketch "
+        "and the q175/q134 distinct-value decomposition"
+    },
+    "q94_window_distribution": {
+        "bounded-key-window": "window-distribution SQL surface (ntile / "
+        "percent_rank / cume_dist): the per-row exact global ranking IS the "
+        "pinned surface; scalable summaries are q74/q175/q134"
+    },
+    "q102_sequence_packing": {"bounded-key-window": PREFIX_SUM_WINDOW},
+    "q210_budget_selection": {"bounded-key-window": PREFIX_SUM_WINDOW},
     # bounded / surface-demo single-partition + global-sort shapes
     "q12_rank_dense": {
         "single-partition": "global rank/ntile SQL surface over the supplier dim; "

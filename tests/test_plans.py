@@ -278,15 +278,17 @@ def test_decontaminate_broadcasts_test_side(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_domain_quota_single_shuffle(spark):
-    # q101: one window = one Exchange on the key; better, Spark pushes the
-    # quota below the shuffle as a WindowGroupLimit (per-partition top-k
-    # pre-trim), so each mapper ships at most `quota` rows per key — the
-    # map-side-combine analog for rank filters.
+def test_domain_quota_salted_two_level(spark):
+    # q101 (r10 rewrite): per_key_topk = a salted pre-trim window keyed on
+    # (key, salt) — Spark pushes the quota below the shuffle as a
+    # WindowGroupLimit, so each mapper ships at most `quota` rows per
+    # (key, salt) cell — then a k-bounded sort_array merge with NO second
+    # window; the plan never sorts a whole key's slice in one task.
     plan = plan_text(Q["q101_domain_quota"].fn(spark, SF_DIR))
     tree = plan.split("(1) Scan")[0]
-    assert tree.count("Exchange") == 1
+    assert tree.count("Exchange") == 2  # salted window + bounded merge
     assert "WindowGroupLimit" in plan
+    assert "sort_array" in plan
 
 
 def test_sequence_packing_partial_agg(spark):
@@ -474,3 +476,50 @@ def test_q219_band_match_joins_on_bucket_not_class(spark):
     )
     pair_joins = [k for k in key_lists if "prio" in k]
     assert pair_joins and all("bkt" in k for k in pair_joins), plan
+
+
+def test_rank_decomposition_windows_run_over_value_domain(spark):
+    """r10 fix pin (VERDICT r9 item 1): q217/q222/q134's only
+    bounded-key windows are the cumulative counts over their DISTINCT-
+    VALUE relations — every such Window node's input chain reaches an
+    Aggregate (the (key, score) grouping), never a raw fact scan; the
+    corpus-side ranking is tie-block windows keyed on (key, score),
+    which the bounded-key-window rule does not flag."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.plan_lint import (
+        BOUNDED_DOMAIN_COLUMNS,
+        _ROW_BOUND_PRESERVING,
+        _attr_name,
+        _jchildren,
+        _jwalk,
+    )
+
+    for name in (
+        "q217_scorer_rank_correlation",
+        "q222_user_value_gini",
+        "q134_length_stratified_sample",
+    ):
+        df = Q[name].fn(spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed()
+        n_value_domain = 0
+        for node in _jwalk(analyzed):
+            if node.nodeName() != "Window" or node.partitionSpec().isEmpty():
+                continue
+            spec = node.partitionSpec()
+            names = [_attr_name(spec.apply(i)) for i in range(spec.size())]
+            if not all(
+                n is not None and n.lower() in BOUNDED_DOMAIN_COLUMNS for n in names
+            ):
+                continue  # tie-block window (key includes the score) — fine
+            # bounded-key window: its input must be the distinct-value agg
+            child = _jchildren(node)[0]
+            while (
+                child.nodeName() in _ROW_BOUND_PRESERVING
+                and len(_jchildren(child)) == 1
+            ):
+                child = _jchildren(child)[0]
+            assert child.nodeName() == "Aggregate", (
+                f"{name}: bounded-key window over {child.nodeName()}, "
+                "expected the distinct-value Aggregate"
+            )
+            n_value_domain += 1
+        assert n_value_domain >= 1, f"{name}: no value-domain window found"
