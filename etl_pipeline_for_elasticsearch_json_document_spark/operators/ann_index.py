@@ -101,13 +101,17 @@ def _write_version(
     centroids: DataFrame,
     postings: DataFrame,
     snapshot: bool = False,
+    reclaim_torn: bool = False,
 ) -> None:
-    """Commit one version: centroids (k rows, full), postings (delta or
-    snapshot) hash-partitioned on vec_id, ``_SNAPSHOT`` (if any) before
-    the ``_COMMITTED`` marker — atomic-or-absent, kind never ambiguous."""
+    """Commit one version: atomic single-writer claim (the shared
+    :func:`delta_store.claim_version` lock — two committers racing to the
+    same version fail loudly, never interleave), then centroids (k rows,
+    full), postings (delta or snapshot) hash-partitioned on vec_id,
+    ``_SNAPSHOT`` (if any) before the ``_COMMITTED`` marker —
+    atomic-or-absent, kind never ambiguous."""
     meta = delta_store.load_or_init_meta(index_path, delta_store.DEFAULT_PARTITIONS)
     P = meta["n_partitions"]
-    vdir = os.path.join(index_path, f"v={version}")
+    vdir = delta_store.claim_version(index_path, version, reclaim_torn)
     centroids.write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
     (
         postings.withColumn("p", delta_store.partition_expr(["vec_id"], P))

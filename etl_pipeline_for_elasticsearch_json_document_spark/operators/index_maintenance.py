@@ -167,14 +167,19 @@ def _classify(
     return cls.localCheckpoint(eager=True)  # pin before the index moves
 
 
-def _commit_delta(result: DataFrame, index_path: str, next_v: int) -> None:
-    """Commit the batch's genuinely-new fingerprints as delta v=next_v."""
+def _commit_delta(
+    result: DataFrame, index_path: str, next_v: int, reclaim_torn: bool = False
+) -> None:
+    """Commit the batch's genuinely-new fingerprints as delta v=next_v
+    (``reclaim_torn`` only for ledger-owning replays — see
+    :func:`delta_store.claim_version`)."""
     meta = delta_store.load_or_init_meta(index_path, DEFAULT_PARTITIONS)
     new_fps = result.filter(F.col("status") == "ingested").select(
         "fp", F.col("doc_id").cast("long").alias("first_doc_id")
     )
     delta_store.write_version(
-        new_fps, index_path, next_v, _KEYS, meta["n_partitions"]
+        new_fps, index_path, next_v, _KEYS, meta["n_partitions"],
+        reclaim_torn=reclaim_torn,
     )
 
 

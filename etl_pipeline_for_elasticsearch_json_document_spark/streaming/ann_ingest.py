@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_pipeline_for_elasticsearch_json_document_spark.operators import delta_store
 from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
     CENTROIDS_SCHEMA,
     _assign_fn,
@@ -99,13 +100,20 @@ def _ann_batch_processor(
         ).select(F.col(id_col).cast("long").alias("vec_id"), "cid", "dist")
         asg = asg.localCheckpoint(eager=True)  # pin before the store advances
 
-        next_v = base_v + 1
-        if next_v not in _committed_versions(index_path):
-            # DELTA commit (r9): the batch's own assignments, O(|batch|)
-            # written — the store's last-write-wins resolution replaces
-            # re-upserted ids at read time, so the old postings never
-            # need to be read (or rewritten) here at all.
-            _write_version(index_path, next_v, cents, asg)
+        # DELTA commit (r9): the batch's own assignments, O(|batch|)
+        # written — the store's last-write-wins resolution replaces
+        # re-upserted ids at read time, so the old postings never need
+        # to be read (or rewritten) here at all. commit_pinned_delta
+        # (r10) guards the replay skip: v=base_v+1 must be OUR delta,
+        # not a snapshot compact_ann_index committed in between.
+        delta_store.commit_pinned_delta(
+            index_path,
+            marker,
+            base_v,
+            lambda v: _write_version(
+                index_path, v, cents, asg, reclaim_torn=True
+            ),
+        )
         # deterministic per-(lineage, batch) dir + overwrite = idempotent
         asg.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")

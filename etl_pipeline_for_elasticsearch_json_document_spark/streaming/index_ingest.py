@@ -24,7 +24,12 @@ its own deterministic output dir. Every step is idempotent:
    (atomic tmp+rename, so a torn write is invisible);
 2. classify the batch against the resolution of ``v<=base_v`` (empty
    index for base_v=-1);
-3. commit delta ``v=base_v+1`` unless it is already committed;
+3. commit delta ``v=base_v+1`` via ``delta_store.commit_pinned_delta``:
+   skip ONLY when the committed version is our own delta — if a
+   compact() claimed the version with its snapshot between our marker
+   and our commit, the batch re-pins past the tail (recorded in
+   ``<marker>.recovered``) and commits there instead of silently
+   dropping its rows from the index;
 4. overwrite ``out_path/batch=<lineage>-<id>/`` with the classification.
 
 Crash between any two steps replays into the identical result. Markers
@@ -91,9 +96,15 @@ def _index_batch_processor(
         result = _classify(
             spark, index_path, batch_df, base_v, id_col, text_col, n_partitions
         )
-        next_v = base_v + 1
-        if next_v not in delta_store.committed_versions(index_path):
-            _commit_delta(result, index_path, next_v)
+        # exactly-once commit that survives a compact() claiming our
+        # version between marker and commit (delta_store.commit_pinned_delta
+        # — skip only when v=base_v+1 is OUR delta, never a snapshot)
+        delta_store.commit_pinned_delta(
+            index_path,
+            marker,
+            base_v,
+            lambda v: _commit_delta(result, index_path, v, reclaim_torn=True),
+        )
         # deterministic per-(lineage, batch) dir + overwrite = idempotent
         result.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")

@@ -220,16 +220,23 @@ def _lsh_batch_processor(
             )
         )
 
-        next_v = base_v + 1
-        if next_v not in _committed_versions(index_path):
-            # DELTA commit: the batch's own per-bucket minima, nothing
-            # else — O(|batch| buckets) written per version regardless of
-            # index size. Resolution (min per bucket over snapshot+deltas)
-            # reconstructs exactly the eagerly-merged relation.
-            delta = batch_min.select(
-                "band", "bucket", F.col("batch_min").alias("anchor_id")
-            )
-            delta_store.write_version(delta, index_path, next_v, _KEYS, P)
+        # DELTA commit: the batch's own per-bucket minima, nothing else —
+        # O(|batch| buckets) written per version regardless of index size.
+        # Resolution (min per bucket over snapshot+deltas) reconstructs
+        # exactly the eagerly-merged relation. commit_pinned_delta guards
+        # the replay skip: v=base_v+1 must be OUR delta, not a snapshot a
+        # compact() committed in between (else re-pin past the tail).
+        delta = batch_min.select(
+            "band", "bucket", F.col("batch_min").alias("anchor_id")
+        )
+        delta_store.commit_pinned_delta(
+            index_path,
+            marker,
+            base_v,
+            lambda v: delta_store.write_version(
+                delta, index_path, v, _KEYS, P, reclaim_torn=True
+            ),
+        )
         # deterministic per-(lineage, batch) dirs + overwrite = idempotent
         base = os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")
         edges.write.mode("overwrite").parquet(os.path.join(base, "edges"))
