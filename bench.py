@@ -327,11 +327,19 @@ def bench_rollup(spark, sf_dir: str) -> dict[str, float]:
     (history = events ×100, ~15M rows, split into 8 arrival batches):
 
     - ``rollup_inc_step1`` / ``rollup_inc_step8``: fold batch i into the
-      standing table — O(batch + groups) per step, so the two should be
-      FLAT regardless of how much history came before;
+      standing table — r10's delta commits are O(|batch| groups) per
+      step (the standing relation is never rewritten), so the two
+      should be FLAT regardless of how much history came before;
     - ``rollup_full_step1`` / ``rollup_full_step8``: re-aggregate
       everything-so-far (the reference's recompute-per-tick shape) —
-      O(history), so step8 costs ~8× step1's scan and keeps growing.
+      O(history), so step8 costs ~8× step1's scan and keeps growing;
+    - ``rollup_small_grown_ratio``: the store-protocol proof on a
+      FACT-SCALED key (group = user_id — the shape VERDICT r9 flagged:
+      through r9 every update rewrote the full |groups| relation, so a
+      grown store made every later batch pay an index-sized rewrite).
+      Times the SAME small batch against a freshly-seeded store and one
+      grown ~20× (user-shifted re-appends); the delta protocol keeps
+      the ratio ≈1 exactly like lsh/fp_small_grown_ratio.
 
     On one node with warm page cache the recompute's absolute numbers
     stay small; the SLOPE is the honest signal — at 100 TB the flat line
@@ -384,6 +392,38 @@ def bench_rollup(spark, sf_dir: str) -> dict[str, float]:
                 F.sum("value").alias("total"),
             ).write.mode("overwrite").parquet(os.path.join(work, "full"))
             out[f"rollup_full_step{i + 1}"] = round(time.time() - t0, 3)
+
+        # fact-scaled-key grown-store ratio (see docstring): per-user
+        # totals, same small batch against a fresh vs ~20x-grown store
+        ukeys = ["user_id"]
+        umeasures = {"n_events": ("count", "*"), "total": ("sum", "value")}
+        uevents = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", F.col("user_id").cast("string").alias("user_id"), "value"
+        )
+        un = uevents.count()
+        small_batch = uevents.filter(F.col("event_id") % 97 == 0)
+        seed = uevents.limit(5000)
+        small_store = os.path.join(work, "u_small")
+        update_rollup(spark, small_store, seed, ukeys, umeasures)
+        t0 = time.time()
+        update_rollup(spark, small_store, small_batch, ukeys, umeasures)
+        t_small = time.time() - t0
+        grown_store = os.path.join(work, "u_grown")
+        ureps = spark.range(20).select(F.col("id").alias("rep"))
+        grown = uevents.crossJoin(F.broadcast(ureps)).select(
+            (F.col("event_id") + F.col("rep") * F.lit(un)).alias("event_id"),
+            F.concat(F.col("user_id").cast("string"), F.lit("_"), F.col("rep")).alias(
+                "user_id"
+            ),
+            "value",
+        )
+        update_rollup(spark, grown_store, grown, ukeys, umeasures)
+        t0 = time.time()
+        update_rollup(spark, grown_store, small_batch, ukeys, umeasures)
+        t_grown = time.time() - t0
+        out["rollup_batch_small"] = round(t_small, 3)
+        out["rollup_batch_small_grown"] = round(t_grown, 3)
+        out["rollup_small_grown_ratio"] = round(t_grown / t_small, 2)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -159,7 +159,7 @@ def read_union(
     spark: SparkSession,
     path: str,
     version: int,
-    schema: str,
+    schema: str | None,
     touched_p: list[int] | None = None,
     n_partitions: int | None = None,
 ) -> DataFrame:
@@ -168,8 +168,12 @@ def read_union(
     0. ``touched_p`` prunes to those hash partitions — pass the
     ``n_partitions`` the probe set was hashed under: versions written
     under a DIFFERENT P (pre-re-shard history a replayed batch may still
-    pin) are read whole instead of mis-pruned."""
+    pin) are read whole instead of mis-pruned. ``schema=None`` infers
+    from parquet (stores whose schema is caller-defined, e.g. rollups)
+    — only legal when at least one data file exists to infer from."""
     if version < 0:
+        if schema is None:
+            raise ValueError("schema required to construct an empty read")
         return spark.createDataFrame([], schema)
     paths: list[str] = []
     for v in source_versions(path, version):
@@ -184,8 +188,14 @@ def read_union(
                 continue
             paths.append(os.path.join(vdir, d))
     if not paths:
+        if schema is None:
+            raise ValueError(
+                f"no data files under {path} as of v={version} and no "
+                "schema to construct an empty read from"
+            )
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*paths)
 
 
 def claim_version(path: str, version: int, reclaim_torn: bool = False) -> str:
@@ -302,7 +312,7 @@ def commit_pinned_delta(path: str, marker_path: str, base_v: int, write) -> int:
 def compact(
     spark: SparkSession,
     path: str,
-    schema: str,
+    schema: str | None,
     key_cols: list[str],
     resolve: Callable[[DataFrame], DataFrame],
     n_partitions: int | None = None,

@@ -21,8 +21,10 @@ prunes its index read to the hash partitions the batch's fingerprints
 touch, so the read side is batch-bounded too. :func:`compact_fingerprint_index`
 folds the tail into a snapshot; :func:`prune_fingerprint_versions` GCs
 behind the snapshot floor (the generic :func:`prune_versions` below is
-for the FULL-snapshot-per-version stores — rollups, the ANN postings —
-and would corrupt a delta store by deleting load-bearing deltas).
+for FULL-snapshot-per-version stores — since the r10 rollup migration
+every maintenance store here is a delta store, so it remains only as
+the generic utility for self-contained version dirs — and would corrupt
+a delta store by deleting load-bearing deltas).
 
 Scale: the index is (16-byte fp, first_doc_id) — orders of magnitude
 smaller than the corpus; the update is one pruned left join of the
@@ -60,12 +62,14 @@ def _committed_versions(index_path: str, marker: str = "_COMMITTED") -> list[int
 
 def prune_versions(path: str, keep_last: int = 2, marker: str = "_SUCCESS") -> list[int]:
     """Garbage-collect old committed versions of a FULL-SNAPSHOT ``v=N/``
-    store (a rollup, or the ANN store with ``marker='_COMMITTED'``),
-    keeping the newest ``keep_last``. Every version of such a store is
-    self-contained, so oldest-first deletion is safe. Do NOT point this
-    at a delta store (this fingerprint index, the LSH bucket index) —
-    their old versions are load-bearing for later resolutions; use
-    :func:`prune_fingerprint_versions` / ``lsh_ingest.prune_lsh_versions``.
+    store (one whose every version is self-contained, e.g. an exported
+    model/manifest dir), keeping the newest ``keep_last`` — oldest-first
+    deletion is safe only then. Do NOT point this at a delta store
+    (the fingerprint index, the LSH bucket index, the ANN postings, and
+    since r10 the rollups) — their old versions are load-bearing for
+    later resolutions; use the per-store snapshot-floor GCs
+    (:func:`prune_fingerprint_versions`, ``lsh_ingest.prune_lsh_versions``,
+    ``ann_index.prune_ann_versions``, ``rollup_maintenance.prune_rollup_versions``).
 
     ``keep_last`` must be >= 2 for streams: a crash-replayed micro-batch
     re-reads its BASE version, which is one behind the latest. Dangling

@@ -59,7 +59,15 @@ def test_uncommitted_version_is_invisible(spark, tmp_path):
     dangling = os.path.join(idx_path, "v=1")
     os.makedirs(dangling)
     assert read_fingerprint_index(spark, idx_path).count() == 2  # reads v=0
-    # the next update overwrites the dangling dir and commits properly
+    # r10 single-writer claim: a default (non-ledgered) update REFUSES the
+    # torn dir — on the filesystem it is indistinguishable from a live
+    # concurrent committer — instead of silently overwriting it
+    import pytest
+
+    with pytest.raises(FileExistsError, match="without _COMMITTED"):
+        ingest_with_index(spark, idx_path, _docs(spark, [(9, "c")]))
+    # cleared after confirming no writer is live, the update proceeds
+    os.rmdir(dangling)
     r = {
         x["doc_id"]: x["status"]
         for x in ingest_with_index(spark, idx_path, _docs(spark, [(9, "c")])).collect()
