@@ -435,7 +435,12 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
     against the frozen codebook. The upsert should cost a small fraction
     of the build (map-only assignment + an O(|batch|) delta commit, no
     Lloyd iterations); that gap is what the versioned store buys a
-    continuously fed similarity service.
+    continuously fed similarity service. r10 adds the serving-layout
+    replace-upsert pair: ``ann_layout_upsert`` vs
+    ``ann_layout_upsert_grown`` (same batch, ~8x corpus with k scaled so
+    cells stay ~constant-size) — ``ann_layout_upsert_grown_ratio`` ≈ 1
+    is the measured O(touched cells) claim, the layout twin of
+    lsh/fp/rollup_small_grown_ratio.
 
     Cross-round comparability (r8 → r9): the postings store moved to
     delta commits (ann_index docstring) — upsert no longer reads or
@@ -528,6 +533,48 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
             rec("ann_ivf_query", t0)
         for key, ts in runs.items():
             out[key] = round(statistics.median(ts), 3)
+
+        # r10 (VERDICT item 6): the replace-upsert catch-up path
+        # (upsert_ivf_layout) had parity tests but no cost measurement.
+        # O(touched cells) means: grow the corpus ~8x WITH k grown
+        # proportionally (cell size ~constant, cell count grows — the
+        # production sizing rule) and the SAME small replace batch must
+        # cost about the same, because only the batch's old+new cells are
+        # rewritten, never the corpus. Replicas are jittered so they
+        # spread across the finer codebook instead of stacking into the
+        # touched cells.
+        from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+            upsert_ivf_layout,
+        )
+
+        batch = emb.filter(F.col("vec_id") < 16)  # replaces existing ids
+
+        def layout_upsert_time(corpus, k, tag, assign):
+            ivf = f"{work}/ivf_up_{tag}"
+            layout = f"{work}/layout_up_{tag}"
+            ivf_build(spark, ivf, corpus, k=k, assign=assign)
+            write_ivf_layout(spark, ivf, corpus, layout)
+            ivf_upsert(spark, ivf, batch, assign=assign)
+            t0 = time.time()
+            upsert_ivf_layout(spark, ivf, batch, layout)
+            return time.time() - t0
+
+        t_small = layout_upsert_time(emb, 8, "small", "expr")
+        n_emb = emb.count()
+        reps = spark.range(1, 8).select(F.col("id").alias("rep"))
+        grown = emb.unionByName(
+            emb.crossJoin(F.broadcast(reps)).select(
+                (F.col("vec_id") + F.col("rep") * F.lit(n_emb)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: x + F.col("rep").cast("double") * F.lit(0.013),
+                ).alias("embedding"),
+            )
+        )
+        t_grown = layout_upsert_time(grown, 64, "grown", "pandas")
+        out["ann_layout_upsert"] = round(t_small, 3)
+        out["ann_layout_upsert_grown"] = round(t_grown, 3)
+        out["ann_layout_upsert_grown_ratio"] = round(t_grown / t_small, 2)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

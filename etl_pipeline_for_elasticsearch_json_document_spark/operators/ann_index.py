@@ -764,6 +764,19 @@ def upsert_ivf_layout(
     )
     postings = _read_postings(spark, index_path, latest, touched_p=touched)
     prev = _read_postings(spark, index_path, pinned, touched_p=touched)
+    # a batch id absent from the latest postings would vanish silently:
+    # dropped from `fresh` (inner join below) while still anti-joined out
+    # of `existing` — the caller passed a batch that differs from the one
+    # given to ivf_upsert. Refuse, mirroring append_ivf_layout's
+    # n_replaced guard (ADVICE r9).
+    n_missing = batch_ids.join(postings.select("vec_id"), "vec_id", "left_anti").count()
+    if n_missing:
+        raise ValueError(
+            f"{n_missing} batch id(s) are absent from the latest postings "
+            f"(v={latest}); upsert_ivf_layout must receive exactly the "
+            "batch given to ivf_upsert — otherwise those vectors would "
+            "silently disappear from the serving layout"
+        )
     # affected = old cells of replaced ids ∪ new cells of the whole batch;
     # both sides are |batch|-bounded joins against 24-byte posting rows
     old_cells = prev.join(batch_ids, "vec_id").select("cid")

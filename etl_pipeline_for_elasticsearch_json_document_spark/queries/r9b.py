@@ -300,9 +300,12 @@ GROUP BY n.n_name
     "Determinism: medians interpolate identically in both engines "
     "(quantile_cont ≡ percentile, pinned by q09); the outlier test "
     "0.6745·|x−med| > 3.5·mad multiplies once on each side instead of "
-    "dividing (no 0/0 when MAD is 0); counts are exact. Scale: two "
-    "grouped exact percentiles over |nations| groups with map-side "
-    "partials, joined back as a 25-row broadcast.",
+    "dividing (no 0/0 when MAD is 0); counts are exact. Scale: the "
+    "grouped EXACT percentile's aggregation buffer holds every group's "
+    "values in memory — per-nation customer balances at 100x are a real "
+    "buffer hazard, so at scale swap in approx_percentile (the repo "
+    "convention q145/q175/q197 document; the oracle pins the exact "
+    "form at test SF). The join-backs are 25-row broadcasts.",
 )
 def q227(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")

@@ -626,16 +626,26 @@ def scan_or_push_date_histogram(
     ).agg(F.count("*").alias("doc_count"), *_scan_metric_aggs(metrics))
 
 
-def _scan_metric_aggs(metrics: dict[str, tuple[str, str]]) -> list:
+def _scan_metric_aggs(
+    metrics: dict[str, tuple[str, str]], empty_bucket_zero_sum: bool = False
+) -> list:
     """The scan-branch Spark twins of the pushed metric sub-aggs — shared
     by every scan_or_push_* chooser so the two branches of each keep the
-    same output schema."""
+    same output schema. ``empty_bucket_zero_sum`` is the RANGE family's
+    empty-bucket convention (ADVICE r9): ES reports ``sum = 0.0`` over a
+    bucket with no docs, while Spark's F.sum over the left join's zero
+    matched rows yields NULL — only the range scan can produce such
+    buckets (the groupBy families emit buckets only where rows exist),
+    and avg/min/max stay NULL on both engines."""
     from pyspark.sql import functions as F
 
     aggs = []
     for name, (mtype, mfield) in metrics.items():
         if mtype == "sum":
-            aggs.append(F.sum(mfield).cast("double").alias(name))
+            col = F.sum(mfield).cast("double")
+            if empty_bucket_zero_sum:
+                col = F.coalesce(col, F.lit(0.0))
+            aggs.append(col.alias(name))
         elif mtype == "avg":
             aggs.append(F.avg(mfield).cast("double").alias(name))
         elif mtype == "min":
@@ -712,7 +722,8 @@ def scan_or_push_range(
         df.withColumn("__v", F.col(field).cast("double")), cond, "left"
     )
     return joined.groupBy("range_from", "range_to").agg(
-        F.count("__v").alias("doc_count"), *_scan_metric_aggs(metrics)
+        F.count("__v").alias("doc_count"),
+        *_scan_metric_aggs(metrics, empty_bucket_zero_sum=True),
     )
 
 

@@ -682,6 +682,34 @@ def test_layout_upsert_deletes_emptied_cell(spark, tmp_path):
     assert spark.read.parquet(layout).filter(F.col("vec_id") == 9).count() == 1
 
 
+def test_layout_upsert_refuses_unposted_batch_ids(spark, emb, tmp_path):
+    """ADVICE r9: a batch id absent from the latest postings must raise —
+    it would otherwise be dropped from `fresh` (inner join on postings)
+    while still anti-joined out of `existing`, silently vanishing from
+    the serving layout. The caller must pass exactly the ivf_upsert
+    batch."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        upsert_ivf_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    build = emb.filter(F.col("vec_id") < 60)
+    ivf_build(spark, path, build, k=4)
+    write_ivf_layout(spark, path, build, layout)
+    b1 = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80))
+    ivf_upsert(spark, path, b1)
+    # wrong batch: overlaps b1 but includes ids the store never posted
+    wrong = emb.filter((F.col("vec_id") >= 70) & (F.col("vec_id") < 90))
+    with pytest.raises(ValueError, match="absent from the latest postings"):
+        upsert_ivf_layout(spark, path, wrong, layout)
+    # the correct batch still applies cleanly afterwards
+    assert upsert_ivf_layout(spark, path, b1, layout) == 1
+    got = {r["vec_id"] for r in spark.read.parquet(layout).collect()}
+    assert {60, 79} <= got and 85 not in got
+
+
 def test_layout_upsert_enforces_pin_order(spark, emb, tmp_path):
     """Same one-version-behind contract as append_ivf_layout."""
     from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (

@@ -534,14 +534,23 @@ def test_scan_or_push_range_chooser_parity(spark, sf_dir, fake_es, tmp_path):
     odd = [{"to": 50.0}, {"from": 0.0, "to": 1000.0}, {"from": 400.0}]
     from etl_pipeline_for_elasticsearch_json_document_spark.sources.es_agg import es_range_agg
 
-    truth = es_range_agg(spark, fake_es, "two_docs", field="n_chars", ranges=odd)
+    # sum over the EMPTY range is the branch-parity trap (ADVICE r9): ES
+    # reports 0.0 where a bare F.sum over zero joined rows yields NULL —
+    # the scan branch must coalesce sums (and ONLY sums) to 0.0
+    truth = es_range_agg(
+        spark, fake_es, "two_docs", field="n_chars", ranges=odd,
+        metrics={"total": ("sum", "n_chars"), "avg_c": ("avg", "n_chars")},
+    )
     chosen = scan_or_push_range(
         spark, fake_es, "two_docs", field="n_chars", ranges=odd,
+        metrics={"total": ("sum", "n_chars"), "avg_c": ("avg", "n_chars")},
         scan=lambda: two,
     )
     assert {tuple(r) for r in chosen.collect()} == {
         tuple(r) for r in truth.collect()
     }
+    empty = [r for r in chosen.collect() if r["doc_count"] == 0]
+    assert empty and all(r["total"] == 0.0 and r["avg_c"] is None for r in empty)
     with pytest.raises(ValueError, match="scan path wins"):
         scan_or_push_range(
             spark, fake_es, "two_docs", field="n_chars", ranges=odd
