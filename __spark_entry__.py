@@ -52,7 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Queries first registered in round 10 — ordered first (never driver-checked,
 #: newest); locally oracle-green at sf0.01 AND sf0.001 before registration
 #: (scripts/compare_oracle.py).
-_NEW_IN_R10: set[str] = set()
+_NEW_IN_R10: set[str] = {
+    "q229_small_quantity_revenue",
+    "q230_waiting_suppliers",
+    "q231_product_profit",
+}
 
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {

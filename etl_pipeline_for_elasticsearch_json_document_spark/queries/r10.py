@@ -1,0 +1,219 @@
+"""Round-10 query registrations: the remaining TPC-H decorrelation
+stress shapes the registry lacked (VERDICT r9 item 7) — Q17's
+correlated scalar average per part (small-quantity revenue), Q21's
+multi-EXISTS/NOT-EXISTS self-join on lineitem (suppliers who kept
+orders waiting), and Q9's multi-way profit rollup by nation and year.
+Each is adapted to this corpus' schema (no partsupp / p_container /
+l_receiptdate columns): Q17 keys the correlated average on p_brand
+alone, Q21 defines "late" as shipping more than 60 days after the
+order date, Q9 uses a retail-price fraction as the supply-cost proxy —
+the OPTIMIZER shapes (decorrelation, aggregate-then-join instead of
+EXISTS chains, LIKE-filtered dimension pushdown) are what these pin,
+not the exact TPC-H constants.
+
+Every query follows the registry's cross-engine determinism rules
+(registry.py docstring): money math runs in DECIMAL end-to-end and the
+only float operations are the final mirrored round() expressions;
+threshold comparisons are cross-multiplied so no division ever feeds a
+predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.queries.registry import query
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q229: TPC-H Q17 shape — small-quantity-order revenue (correlated scalar avg)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q229_small_quantity_revenue",
+    oracle="""
+WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+a AS (SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS qsum,
+             CAST(count(*) AS BIGINT) AS qcnt
+      FROM lineitem GROUP BY l_partkey)
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN p ON p.p_partkey = l.l_partkey
+JOIN a ON a.l_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS DECIMAL(18,4)) * a.qcnt < a.qsum
+""",
+    doc="TPC-H Q17 (small-quantity-order revenue): the yearly revenue "
+    "lost if orders below 20% of a part's average quantity stopped "
+    "shipping — the classic CORRELATED SCALAR AVERAGE per part, spelled "
+    "as its decorrelated form: one per-part grouped aggregate joined "
+    "back to lineitem, never a per-row subquery. Determinism: the 20% "
+    "threshold is cross-multiplied (5·qty·cnt < Σqty) over exact DECIMAL "
+    "sums, so no float division feeds the predicate; the revenue sum is "
+    "DECIMAL with one final mirrored round. Scale: the per-part average "
+    "rides the lineitem grouping shuffle map-side; the brand dimension "
+    "filter is pushed to the part scan and AQE sizes the join-back — no "
+    "forced broadcasts, no windows.",
+)
+def q229(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
+        "p_partkey"
+    )
+    qd = F.col("l_quantity").cast("decimal(18,4)")
+    a = li.groupBy("l_partkey").agg(
+        F.sum(qd).alias("qsum"), F.count("*").cast("bigint").alias("qcnt")
+    )
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(a, "l_partkey")
+        .filter(5 * qd * F.col("qcnt") < F.col("qsum"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q230: TPC-H Q21 shape — suppliers who kept orders waiting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q230_waiting_suppliers",
+    oracle="""
+WITH f AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey),
+per_o AS (
+  SELECT l_orderkey,
+         count(*) AS n_supp,
+         sum(late) AS n_late
+  FROM f GROUP BY l_orderkey)
+SELECT s.s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM f
+JOIN per_o p ON p.l_orderkey = f.l_orderkey
+JOIN supplier s ON s.s_suppkey = f.l_suppkey
+WHERE f.late = 1 AND p.n_supp >= 2 AND p.n_late = 1
+GROUP BY s.s_name
+""",
+    doc="TPC-H Q21 (suppliers who kept orders waiting): for finalized "
+    "orders, count per supplier the multi-supplier orders where THAT "
+    "supplier was the only late one (late = shipped more than 60 days "
+    "after the order date — the l_receiptdate/l_commitdate analog this "
+    "schema supports). The interesting plan: the EXISTS (another "
+    "supplier) / NOT EXISTS (another late supplier) pair over lineitem "
+    "self-joins is spelled as ONE per-(order, supplier) aggregate plus "
+    "one per-order aggregate — three scans and two EXISTS probes of "
+    "lineitem become a single grouping pipeline, the "
+    "aggregate-then-join decorrelation. Determinism: counts only, "
+    "exact; the late flag is pure timestamp arithmetic. Scale: both "
+    "aggregates ride the same l_orderkey shuffle; no windows, no "
+    "broadcast hints (supplier joins under AQE).",
+)
+def q230(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    f = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_o = f.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    waits = (
+        f.filter(F.col("late") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        waits.join(s, waits["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231: TPC-H Q9 shape — product-line profit by nation and year
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q231_product_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                      - CAST(0.6 AS DECIMAL(18,4))
+                        * CAST(p.p_retailprice AS DECIMAL(18,4))
+                        * CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE),
+             2) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+    doc="TPC-H Q9 (product-line profit): profit by supplier nation and "
+    "order year over the parts whose name matches a product line — the "
+    "classic 5-way join rollup (this schema has no partsupp, so the "
+    "supply cost is a fixed retail-price fraction; the LIKE-filtered "
+    "dimension, the multi-way join ordering, and the two-level group "
+    "key are the shapes under test). Determinism: the profit term is "
+    "DECIMAL end-to-end (price × (1−discount) − 0.6 × retail × qty), "
+    "summed exactly, one mirrored final round; the year is exact "
+    "integer extraction. Scale: the LIKE filter prunes part before any "
+    "join; nation is a constant-cardinality broadcast; the fact joins "
+    "shuffle on their keys with AQE sizing — no hints, no windows.",
+)
+def q231(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    amount = dec(F.col("l_extendedprice")) * dec(1 - F.col("l_discount")) - dec(
+        F.lit(0.6)
+    ) * dec(F.col("p_retailprice")) * dec(F.col("l_quantity"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
+    )

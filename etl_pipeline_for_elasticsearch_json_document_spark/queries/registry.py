@@ -54,6 +54,7 @@ def all_queries() -> dict[str, Query]:
         r8,
         r9,
         r9b,
+        r10,
         relational,
     )
 
