@@ -124,12 +124,82 @@ def per_key_quota(
     return per_key_topk(df, [key_col], [order_col], quota, n_salts)
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    chunk_width: int,
+    inclusive: bool = True,
+) -> DataFrame:
+    """EXACT per-group running sum of ``value_col`` in ``order_col``
+    order — the HIERARCHICAL spelling of
+    ``sum(value).over(partitionBy(group).orderBy(order))`` for groups
+    whose corpus slice outgrows one sort task (the scale path the
+    prefix-sum queries' docstrings document; here it is code, not a
+    promise).
+
+    Three bounded stages instead of one per-group corpus sort:
+
+    1. **chunk** — rows map to ``chunk = floor(order / chunk_width)``:
+       deterministic and MONOTONE in the order column (all of chunk i
+       precedes all of chunk i+1), so prefix sums decompose exactly.
+       ``order_col`` must be numeric and unique within its group (the
+       same unique-tiebreak contract every ranking query states).
+    2. **local cumsum** — a window per ``(group, chunk)``: tasks are
+       chunk-bounded, never group-bounded.
+    3. **carry** — per-chunk totals (one tiny aggregate,
+       |groups|·|chunks| rows) get an exclusive running sum per group
+       over the CHUNK relation, then join back on (group, chunk) —
+       riding the same partitioning the local window already created.
+
+    Returns ``df`` plus ``out_col`` (inclusive running sum by default;
+    ``inclusive=False`` gives the exclusive form — the packing
+    operator's start offset). Size ``chunk_width`` so a chunk's rows fit
+    one task comfortably (order-range/width = carry-relation size).
+    """
+    from pyspark.sql import Window
+
+    chunk = F.floor(F.col(order_col) / F.lit(chunk_width)).alias("__chunk")
+    w_local = (
+        Window.partitionBy(group_col, "__chunk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = df.withColumn("__chunk", chunk).withColumn(
+        "__local", F.sum(value_col).over(w_local)
+    )
+    totals = local.groupBy(group_col, "__chunk").agg(
+        F.sum(value_col).alias("__ctot")
+    )
+    w_carry = (
+        Window.partitionBy(group_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = totals.select(
+        group_col,
+        "__chunk",
+        F.coalesce(F.sum("__ctot").over(w_carry), F.lit(0)).alias("__carry"),
+    )
+    run = F.col("__local") + F.col("__carry")
+    if not inclusive:
+        run = run - F.col(value_col)
+    return (
+        local.join(carry, [group_col, "__chunk"])
+        .withColumn(out_col, run)
+        .drop("__chunk", "__local", "__carry")
+    )
+
+
 def sequence_packing(
     df: DataFrame,
     group_col: str,
     order_col: str,
     tokens_col: str,
     capacity: int,
+    chunk_width: int | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-capacity training packs: within each group
     (e.g. language), documents are laid out in ``order_col`` order and a
@@ -144,23 +214,31 @@ def sequence_packing(
     is order-sequential BY DEFINITION (each pack id depends on every
     earlier token count), so the per-group window is the semantics, not
     an accident; when one group's corpus slice outgrows a sort task,
-    the same result comes from a hierarchical prefix sum — cumsum
-    within doc_id-range chunks, then one pass over the tiny per-chunk
-    totals relation to add each chunk's carry — identical output,
-    chunk-bounded tasks.
+    pass ``chunk_width`` to run the IDENTICAL computation through
+    :func:`grouped_prefix_sum`'s hierarchical form — chunk-bounded
+    cumsum tasks plus a carry pass over the tiny per-chunk totals
+    relation; output equality is pinned in tests/test_sampling_ops.py.
 
     Columns: ``group, pack_id, n_docs, pack_tokens``.
     """
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    if chunk_width is not None:
+        summed = grouped_prefix_sum(
+            df, group_col, order_col, tokens_col, "__run", chunk_width,
+            inclusive=False,
+        )
+        start = F.col("__run")
+    else:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        summed = df
+        start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
     return (
-        df.select(
+        summed.select(
             F.col(group_col).alias("group"),
             F.floor(start / capacity).cast("bigint").alias("pack_id"),
             F.col(tokens_col).alias("__t"),

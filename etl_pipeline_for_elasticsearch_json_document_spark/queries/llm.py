@@ -1299,14 +1299,20 @@ FROM c GROUP BY lang, pack_id
 """,
     doc="Deterministic sequence packing: per language, docs laid out in id "
     "order start in pack floor(running_tokens / 512) — the contiguous "
-    "token-stream layout trainers consume; one window cumsum, pack id a "
-    "pure function of (order, lengths), stable under repartitioning.",
+    "token-stream layout trainers consume; pack id a pure function of "
+    "(order, lengths), stable under repartitioning. r10: runs the "
+    "HIERARCHICAL prefix sum (sampling.grouped_prefix_sum: cumsum within "
+    "doc_id-range chunks + a carry pass over per-chunk totals) — "
+    "byte-identical to the single-window spelling, but no task ever "
+    "sorts a whole language's corpus slice.",
 )
 def q102(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn(
         "nt", text.token_count(F.col("text"))
     )
-    packs = sampling.sequence_packing(d, "lang", "doc_id", "nt", capacity=512)
+    packs = sampling.sequence_packing(
+        d, "lang", "doc_id", "nt", capacity=512, chunk_width=4096
+    )
     return packs.withColumnRenamed("group", "lang")
 
 

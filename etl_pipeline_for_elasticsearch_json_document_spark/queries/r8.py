@@ -360,23 +360,26 @@ GROUP BY c.ctx, w.lang
     "ctx falls strictly inside the doc's token interval — split docs get "
     "cross-document attention unless masked) and the tail-pack waste — "
     "the table that picks a context length against q167's truncation "
-    "alternative. Determinism: pure integer window cumsum + integer "
-    "division; one final rounded division. Scale: one per-lang window "
-    "cumsum over (id, wc) pairs (text reduces to its count map-side); "
-    "the ctx spine is a broadcast 3-row relation; output is "
-    "|ctx|x|langs|. The prefix sum is order-sequential by definition "
-    "(every boundary depends on all earlier lengths); past one sort "
-    "task per lang, the identical result comes from a hierarchical "
-    "prefix sum — chunk cumsums + a carry pass over per-chunk totals.",
+    "alternative. Determinism: pure integer cumsum + integer division; "
+    "one final rounded division. Scale: the per-lang running token "
+    "count runs through sampling.grouped_prefix_sum's HIERARCHICAL form "
+    "(r10: cumsum within doc_id-range chunks + a carry pass over "
+    "per-chunk totals — byte-identical to a single per-lang window, "
+    "pinned in tests/test_sampling_ops.py, but no task ever sorts a "
+    "whole language's corpus slice); text reduces to its count "
+    "map-side; the ctx spine is a broadcast 3-row relation; output is "
+    "|ctx|x|langs|.",
 )
 def q198(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import (
+        grouped_prefix_sum,
     )
-    wc = d.select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("wc")
-    ).withColumn("cum", F.sum("wc").over(w))
+
+    d = _t(spark, sf_dir, "documents")
+    wc = grouped_prefix_sum(
+        d.select("doc_id", "lang", F.size(F.split("text", " ")).alias("wc")),
+        "lang", "doc_id", "wc", "cum", chunk_width=4096,
+    )
     ctx = F.broadcast(
         d.sparkSession.createDataFrame([(128,), (256,), (512,)], "ctx int")
     )
@@ -1285,8 +1288,8 @@ FROM sel GROUP BY source
     "(id, wc, q) rows); output is |sources| rows. The greedy admission "
     "prefix sum is order-sequential by definition; past one sort task "
     "per source, the identical result comes from the hierarchical form "
-    "— cumsum within (source, score-range) chunks via the q175 "
-    "distinct-value relation, then a carry pass over chunk totals.",
+    "(sampling.grouped_prefix_sum over (source, score-range) chunks via "
+    "the q175 distinct-value relation, then the carry pass).",
 )
 def q210(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

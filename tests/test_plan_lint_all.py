@@ -62,8 +62,17 @@ VOCAB_WINDOW = (
 PREFIX_SUM_WINDOW = (
     "greedy prefix-sum semantics: the metric is DEFINED over a total "
     "per-key document order, so a per-key running sum is the operator "
-    "itself; the docstring documents the hierarchical prefix-sum "
-    "(chunked partials + carry) spelling at open-corpus scale"
+    "itself; the hierarchical spelling at open-corpus scale is "
+    "sampling.grouped_prefix_sum (chunk-bounded cumsum + carry pass), "
+    "equality pinned in tests/test_sampling_ops.py"
+)
+CARRY_WINDOW = (
+    "the only flagged window is grouped_prefix_sum's CARRY pass over the "
+    "per-chunk totals relation (one row per (group, chunk) — size "
+    "chunk_width like a partition count so the chunk relation stays "
+    "task-sized); the data-sized cumsum runs per (group, chunk), "
+    "structurally pinned in tests/test_sampling_ops.py::"
+    "test_prefix_sum_windows_are_chunk_bounded"
 )
 ALLOWANCES: dict[str, dict[str, str]] = {
     # BroadcastNestedLoopJoin: bounded broadcast side by contract
@@ -159,7 +168,7 @@ ALLOWANCES: dict[str, dict[str, str]] = {
     },
     "q198_packing_boundary_curve": {
         "nested-loop-join": "3-row ctx spine literal broadcast",
-        "bounded-key-window": PREFIX_SUM_WINDOW,
+        "bounded-key-window": CARRY_WINDOW,
     },
     "q199_gram_df_spectrum": {
         "nested-loop-join": "1-row vocab-total broadcast"
@@ -241,7 +250,10 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "percent_rank / cume_dist): the per-row exact global ranking IS the "
         "pinned surface; scalable summaries are q74/q175/q134"
     },
-    "q102_sequence_packing": {"bounded-key-window": PREFIX_SUM_WINDOW},
+    # (q102/q198 moved onto grouped_prefix_sum's hierarchical form in r10 —
+    # only the tiny carry pass still windows on the bare group key; q210's
+    # composite (score desc, id) order keeps the window spelling)
+    "q102_sequence_packing": {"bounded-key-window": CARRY_WINDOW},
     "q210_budget_selection": {"bounded-key-window": PREFIX_SUM_WINDOW},
     # bounded / surface-demo single-partition + global-sort shapes
     "q12_rank_dense": {
