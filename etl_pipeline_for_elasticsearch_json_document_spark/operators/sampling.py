@@ -132,6 +132,7 @@ def grouped_prefix_sum(
     out_col: str,
     chunk_width: int,
     inclusive: bool = True,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """EXACT per-group running sum of ``value_col`` in ``order_col``
     order — the HIERARCHICAL spelling of
@@ -145,8 +146,12 @@ def grouped_prefix_sum(
     1. **chunk** — rows map to ``chunk = floor(order / chunk_width)``:
        deterministic and MONOTONE in the order column (all of chunk i
        precedes all of chunk i+1), so prefix sums decompose exactly.
-       ``order_col`` must be numeric and unique within its group (the
-       same unique-tiebreak contract every ranking query states).
+       ``order_col`` must be numeric, and ``(order_col, *tiebreak_cols)``
+       unique within its group (the same unique-tiebreak contract every
+       ranking query states). Ties on ``order_col`` share a chunk by
+       construction, so ``tiebreak_cols`` only ever order WITHIN one
+       local window — the decomposition stays exact for composite
+       orders like (score, doc_id).
     2. **local cumsum** — a window per ``(group, chunk)``: tasks are
        chunk-bounded, never group-bounded.
     3. **carry** — per-chunk totals (one tiny aggregate,
@@ -162,9 +167,10 @@ def grouped_prefix_sum(
     from pyspark.sql import Window
 
     chunk = F.floor(F.col(order_col) / F.lit(chunk_width)).alias("__chunk")
+    order = [order_col, *(tiebreak_cols or [])]
     w_local = (
         Window.partitionBy(group_col, "__chunk")
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = df.withColumn("__chunk", chunk).withColumn(

@@ -1283,13 +1283,15 @@ FROM sel GROUP BY source
     "Strict-prefix semantics: selection stops at the first doc whose "
     "admission would overflow. Determinism: the score is one rounded "
     "integer division; ranking orders by (rounded score, doc_id); the "
-    "cumsum is integer. Scale: quality and word counts are map-only; "
-    "one window cumsum per source partition (text never shuffles — only "
-    "(id, wc, q) rows); output is |sources| rows. The greedy admission "
-    "prefix sum is order-sequential by definition; past one sort task "
-    "per source, the identical result comes from the hierarchical form "
-    "(sampling.grouped_prefix_sum over (source, score-range) chunks via "
-    "the q175 distinct-value relation, then the carry pass).",
+    "cumsum is integer. Scale: quality and word counts are map-only and "
+    "text never shuffles (only (id, wc, q) rows); the greedy admission "
+    "prefix sum runs sampling.grouped_prefix_sum's HIERARCHICAL form "
+    "(r10): the 6dp score becomes an exact integer key (1e6 − q·1e6, "
+    "monotone in q desc; equal scores share a chunk so the doc_id "
+    "tiebreak stays inside one chunk-bounded window), cumsums run per "
+    "(source, score-range chunk) and one carry pass over per-chunk "
+    "totals finishes — no task ever sorts a whole source's corpus "
+    "slice; output is |sources| rows.",
 )
 def q210(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -1304,10 +1306,21 @@ def q210(spark, sf_dir):
             6,
         ).alias("q"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.col("q").desc(), F.col("doc_id")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sel = m.withColumn("cum", F.sum("wc").over(w)).filter(F.col("cum") <= 2000)
+    # descending quality as an ascending integer key: q has exactly 6dp
+    # (rounded above), so 1e6 - round(q*1e6) is exact and monotone in
+    # q desc; equal q share a key (and thus a chunk), doc_id tiebreaks
+    # inside the local window — the composite order decomposes exactly.
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import (
+        grouped_prefix_sum,
+    )
+
+    keyed = m.withColumn(
+        "qkey", (F.lit(1_000_000) - F.round(F.col("q") * 1e6).cast("long"))
+    )
+    sel = grouped_prefix_sum(
+        keyed, "source", "qkey", "wc", "cum", chunk_width=4096,
+        tiebreak_cols=["doc_id"],
+    ).filter(F.col("cum") <= 2000)
     return sel.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_selected"),
         F.sum("wc").cast("bigint").alias("tokens_used"),

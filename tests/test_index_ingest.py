@@ -114,6 +114,57 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert read_fingerprint_index(spark, idx).count() == 3
 
 
+def test_crashed_batch_survives_interleaved_compact(spark, tmp_path):
+    """ADVICE r9, proven through the REAL client: a batch pins its base
+    version in the ledger, crashes before committing its delta, and a
+    compact() then claims that very version with its snapshot. The naive
+    'skip if committed' replay would silently drop the batch's
+    fingerprints from the index while still writing its classification;
+    commit_pinned_delta re-pins past the tail and commits — the replayed
+    batch's rows ARE in the index, and a second replay adds nothing."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
+        compact_fingerprint_index,
+        ingest_with_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ingest_with_index(spark, idx, spark.createDataFrame([(1, "alpha")], SCHEMA))
+
+    # simulate the crash: the stream pinned base_v=0 for batch 7 but died
+    # before its delta commit
+    ledger = os.path.join(idx, "_ledger")
+    os.makedirs(ledger)
+    with open(os.path.join(ledger, "lineageA-7"), "w") as f:
+        f.write("0")
+    # maintenance wins version 1 with its snapshot
+    assert compact_fingerprint_index(spark, idx) == 1
+
+    proc = _index_batch_processor(idx, out, ckpt_id="lineageA")
+    b7 = spark.createDataFrame([(30, "omega"), (31, "alpha")], SCHEMA)
+    proc(b7, 7)
+    # classification is against base_v=0 (the marker), so 31 is a corpus dup
+    r = {
+        x["doc_id"]: x["status"]
+        for x in spark.read.parquet(os.path.join(out, "batch=lineageA-7")).collect()
+    }
+    assert r == {30: "ingested", 31: "duplicate_corpus"}
+    # the batch's new fingerprint is IN the index — committed past the
+    # snapshot (v=2, a delta), not silently dropped
+    idx_now = read_fingerprint_index(spark, idx)
+    assert idx_now.count() == 2
+    versions = sorted(d for d in os.listdir(idx) if d.startswith("v="))
+    assert versions == ["v=0", "v=1", "v=2"]
+    assert not os.path.exists(os.path.join(idx, "v=2", "_SNAPSHOT"))
+
+    # second replay of the same batch: same output, no new version
+    proc(b7, 7)
+    assert sorted(
+        d for d in os.listdir(idx) if d.startswith("v=")
+    ) == ["v=0", "v=1", "v=2"]
+    assert read_fingerprint_index(spark, idx).count() == 2
+
+
 def test_es_tail_feeds_index_ingest(spark, tmp_path):
     """The full live-dedup story: tail the (fake) ES cluster as a stream
     and classify every arriving document against the persistent

@@ -59,13 +59,6 @@ VOCAB_WINDOW = (
     "sublinear in corpus size (Heaps' law), the same bound TOKEN_VOCAB "
     "documents for broadcasts"
 )
-PREFIX_SUM_WINDOW = (
-    "greedy prefix-sum semantics: the metric is DEFINED over a total "
-    "per-key document order, so a per-key running sum is the operator "
-    "itself; the hierarchical spelling at open-corpus scale is "
-    "sampling.grouped_prefix_sum (chunk-bounded cumsum + carry pass), "
-    "equality pinned in tests/test_sampling_ops.py"
-)
 CARRY_WINDOW = (
     "the only flagged window is grouped_prefix_sum's CARRY pass over the "
     "per-chunk totals relation (one row per (group, chunk) — size "
@@ -250,11 +243,12 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "percent_rank / cume_dist): the per-row exact global ranking IS the "
         "pinned surface; scalable summaries are q74/q175/q134"
     },
-    # (q102/q198 moved onto grouped_prefix_sum's hierarchical form in r10 —
+    # (q102/q198/q210 run grouped_prefix_sum's hierarchical form in r10 —
     # only the tiny carry pass still windows on the bare group key; q210's
-    # composite (score desc, id) order keeps the window spelling)
+    # composite (score desc, id) order rides the exact 6dp integer key +
+    # tiebreak_cols)
     "q102_sequence_packing": {"bounded-key-window": CARRY_WINDOW},
-    "q210_budget_selection": {"bounded-key-window": PREFIX_SUM_WINDOW},
+    "q210_budget_selection": {"bounded-key-window": CARRY_WINDOW},
     # bounded / surface-demo single-partition + global-sort shapes
     "q12_rank_dense": {
         "single-partition": "global rank/ntile SQL surface over the supplier dim; "
