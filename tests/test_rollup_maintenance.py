@@ -188,3 +188,38 @@ def test_streamed_rollup_matches_batch_and_survives_replay(spark, tmp_path):
     assert _rows(read_rollup(spark, path)) == before
     versions = sorted(d for d in os.listdir(path) if d.startswith("v="))
     assert versions == ["v=0", "v=1", "v=2"]
+
+
+def test_crashed_rollup_batch_survives_interleaved_compact(spark, tmp_path):
+    """The rollup's merge-aggregate is NOT idempotent, so the ADVICE r9
+    race is a double-or-nothing hazard here: a batch pins its base,
+    crashes pre-commit, a compact_rollup claims the pinned version with
+    its snapshot. The replay must commit the batch past the tail (rows
+    neither dropped nor double-counted) and a second replay must add
+    nothing — driven through the real stream processor."""
+    import os
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.rollup_job import (
+        _rollup_batch_processor,
+    )
+
+    path = str(tmp_path / "rollup")
+    update_rollup(spark, path, spark.createDataFrame(B1, SCHEMA), KEYS, MEASURES)
+    ledger = os.path.join(path, "_ledger")
+    os.makedirs(ledger)
+    with open(os.path.join(ledger, "lin-3"), "w") as f:
+        f.write("0")  # batch 3 pinned base_v=0, then crashed pre-commit
+    assert compact_rollup(spark, path) == 1  # snapshot claims v=1
+
+    proc = _rollup_batch_processor(path, "lin", KEYS, MEASURES)
+    proc(spark.createDataFrame(B2, SCHEMA), 3)  # crash replay
+    proc(spark.createDataFrame(B2, SCHEMA), 3)  # replay of the replay
+    oneshot = spark.createDataFrame(B1 + B2, SCHEMA).groupBy(*KEYS).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("value").cast("long").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    assert _rows(read_rollup(spark, path)) == _rows(oneshot)
+    versions = sorted(d for d in os.listdir(path) if d.startswith("v="))
+    assert versions == ["v=0", "v=1", "v=2"]
