@@ -401,13 +401,18 @@ def bench_rollup(spark, sf_dir: str) -> dict[str, float]:
             "event_id", F.col("user_id").cast("string").alias("user_id"), "value"
         )
         un = uevents.count()
-        small_batch = uevents.filter(F.col("event_id") % 97 == 0)
         seed = uevents.limit(5000)
         small_store = os.path.join(work, "u_small")
         update_rollup(spark, small_store, seed, ukeys, umeasures)
-        t0 = time.time()
-        update_rollup(spark, small_store, small_batch, ukeys, umeasures)
-        t_small = time.time() - t0
+        # median of 3 distinct small batches (same stability rationale as
+        # the lsh/fp small/grown pairs)
+        ts = []
+        for k in (0, 1, 2):
+            b = uevents.filter(F.col("event_id") % 97 == k)
+            t0 = time.time()
+            update_rollup(spark, small_store, b, ukeys, umeasures)
+            ts.append(time.time() - t0)
+        t_small = statistics.median(ts)
         grown_store = os.path.join(work, "u_grown")
         ureps = spark.range(20).select(F.col("id").alias("rep"))
         grown = uevents.crossJoin(F.broadcast(ureps)).select(
@@ -418,9 +423,13 @@ def bench_rollup(spark, sf_dir: str) -> dict[str, float]:
             "value",
         )
         update_rollup(spark, grown_store, grown, ukeys, umeasures)
-        t0 = time.time()
-        update_rollup(spark, grown_store, small_batch, ukeys, umeasures)
-        t_grown = time.time() - t0
+        ts = []
+        for k in (0, 1, 2):
+            b = uevents.filter(F.col("event_id") % 97 == k)
+            t0 = time.time()
+            update_rollup(spark, grown_store, b, ukeys, umeasures)
+            ts.append(time.time() - t0)
+        t_grown = statistics.median(ts)
         out["rollup_batch_small"] = round(t_small, 3)
         out["rollup_batch_small_grown"] = round(t_grown, 3)
         out["rollup_small_grown_ratio"] = round(t_grown / t_small, 2)
@@ -633,10 +642,21 @@ def bench_lsh_index(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         proc(docs.filter(F.col("doc_id") % 5 == 0), 1)
         out["lsh_index_classify"] = round(time.time() - t0, 3)
+        # median of 3 DISTINCT small batches (ids shifted per run): each
+        # commit adds a negligible 64-doc delta to the tail, and the
+        # median tames the ±40% single-shot jitter a shared local[32]
+        # session shows on ~1-3 s jobs (the ratio is the round's claim —
+        # it deserves a stable numerator and denominator)
         small = docs.filter(F.col("doc_id") % 97 == 3).limit(64)
-        t0 = time.time()
-        proc(small.select((F.col("doc_id") + F.lit(50 * n)).alias("doc_id"), "text"), 2)
-        out["lsh_index_batch_small"] = round(time.time() - t0, 3)
+        ts = []
+        for i, off in enumerate((50, 51, 52)):
+            b = small.select(
+                (F.col("doc_id") + F.lit(off * n)).alias("doc_id"), "text"
+            )
+            t0 = time.time()
+            proc(b, 10 + i)
+            ts.append(time.time() - t0)
+        out["lsh_index_batch_small"] = round(statistics.median(ts), 3)
         # grow the BUCKET relation ~5×: replicas with per-replica salted
         # text (unsalted copies collide into the same buckets and grow
         # nothing). Untimed — its cost is batch-proportional by the same
@@ -650,9 +670,15 @@ def bench_lsh_index(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         compact(spark, f"{work}/idx")
         out["lsh_index_compact"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        proc(small.select((F.col("doc_id") + F.lit(60 * n)).alias("doc_id"), "text"), 4)
-        out["lsh_index_batch_small_grown"] = round(time.time() - t0, 3)
+        ts = []
+        for i, off in enumerate((60, 61, 62)):
+            b = small.select(
+                (F.col("doc_id") + F.lit(off * n)).alias("doc_id"), "text"
+            )
+            t0 = time.time()
+            proc(b, 20 + i)
+            ts.append(time.time() - t0)
+        out["lsh_index_batch_small_grown"] = round(statistics.median(ts), 3)
         out["lsh_small_grown_ratio"] = round(
             out["lsh_index_batch_small_grown"] / out["lsh_index_batch_small"], 2
         )
@@ -754,13 +780,18 @@ def bench_fp_index(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         ingest_with_index(spark, idx, docs.filter(F.col("doc_id") % 5 == 0)).count()
         out["fp_index_classify"] = round(time.time() - t0, 3)
+        # median of 3 distinct small batches — same stability rationale as
+        # bench_lsh_index's small/grown pair
         small = docs.filter(F.col("doc_id") % 97 == 3).limit(64)
-        t0 = time.time()
-        ingest_with_index(
-            spark, idx,
-            small.select((F.col("doc_id") + F.lit(50 * n)).alias("doc_id"), "text"),
-        ).count()
-        out["fp_index_batch_small"] = round(time.time() - t0, 3)
+        ts = []
+        for off in (50, 51, 52):
+            t0 = time.time()
+            ingest_with_index(
+                spark, idx,
+                small.select((F.col("doc_id") + F.lit(off * n)).alias("doc_id"), "text"),
+            ).count()
+            ts.append(time.time() - t0)
+        out["fp_index_batch_small"] = round(statistics.median(ts), 3)
         # grow ~5× with salted replicas (unsalted copies are exact dups and
         # add no fingerprints), compact, re-measure the small batch
         reps = spark.range(4).select(F.col("id").alias("__r"))
@@ -772,12 +803,15 @@ def bench_fp_index(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         compact_fingerprint_index(spark, idx)
         out["fp_index_compact"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        ingest_with_index(
-            spark, idx,
-            small.select((F.col("doc_id") + F.lit(60 * n)).alias("doc_id"), "text"),
-        ).count()
-        out["fp_index_batch_small_grown"] = round(time.time() - t0, 3)
+        ts = []
+        for off in (60, 61, 62):
+            t0 = time.time()
+            ingest_with_index(
+                spark, idx,
+                small.select((F.col("doc_id") + F.lit(off * n)).alias("doc_id"), "text"),
+            ).count()
+            ts.append(time.time() - t0)
+        out["fp_index_batch_small_grown"] = round(statistics.median(ts), 3)
         out["fp_small_grown_ratio"] = round(
             out["fp_index_batch_small_grown"] / out["fp_index_batch_small"], 2
         )
