@@ -732,6 +732,17 @@ def bench_scale_ladder(spark, sf_dir: str, x1: dict[str, float]) -> dict:
             (F.col("doc_id") + F.col("__r") * F.lit(10 * nd)).alias("doc_id"),
             *others,
         ).write.mode("overwrite").parquet(f"{work}/documents.parquet")
+        # events ×10 with remapped event AND user ids so per-user
+        # cardinalities scale honestly (q222's rank decomposition)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ne = ev.count()
+        nu = 10 * ne
+        ev_others = [c for c in ev.columns if c not in ("event_id", "user_id")]
+        ev.crossJoin(reps).select(
+            (F.col("event_id") + F.col("__r") * F.lit(10 * ne)).alias("event_id"),
+            (F.col("user_id") + F.col("__r") * F.lit(nu)).alias("user_id"),
+            *ev_others,
+        ).write.mode("overwrite").parquet(f"{work}/events.parquet")
         for name in ("q01_pricing_summary", "q100_decontaminate", "q113_bm25_topk"):
             df = queries[name].fn(spark, work)
             force(df)  # warm-up, same policy as the headline loop
@@ -742,6 +753,18 @@ def bench_scale_ladder(spark, sf_dir: str, x1: dict[str, float]) -> dict:
                 "x10": t10,
                 "ratio": round(t10 / t1, 2) if t1 else None,
             }
+        # r10: the bounded-key-window rewrites on the ladder — ranks ride
+        # distinct-value relations + tie-block windows, so the slope
+        # should track data volume, never a per-source/type sort blowup.
+        # These are not headline entries, so ×1 is measured here.
+        for name in ("q217_scorer_rank_correlation", "q222_user_value_gini"):
+            d1 = queries[name].fn(spark, sf_dir)
+            force(d1)
+            t1 = timed_median(lambda: force(d1))
+            d10 = queries[name].fn(spark, work)
+            force(d10)
+            t10 = timed_median(lambda: force(d10))
+            out[name] = {"x1": t1, "x10": t10, "ratio": round(t10 / t1, 2)}
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
