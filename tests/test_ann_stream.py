@@ -178,3 +178,40 @@ def test_refit_and_repoint_loses_no_batch(spark, sf_dir, tmp_path):
     assert a_ids == b_ids
     # and B's ledger-independent lineage is fresh: v=0 (build) + v=1 (catch-up)
     assert _committed_versions(idx_b) == [0, 1]
+
+
+def test_crashed_batch_survives_interleaved_compact(spark, sf_dir, tmp_path):
+    """ADVICE r9 through the ANN client: a batch pins its base version,
+    crashes pre-commit, compact_ann_index() claims the version with its
+    snapshot — the replay must land the batch's postings as a fresh
+    delta (vectors are never silently dropped from the store), and a
+    second replay adds nothing."""
+    import os
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        compact_ann_index,
+        read_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    build = emb.filter(F.col("vec_id") < 30)
+    ivf_build(spark, idx, build, k=4)
+
+    ledger = os.path.join(idx, "_ledger")
+    os.makedirs(ledger)
+    with open(os.path.join(ledger, "lin-2"), "w") as f:
+        f.write("0")  # batch 2 pinned base_v=0, then crashed pre-commit
+    assert compact_ann_index(spark, idx) == 1  # snapshot claims v=1
+
+    proc = _ann_batch_processor(idx, out, "lin")
+    b2 = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 40))
+    proc(b2, 2)
+    proc(b2, 2)  # replay of the replay
+    versions = sorted(d for d in os.listdir(idx) if d.startswith("v="))
+    assert versions == ["v=0", "v=1", "v=2"]
+    assert not os.path.exists(os.path.join(idx, "v=2", "_SNAPSHOT"))
+    _, postings = read_ann_index(spark, idx)
+    got = {r["vec_id"] for r in postings.select("vec_id").collect()}
+    assert got == set(range(40))  # build + the recovered batch, no loss

@@ -312,3 +312,38 @@ def test_live_es_tail_feeds_near_dup_index(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_crashed_batch_survives_interleaved_compact(spark, tmp_path):
+    """ADVICE r9 through the LSH client: a batch pins its base version,
+    crashes pre-commit, compact() claims the version with its snapshot —
+    the replay must land the batch's bucket minima as a fresh delta (so
+    later batches see its anchors), and a second replay adds nothing."""
+    import os
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.lsh_ingest import (
+        compact,
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    proc = _lsh_batch_processor(idx, out, "lin")
+    proc(spark.createDataFrame([(1, "alpha beta gamma delta")], SCHEMA), 0)
+
+    ledger = os.path.join(idx, "_ledger")
+    with open(os.path.join(ledger, "lin-5"), "w") as f:
+        f.write("0")  # batch 5 pinned base_v=0, then crashed pre-commit
+    assert compact(spark, idx) == 1  # snapshot claims v=1
+
+    b5 = spark.createDataFrame([(9, "omega psi chi phi")], SCHEMA)
+    proc(b5, 5)
+    proc(b5, 5)  # replay of the replay
+    versions = sorted(d for d in os.listdir(idx) if d.startswith("v="))
+    assert versions == ["v=0", "v=1", "v=2"]
+    assert not os.path.exists(os.path.join(idx, "v=2", "_SNAPSHOT"))
+    # doc 9's buckets are anchored in the index — a later batch with the
+    # same text classifies as a corpus near-dup, proving the rows landed
+    proc(spark.createDataFrame([(20, "omega psi chi phi")], SCHEMA), 6)
+    st = spark.read.parquet(os.path.join(out, "batch=lin-6", "status"))
+    r = {x["doc_id"]: (x["status"], x["corpus_anchor"]) for x in st.collect()}
+    assert r == {20: ("near_dup_corpus", 9)}
