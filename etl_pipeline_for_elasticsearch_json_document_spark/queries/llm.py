@@ -1041,19 +1041,22 @@ WHERE rnk <= 10
 """,
     doc="Top-10 frequent tokens per language — the heavy-hitter / vocab "
     "primitive: explode -> partial-aggregated count (map-side combine "
-    "absorbs hot tokens) -> per-group window top-k on the counts relation.",
+    "absorbs hot tokens) -> sampling.per_key_topk's salted two-level "
+    "top-k over the counts relation (r10: no task ever sorts a whole "
+    "language's vocabulary; descending count rides the negated column).",
 )
 def q75(spark, sf_dir):
-    from pyspark.sql.window import Window
-
     d = _t(spark, sf_dir, "documents")
     c = (
         d.select("lang", F.explode(text.tokens(F.col("text"))).alias("w"))
         .groupBy("lang", "w")
         .agg(F.count("*").alias("n"))
     )
-    rnk = F.row_number().over(Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("w")))
-    return c.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= 10)
+    top = sampling.per_key_topk(
+        c.withColumn("negn", -F.col("n")), ["lang"], ["negn", "w"], 10,
+        rank_col="rnk",
+    )
+    return top.select("lang", "w", "n", "rnk")
 
 
 # ---------------------------------------------------------------------------

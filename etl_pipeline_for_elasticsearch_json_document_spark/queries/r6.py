@@ -328,19 +328,24 @@ FROM m
     "Determinism: ln values are rounded to 6dp then summed as DECIMALs "
     "(exact, order-free); the slope is a single double expression over "
     "those exact moments — the q129 exact-moment-regression pattern. "
-    "Scale: per-lang token counts partial-aggregate map-side; only the "
-    "top-50-per-lang relation (langs×50 rows) reaches the fit.",
+    "Scale: per-lang token counts partial-aggregate map-side; the "
+    "top-50 per lang comes from sampling.per_key_topk's salted "
+    "two-level top-k (r10 — no task ever sorts a whole language's "
+    "vocabulary); only langs×50 rows reach the fit.",
 )
 def q156(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import sampling
+
     d = _t(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
         F.col("w") != ""
     )
     freq = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
-    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("w"))
     pts = (
-        freq.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= 50)
+        sampling.per_key_topk(
+            freq.withColumn("negc", -F.col("c")), ["lang"], ["negc", "w"], 50,
+            rank_col="r",
+        )
         .select(
             "lang",
             F.round(F.log(F.col("r").cast("double")), 6).cast("decimal(18,6)").alias("x"),

@@ -54,11 +54,6 @@ VALUE_DOMAIN_WINDOW = (
     "is bounded by the score's value domain, not the corpus; the rule "
     "cannot prove it because the grouping key includes the score column"
 )
-VOCAB_WINDOW = (
-    "per-lang window over the (lang, token) vocabulary relation — "
-    "sublinear in corpus size (Heaps' law), the same bound TOKEN_VOCAB "
-    "documents for broadcasts"
-)
 CARRY_WINDOW = (
     "the only flagged window is grouped_prefix_sum's CARRY pass over the "
     "per-chunk totals relation (one row per (group, chunk) — size "
@@ -231,8 +226,6 @@ ALLOWANCES: dict[str, dict[str, str]] = {
     "q217_scorer_rank_correlation": {"bounded-key-window": VALUE_DOMAIN_WINDOW},
     "q222_user_value_gini": {"bounded-key-window": VALUE_DOMAIN_WINDOW},
     "q134_length_stratified_sample": {"bounded-key-window": VALUE_DOMAIN_WINDOW},
-    "q75_top_tokens_per_lang": {"bounded-key-window": VOCAB_WINDOW},
-    "q156_zipf_slope": {"bounded-key-window": VOCAB_WINDOW},
     "q68_ntile_deciles": {
         "bounded-key-window": "ntile SQL-surface demo (per-status deciles "
         "over orders); the scalable quantile paths are q74's binned sketch "
