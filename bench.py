@@ -754,10 +754,15 @@ def bench_scale_ladder(spark, sf_dir: str, x1: dict[str, float]) -> dict:
                 "ratio": round(t10 / t1, 2) if t1 else None,
             }
         # r10: the bounded-key-window rewrites on the ladder — ranks ride
-        # distinct-value relations + tie-block windows, so the slope
-        # should track data volume, never a per-source/type sort blowup.
-        # These are not headline entries, so ×1 is measured here.
-        for name in ("q217_scorer_rank_correlation", "q222_user_value_gini"):
+        # distinct-value relations + tie-block windows (q217/q222) or the
+        # salted two-level top-k (q148), so the slope should track data
+        # volume, never a per-source/type sort blowup. These are not
+        # headline entries, so ×1 is measured here.
+        for name in (
+            "q217_scorer_rank_correlation",
+            "q222_user_value_gini",
+            "q148_weighted_reservoir",
+        ):
             d1 = queries[name].fn(spark, sf_dir)
             force(d1)
             t1 = timed_median(lambda: force(d1))
