@@ -130,9 +130,12 @@ def partition_expr(key_cols: list[str], n_partitions: int) -> Column:
 
 
 def touched_partitions(df: DataFrame, key_cols: list[str], n_partitions: int) -> list[int]:
-    """The hash partitions ``df``'s keys fall into — a driver-bounded
-    collect (≤ P ints). Rows in other partitions cannot share a key with
-    ``df``, so pruning reads to this set is exact."""
+    """The hash partitions ``df``'s keys fall into — a driver collect
+    that is BOUNDED BY CONSTRUCTION: the projection is ``pmod(_, P)``,
+    so at most P distinct ints cross the wire regardless of ``df``'s
+    size (the same literal-modulus bound the plan-lint allowances name).
+    Rows in other partitions cannot share a key with ``df``, so pruning
+    reads to this set is exact."""
     return sorted(
         r["p"]
         for r in df.select(partition_expr(key_cols, n_partitions).alias("p"))
