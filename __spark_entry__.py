@@ -56,6 +56,9 @@ _NEW_IN_R10: set[str] = {
     "q229_small_quantity_revenue",
     "q230_waiting_suppliers",
     "q231_product_profit",
+    "q232_top_supplier_revenue",
+    "q233_disjunctive_revenue",
+    "q234_dominant_part_suppliers",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

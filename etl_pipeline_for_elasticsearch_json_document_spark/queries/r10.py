@@ -2,13 +2,17 @@
 stress shapes the registry lacked (VERDICT r9 item 7) — Q17's
 correlated scalar average per part (small-quantity revenue), Q21's
 multi-EXISTS/NOT-EXISTS self-join on lineitem (suppliers who kept
-orders waiting), and Q9's multi-way profit rollup by nation and year.
-Each is adapted to this corpus' schema (no partsupp / p_container /
-l_receiptdate columns): Q17 keys the correlated average on p_brand
-alone, Q21 defines "late" as shipping more than 60 days after the
-order date, Q9 uses a retail-price fraction as the supply-cost proxy —
-the OPTIMIZER shapes (decorrelation, aggregate-then-join instead of
-EXISTS chains, LIKE-filtered dimension pushdown) are what these pin,
+orders waiting), and Q9's multi-way profit rollup by nation and year —
+plus three more optimizer classics: Q15's scalar-max join-back (top
+supplier), Q19's disjunctive OR-of-ANDs with implied-predicate
+derivation, and Q20's double-nested two-grain decorrelation (dominant
+product-line suppliers). Each is adapted to this corpus' schema (no
+partsupp / p_container / l_receiptdate columns): Q17 keys the
+correlated average on p_brand alone, Q21 defines "late" as shipping
+more than 60 days after the order date, Q9/Q20 proxy supply data from
+retail price / shipped quantity — the OPTIMIZER shapes (decorrelation,
+aggregate-then-join instead of EXISTS chains, LIKE-filtered dimension
+pushdown, pushdown-friendly disjunction envelopes) are what these pin,
 not the exact TPC-H constants.
 
 Every query follows the registry's cross-engine determinism rules
@@ -217,3 +221,183 @@ def q231(spark, sf_dir):
         )
         .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q232: TPC-H Q15 shape — top supplier by quarterly revenue (max join-back)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q232_top_supplier_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1 - l_discount AS DECIMAL(18,4))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey),
+mx AS (SELECT max(r) AS mr FROM rev)
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(rev.r AS DOUBLE), 2) AS total_revenue
+FROM rev JOIN mx ON rev.r = mx.mr
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+""",
+    doc="TPC-H Q15 (top supplier): the revenue-view + scalar-max "
+    "join-back — the aggregate is computed once and its maximum joined "
+    "back by EQUALITY (ties all surface, exactly the view semantics), "
+    "never a global sort or LIMIT 1 that would drop ties. Determinism: "
+    "revenue is an exact DECIMAL sum, so the max-equality join is exact "
+    "(a float revenue would make r = max(r) partition-order-dependent); "
+    "one mirrored final round. Scale: the quarter filter pushes to the "
+    "lineitem scan; the per-supplier aggregate reduces map-side; the "
+    "1-row max joins back by equi-key (broadcast under AQE, no "
+    "nested-loop cross).",
+)
+def q232(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (1 - F.col("l_discount")).cast("decimal(18,4)")
+            ).alias("r")
+        )
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    return (
+        rev.join(mx, rev["r"] == mx["mr"])
+        .join(s, rev["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("r").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q233: TPC-H Q19 shape — disjunctive brand/size/quantity revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q233_disjunctive_revenue",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE),
+             2) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand IN ('Brand#4', 'Brand#2')
+  AND p.p_size BETWEEN 1 AND 30
+  AND l.l_quantity BETWEEN 1 AND 40
+  AND ((p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity BETWEEN 1 AND 20)
+    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+        AND l.l_quantity BETWEEN 10 AND 40))
+""",
+    doc="TPC-H Q19 (disjunctive revenue): an OR of brand/size/quantity "
+    "conjunctions that straddles the join — the classic shape where a "
+    "naive plan evaluates the whole disjunction per joined pair with "
+    "nothing pushed down. The spelling applies Q19's standard implied-"
+    "predicate derivation: the UNION bounds of each disjunct (brand IN, "
+    "size/quantity envelope ranges) are stated as plain conjuncts, so "
+    "they push to the part and lineitem SCANS and the join's build side "
+    "shrinks to the brand slice before the residual OR runs per match. "
+    "Determinism: DECIMAL revenue sum, exact count, one mirrored round. "
+    "Scale: pushed scan filters + an equi-join on partkey; the residual "
+    "evaluates only on brand-sliced matches.",
+)
+def q233(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 40))
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#4", "Brand#2") & F.col("p_size").between(1, 30)
+    )
+    disj = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).filter(disj)
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (1 - F.col("l_discount")).cast("decimal(18,4)")
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q234: TPC-H Q20 shape — dominant suppliers of a product line
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q234_dominant_part_suppliers",
+    oracle="""
+WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+tot AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS t
+  FROM lineitem JOIN rp ON rp.p_partkey = l_partkey
+  GROUP BY l_partkey),
+sp AS (
+  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS q
+  FROM lineitem JOIN rp ON rp.p_partkey = l_partkey
+  GROUP BY l_suppkey, l_partkey),
+dom AS (
+  SELECT sp.l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
+  FROM sp JOIN tot ON tot.l_partkey = sp.l_partkey
+  WHERE 20 * sp.q > 3 * tot.t
+  GROUP BY sp.l_suppkey)
+SELECT s.s_name, d.n_parts
+FROM dom d JOIN supplier s ON s.s_suppkey = d.l_suppkey
+""",
+    doc="TPC-H Q20 (dominant product-line suppliers, this schema's "
+    "partsupp-free analog): suppliers shipping more than 15% of a "
+    "LIKE-filtered part's total quantity, counted per supplier — the "
+    "double-nested subquery (partkey IN (LIKE filter) + a correlated "
+    "per-(supplier, part) quantity threshold) spelled as its "
+    "decorrelated form: TWO grouped aggregates of the same filtered "
+    "fact at different grains joined on the part key, then a dimension "
+    "join-back. Determinism: quantity sums are exact DECIMALs and the "
+    "15% threshold is cross-multiplied (20·q > 3·t) so no float "
+    "division feeds the predicate. Scale: the LIKE prunes part before "
+    "anything joins; both aggregates ride one l_partkey-clustered "
+    "shuffle; no windows, no hints.",
+)
+def q234(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rp = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    red = li.join(rp, li["l_partkey"] == rp["p_partkey"]).select(
+        "l_suppkey", "l_partkey", F.col("l_quantity").cast("decimal(18,4)").alias("q0")
+    )
+    tot = red.groupBy("l_partkey").agg(F.sum("q0").alias("t"))
+    sp = red.groupBy("l_suppkey", "l_partkey").agg(F.sum("q0").alias("q"))
+    dom = (
+        sp.join(tot, "l_partkey")
+        .filter(20 * F.col("q") > 3 * F.col("t"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+    )
+    return dom.join(s, dom["l_suppkey"] == s["s_suppkey"]).select("s_name", "n_parts")

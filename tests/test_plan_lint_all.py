@@ -242,6 +242,13 @@ ALLOWANCES: dict[str, dict[str, str]] = {
     # tiebreak_cols)
     "q102_sequence_packing": {"bounded-key-window": CARRY_WINDOW},
     "q210_budget_selection": {"bounded-key-window": CARRY_WINDOW},
+    "q234_dominant_part_suppliers": {
+        "band-join": "the 15%-share threshold is a residual on the "
+        "l_partkey equi-join whose RIGHT side (per-part totals) has "
+        "exactly one row per key — matched pairs equal the per-"
+        "(supplier, part) relation, never |key-group|²; the rule cannot "
+        "see the one-row-per-key bound"
+    },
     # bounded / surface-demo single-partition + global-sort shapes
     "q12_rank_dense": {
         "single-partition": "global rank/ntile SQL surface over the supplier dim; "
