@@ -59,6 +59,9 @@ _NEW_IN_R10: set[str] = {
     "q232_top_supplier_revenue",
     "q233_disjunctive_revenue",
     "q234_dominant_part_suppliers",
+    "q235_market_share",
+    "q236_promo_revenue_share",
+    "q237_part_supplier_diversity",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

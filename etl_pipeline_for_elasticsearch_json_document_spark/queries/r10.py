@@ -401,3 +401,189 @@ def q234(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_parts"))
     )
     return dom.join(s, dom["l_suppkey"] == s["s_suppkey"]).select("s_name", "n_parts")
+
+
+# ---------------------------------------------------------------------------
+# q235: TPC-H Q8 shape — national market share within a region
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q235_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         sn.n_name AS supp_nation,
+         CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA')
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                           THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM rev GROUP BY o_year
+""",
+    doc="TPC-H Q8 (national market share): of everything sold to ASIA "
+    "customers, the yearly revenue share supplied from one nation — the "
+    "classic 7-relation join with nation under TWO roles (customer side "
+    "filters the region, supplier side labels the share) and the "
+    "conditional-aggregate share instead of a self-join. Determinism: "
+    "volume stays DECIMAL through both sums; the share is one mirrored "
+    "double division, rounded. Scale: region/nation are constant-"
+    "cardinality broadcasts under AQE; the fact joins shuffle on their "
+    "keys; share-of-total needs no second pass — numerator and "
+    "denominator ride the SAME grouped aggregate.",
+)
+def q235(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = r.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    volume = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(asia), F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            "supp_nation",
+            volume.alias("volume"),
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236: TPC-H Q14 shape — promo revenue share per month
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q236_promo_revenue_share",
+    oracle="""
+SELECT substring(CAST(l.l_shipdate AS VARCHAR), 1, 7) AS ship_month,
+       round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE),
+             6) AS promo_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY ship_month
+""",
+    doc="TPC-H Q14 (promotion effect): the share of revenue carried by "
+    "PROMO-type parts, per ship month of one year — the conditional-"
+    "aggregate percentage (CASE inside sum) that needs no self-join and "
+    "no second pass. Determinism: both sums are DECIMAL over the same "
+    "rows; the month key is a string prefix (identical rendering both "
+    "engines); one mirrored double division. Scale: the date filter "
+    "pushes to the lineitem scan; one equi-join on partkey; numerator "
+    "and denominator ride one grouped aggregate.",
+)
+def q236(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    return j.groupBy(
+        F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("ship_month")
+    ).agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum(vol).cast("double"),
+            6,
+        ).alias("promo_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q237: TPC-H Q16 shape — supplier diversity per part category, with exclusion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q237_part_supplier_diversity",
+    oracle="""
+WITH excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500),
+sp AS (
+  SELECT DISTINCT p.p_brand, p.p_type, l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_size BETWEEN 1 AND 25
+    AND l.l_suppkey NOT IN (SELECT s_suppkey FROM excl))
+SELECT p_brand, p_type,
+       CAST(count(*) AS BIGINT) AS supplier_cnt
+FROM sp GROUP BY p_brand, p_type
+""",
+    doc="TPC-H Q16 (supplier diversity): how many DISTINCT suppliers "
+    "ship each (brand, type) category, excluding a denylist (suppliers "
+    "below an account-balance floor — this schema's analog of Q16's "
+    "complaint-comment filter) — the NOT IN exclusion spelled as an "
+    "ANTI-JOIN against the small denylist plus a distinct-then-count "
+    "two-phase aggregate (the count-distinct rides the grouping "
+    "shuffle, never a per-group set in one task). Determinism: pure "
+    "integer counts over exact string keys. Scale: the size filter "
+    "pushes to the part scan; the denylist anti-join broadcasts under "
+    "AQE; DISTINCT reduces map-side before the final count.",
+)
+def q237(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").between(1, 25)).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    excl = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1500).select(
+        "s_suppkey"
+    )
+    sp = (
+        li.join(excl, li["l_suppkey"] == excl["s_suppkey"], "left_anti")
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .select("p_brand", "p_type", "l_suppkey")
+        .distinct()
+    )
+    return sp.groupBy("p_brand", "p_type").agg(
+        F.count("*").cast("bigint").alias("supplier_cnt")
+    )
