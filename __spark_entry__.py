@@ -62,6 +62,10 @@ _NEW_IN_R10: set[str] = {
     "q235_market_share",
     "q236_promo_revenue_share",
     "q237_part_supplier_diversity",
+    "q238_order_priority_check",
+    "q239_forecast_revenue",
+    "q240_returned_items",
+    "q241_priority_lateness_matrix",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

@@ -1,0 +1,260 @@
+"""Round-10 second-half registrations: the four TPC-H queries that
+complete the literal 1-22 canon on this corpus' schema — Q4 (order
+priority checking: EXISTS with a cross-side date predicate), Q6
+(forecast revenue change: the zero-join full-pushdown scan), Q10
+(returned-item reporting: fact rollup + dims + deterministic top-20),
+and Q12 (shipping-mode lateness matrix, keyed on l_returnflag since
+this schema carries no l_shipmode/l_commitdate — the conditional
+two-way count shape is what Q12 pins, not the column).
+
+With these, every TPC-H query 1-22 has a registered shape: Q1=q01,
+Q2=q211, Q3=q03, Q4=q238, Q5=q203, Q6=q239, Q7=q220, Q8=q235, Q9=q231,
+Q10=q240, Q11=q212, Q12=q241, Q13=q213, Q14=q236, Q15=q232, Q16=q237,
+Q17=q229, Q18=q204, Q19=q233, Q20=q234, Q21=q230, Q22=q214.
+
+Determinism follows registry.py's rules: money math in DECIMAL
+end-to-end, float only in final mirrored round() projections; top-k
+orders by the EXACT decimal measure with a unique-key tiebreak before
+any rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_for_elasticsearch_json_document_spark.queries.registry import query
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q238: TPC-H Q4 — order priority checking (EXISTS with cross-side predicate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q238_order_priority_check",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+GROUP BY o.o_orderpriority
+""",
+    doc="TPC-H Q4 (order priority checking): per priority, the count of "
+    "one quarter's orders having at least one line shipped more than 45 "
+    "days after the order date (the l_commitdate < l_receiptdate analog "
+    "this schema supports) — the EXISTS whose correlated predicate "
+    "references BOTH sides (l_shipdate vs o_orderdate), so it cannot "
+    "fold into a pre-aggregated key set and must become a LEFT SEMI "
+    "join with a composite condition. q28 pins the plain keyed EXISTS; "
+    "this pins the cross-side-predicate variant. Determinism: pure "
+    "integer counts and exact timestamp arithmetic. Scale: the quarter "
+    "filter pushes to the orders scan BEFORE the semi-join (the probe "
+    "side is a sliver); the semi-join shuffles on l_orderkey and "
+    "short-circuits per key — no dedup pass, no window.",
+)
+def q238(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sj = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.expr("o_orderdate + INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return sj.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239: TPC-H Q6 — forecast revenue change (zero-join full-pushdown scan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q239_forecast_revenue",
+    oracle="""
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(4,2))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 (forecast revenue change): the revenue delta if "
+    "mid-range discounts were eliminated — sum(price x discount) under "
+    "a date window, a discount band, and a quantity cap. The plan IS "
+    "the point: zero joins, every predicate pushed into the parquet "
+    "scan (tests/test_plans.py pins PushedFilters for all three "
+    "columns), one map-side partial aggregate, a 1-row result — the "
+    "canonical full-pushdown scan every column-pruning/filter-pushdown "
+    "regression would break first. Determinism: the band compares "
+    "DOUBLES (identical IEEE literals both engines); the product runs "
+    "in DECIMAL (discount cast to decimal(4,2) — exact at its 2-digit "
+    "domain), one final mirrored round. Scale: map-only until the "
+    "1-row final aggregate; no shuffle of data, only of partials.",
+)
+def q239(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            # Round the exact decimal sum BEFORE the double cast (the
+            # mirrored-round rule for .xx5-boundary safety, see q240).
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q240: TPC-H Q10 — returned-item reporting (rollup + dims + top-20)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q240_returned_items",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name)
+SELECT c_custkey, c_name, n_name,
+       round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue
+FROM rev
+ORDER BY rev DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 (returned-item reporting): the 20 customers who "
+    "returned the most revenue in one quarter, with their nation and "
+    "balance — the fact-rollup-then-top-k report (group the filtered "
+    "fact by customer, join the small attribute dims, take a bounded "
+    "head). Determinism: revenue is an exact DECIMAL sum, the top-20 "
+    "orders by that EXACT value with the c_custkey tiebreak BEFORE any "
+    "rounding, so the cut line is reproducible; rounding happens only "
+    "in the final projection, mirrored. Scale: both scan filters push "
+    "down (quarter to orders, returnflag to lineitem) so the joins see "
+    "slivers; the per-customer aggregate partial-reduces map-side; the "
+    "top-20 is TakeOrderedAndProject (per-partition heads + one 20-row "
+    "merge, pinned in tests/test_plans.py), never a global sort; "
+    "nation is a constant-cardinality broadcast.",
+)
+def q240(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(n, n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("rev")
+        )
+    )
+    top = rev.orderBy(F.col("rev").desc(), F.col("c_custkey")).limit(20)
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+        # Round the EXACT decimal first, THEN cast: rounding after a
+        # double cast diverges cross-engine when the decimal sits on a
+        # .xx5 boundary (Spark rounds the shortest-repr string, DuckDB
+        # the binary value).
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q241: TPC-H Q12 shape — lateness/priority matrix (conditional 2-way counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q241_priority_lateness_matrix",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+""",
+    doc="TPC-H Q12 shape (shipping lateness vs order priority): among "
+    "one year's lines shipped more than 45 days after their order "
+    "date, how many belong to critical-priority orders vs the rest, "
+    "per line class — keyed on l_returnflag because this schema has no "
+    "l_shipmode/l_commitdate; the SHAPE Q12 pins is the conditional "
+    "two-way count (CASE inside sum, both columns riding ONE grouped "
+    "aggregate — no self-join, no pivot pass) under a join-straddling "
+    "lateness predicate. Determinism: pure integer counts, exact "
+    "timestamp arithmetic. Scale: the year window pushes to the "
+    "lineitem scan; orders prunes to 3 columns and joins on the key "
+    "under AQE; the cross-side lateness predicate evaluates per match; "
+    "output is a 3-row relation.",
+)
+def q241(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).filter(
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 45 DAYS")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+    )

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         r9,
         r9b,
         r10,
+        r10b,
         relational,
     )
 

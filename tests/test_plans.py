@@ -523,3 +523,25 @@ def test_rank_decomposition_windows_run_over_value_domain(spark):
             )
             n_value_domain += 1
         assert n_value_domain >= 1, f"{name}: no value-domain window found"
+
+
+def test_q239_full_pushdown_scan(spark):
+    """TPC-H Q6 is the canonical full-pushdown query: all three predicate
+    columns must reach the parquet scan as PushedFilters, the plan must be
+    join-free, and the aggregate must be partial-then-final."""
+    df = Q["q239_forecast_revenue"].fn(spark, SF_DIR)
+    plan = plan_text(df)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to the scan: {pushed}"
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_q240_topk_is_take_ordered(spark):
+    """TPC-H Q10's top-20 must be TakeOrderedAndProject (per-partition
+    heads + one 20-row merge), never a global Sort feeding a limit."""
+    plan = plan_text(Q["q240_returned_items"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # the quarter filter must prune the orders scan before the joins
+    assert "GreaterThanOrEqual(o_orderdate" in plan.replace(" ", "")
