@@ -66,6 +66,8 @@ _NEW_IN_R10: set[str] = {
     "q239_forecast_revenue",
     "q240_returned_items",
     "q241_priority_lateness_matrix",
+    "q242_epoch_budget_plan",
+    "q243_contamination_cascade",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

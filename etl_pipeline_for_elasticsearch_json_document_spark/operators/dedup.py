@@ -663,6 +663,58 @@ def cdc_chunks(
 # ---------------------------------------------------------------------------
 
 
+def _gram_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int, out: str
+) -> DataFrame:
+    """``(out, gh)`` postings: per-doc DISTINCT word n-grams as 8-byte
+    xxhash64 keys. Shared by :func:`ngram_contamination` (per-test-doc
+    counts) and :func:`contaminated_train_ids` (the train-side hit set) —
+    both sides of a contamination join must hash grams identically."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.text import word_ngrams
+
+    src = df.select(F.col(id_col).alias(out), F.col(text_col).alias("__t"))
+    # An under-split input (e.g. one parquet file with one row group)
+    # would serialize the gram explode — the query's dominant cost —
+    # on a single core. Fan the narrow (id, text) rows out to the
+    # session's parallelism first: one shuffle of ~input bytes buys
+    # cores× explode throughput. Gated so it never fires on properly
+    # split inputs — at 100 TB the corpus arrives in thousands of
+    # splits and this is a no-op decision, keeping the "text never
+    # shuffles" posture where it matters.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < max(2, target // 2):
+        src = src.repartition(target)
+    return src.select(
+        out,
+        F.explode(F.array_distinct(word_ngrams(F.col("__t"), n))).alias("g"),
+    ).select(out, F.xxhash64("g").alias("gh"))
+
+
+def contaminated_train_ids(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """The TRAIN-side hit set of the contamination join: distinct train
+    doc ids sharing at least one word ``n``-gram with ANY test document —
+    the removal candidates a decontamination pass hands to the dedup
+    layer (see q243's cascade: hits expand to their near-dup clusters).
+
+    Same postings substrate as :func:`ngram_contamination` (which
+    aggregates the other side), same broadcast posture: the test side is
+    the small one, the train corpus streams map-side, and the semi-join
+    emits each train id once without materializing per-pair rows.
+    Column: ``train_id``.
+    """
+    tr = _gram_postings(train, id_col, text_col, n, "train_id")
+    te = _gram_postings(test, id_col, text_col, n, "test_id")
+    return tr.join(F.broadcast(te.select("gh").distinct()), "gh", "left_semi").select(
+        "train_id"
+    ).distinct()
+
+
 def ngram_contamination(
     train: DataFrame,
     test: DataFrame,
@@ -688,28 +740,8 @@ def ngram_contamination(
 
     Columns: ``test_id, n_train_docs, n_shared_grams``.
     """
-    from etl_pipeline_for_elasticsearch_json_document_spark.operators.text import word_ngrams
-
-    def grams(df: DataFrame, out: str) -> DataFrame:
-        src = df.select(F.col(id_col).alias(out), F.col(text_col).alias("__t"))
-        # An under-split input (e.g. one parquet file with one row group)
-        # would serialize the gram explode — the query's dominant cost —
-        # on a single core. Fan the narrow (id, text) rows out to the
-        # session's parallelism first: one shuffle of ~input bytes buys
-        # cores× explode throughput. Gated so it never fires on properly
-        # split inputs — at 100 TB the corpus arrives in thousands of
-        # splits and this is a no-op decision, keeping the "text never
-        # shuffles" posture where it matters.
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < max(2, target // 2):
-            src = src.repartition(target)
-        return src.select(
-            out,
-            F.explode(F.array_distinct(word_ngrams(F.col("__t"), n))).alias("g"),
-        ).select(out, F.xxhash64("g").alias("gh"))
-
-    tr = grams(train, "train_id")
-    te = grams(test, "test_id")
+    tr = _gram_postings(train, id_col, text_col, n, "train_id")
+    te = _gram_postings(test, id_col, text_col, n, "test_id")
     return (
         tr.join(F.broadcast(te), "gh")
         .groupBy("test_id")

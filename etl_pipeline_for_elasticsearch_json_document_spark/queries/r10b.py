@@ -258,3 +258,209 @@ def q241(spark, sf_dir):
         F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
         F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q242: data-constrained epoch/budget allocation plan (per-source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q242_epoch_budget_plan",
+    oracle="""
+WITH per_source AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(supply_tokens) AS t FROM per_source),
+w AS (
+  SELECT source, supply_tokens, n_docs,
+         CAST(round(pow(supply_tokens / CAST(t AS DOUBLE), 0.5), 6)
+              AS DECIMAL(18, 6)) AS wt
+  FROM per_source, tot),
+z AS (SELECT sum(wt) AS z FROM w)
+SELECT source, supply_tokens, n_docs,
+       round(CAST(wt AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight,
+       round(CAST(wt AS DOUBLE) / CAST(z AS DOUBLE) * 2000000.0, 2)
+         AS requested_tokens,
+       round(least(CAST(wt AS DOUBLE) / CAST(z AS DOUBLE) * 2000000.0,
+                   4.0 * supply_tokens), 2) AS achievable_tokens,
+       round(least(CAST(wt AS DOUBLE) / CAST(z AS DOUBLE) * 2000000.0,
+                   4.0 * supply_tokens) / supply_tokens, 4) AS epochs,
+       round(CAST(wt AS DOUBLE) / CAST(z AS DOUBLE) * 2000000.0
+             - least(CAST(wt AS DOUBLE) / CAST(z AS DOUBLE) * 2000000.0,
+                     4.0 * supply_tokens), 2) AS deficit_tokens
+FROM w, z
+""",
+    doc="Data-constrained training allocation (the epochs-per-source "
+    "planning table): given a global token budget (2M literal) and "
+    "tempered target weights (sqrt-share, q171's recipe on the source "
+    "axis), each source's requested tokens, the achievable tokens under "
+    "a 4-epoch repetition cap (repeating data beyond ~4 epochs stops "
+    "helping, so the cap is the planning constant), the implied epoch "
+    "count, and the unfillable deficit the curator must re-spread or cut "
+    "from the budget. q171 ends at WEIGHTS; this turns weights + supply "
+    "into the allocation decision. Determinism: pow terms round to 6 dp "
+    "THEN sum as DECIMAL(18,6) (exact, order-independent); every output "
+    "is a single float expression of those exact quantities, mirrored. "
+    "Scale: one corpus pass reduces to the |sources|-row relation; the "
+    "1-row total and normalizer broadcast onto it (the sanctioned "
+    "broadcast-scalar shape) — text never shuffles.",
+)
+def q242(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(text_ops.token_count(F.col("text"))).cast("bigint").alias(
+            "supply_tokens"
+        ),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    tot = per_source.agg(F.sum("supply_tokens").alias("t"))
+    w = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "supply_tokens",
+        "n_docs",
+        F.round(
+            F.pow(F.col("supply_tokens") / F.col("t").cast("double"), F.lit(0.5)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("wt"),
+    )
+    z = w.agg(F.sum("wt").alias("z"))
+    ww = F.col("wt").cast("double") / F.col("z").cast("double")
+    requested = ww * F.lit(2000000.0)
+    achievable = F.least(requested, F.lit(4.0) * F.col("supply_tokens"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "supply_tokens",
+        "n_docs",
+        F.round(ww, 6).alias("weight"),
+        F.round(requested, 2).alias("requested_tokens"),
+        F.round(achievable, 2).alias("achievable_tokens"),
+        F.round(achievable / F.col("supply_tokens"), 4).alias("epochs"),
+        F.round(requested - achievable, 2).alias("deficit_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q243: contamination blast radius (decontamination x near-dup closure)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q243_contamination_cascade",
+    oracle="""
+WITH RECURSIVE
+tr AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 <> 0),
+toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                      || ws[i+3] || ' ' || ws[i+4]))) AS g
+      FROM toks),
+hits AS (SELECT DISTINCT t.doc_id
+         FROM g t JOIN g s ON s.g = t.g AND s.doc_id % 10 = 0
+         WHERE t.doc_id % 10 <> 0),
+words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id % 10 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT a_id, b_id FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE i / (sa.n + sb.n - i) >= 0.8),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM tr
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v),
+clusters AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+bad AS (SELECT DISTINCT c.cluster_id FROM clusters c JOIN hits h ON h.doc_id = c.id),
+cascade AS (SELECT c.id AS doc_id FROM clusters c
+            JOIN bad b ON b.cluster_id = c.cluster_id)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_direct,
+       CAST(sum(CASE WHEN cs.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cascade,
+       CAST(sum(CASE WHEN cs.doc_id IS NOT NULL AND h.doc_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+       round(sum(CASE WHEN cs.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS removed_share
+FROM tr t
+LEFT JOIN hits h ON h.doc_id = t.doc_id
+LEFT JOIN cascade cs ON cs.doc_id = t.doc_id
+GROUP BY t.source
+""",
+    doc="Contamination blast radius: benchmark-contaminated train docs "
+    "(q100's 5-gram hit set, train side) EXPANDED to their full near-dup "
+    "clusters (q128's Jaccard>=0.8 closure over the train corpus) — the "
+    "real removal bill of a decontamination pass, because dropping a "
+    "leaked doc while keeping its near-duplicates removes nothing. Per "
+    "source: train size, direct hits, cascade size (hits + their cluster "
+    "mates), the extra docs dedup-awareness adds, and the removed share. "
+    "Composes two first-class operators (dedup.contaminated_train_ids, "
+    "graph.dedup_clusters) rather than re-deriving either. Determinism: "
+    "integer counts; one final mirrored rounded division. Scale: the "
+    "test-side gram postings broadcast (benchmark-suite-bounded, the "
+    "q100 posture); the hit and bad-cluster sets are match-bounded but "
+    "NOT constant-bounded, so their joins carry no hints — AQE "
+    "broadcasts them while they fit and degrades to shuffle instead of "
+    "OOM; the closure is the pointer-jumped min-label propagation "
+    "already proven on the dedup path; text reduces to postings before "
+    "any shuffle.",
+)
+def q243(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import dedup, graph
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    direct = dedup.contaminated_train_ids(train, test, "doc_id", "text", n=5).select(
+        F.col("train_id").alias("doc_id")
+    )
+    pairs = dedup.jaccard_pairs(train, "doc_id", "text", threshold=0.8)
+    clusters = graph.dedup_clusters(pairs, train, id_col="doc_id")
+    # No explicit broadcast hints on the hit/cluster sets: they are
+    # match-bounded, not constant-bounded — at 100 TB a heavily leaked
+    # corpus could grow them past executor memory, so the join strategy
+    # is left to AQE (broadcasts while they fit, degrades to shuffle
+    # instead of OOM — the q203 rule).
+    bad = (
+        clusters.join(direct, "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    cascade = clusters.join(bad, "cluster_id", "left_semi").select("doc_id")
+    meta = train.select("doc_id", "source")
+    flagged = meta.join(
+        direct.withColumn("is_direct", F.lit(1)), "doc_id", "left"
+    ).join(cascade.withColumn("in_cascade", F.lit(1)), "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_train"),
+        F.sum(F.coalesce(F.col("is_direct"), F.lit(0))).cast("bigint").alias(
+            "n_direct"
+        ),
+        F.sum(F.coalesce(F.col("in_cascade"), F.lit(0))).cast("bigint").alias(
+            "n_cascade"
+        ),
+        F.sum(
+            F.when(
+                F.col("in_cascade").isNotNull() & F.col("is_direct").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extra"),
+        F.round(
+            F.sum(F.coalesce(F.col("in_cascade"), F.lit(0)))
+            / F.count("*").cast("double"),
+            4,
+        ).alias("removed_share"),
+    )

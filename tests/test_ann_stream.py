@@ -51,7 +51,7 @@ def test_stream_advances_store_and_matches_batch_upsert(spark, sf_dir, tmp_path)
         spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
     )
     q = run_ann_ingest_stream(stream, idx, out, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     cents, postings = read_ann_index(spark, idx)
     assert postings.count() == emb.count()

@@ -146,7 +146,7 @@ def test_streaming_export_to_live_fake_cluster(spark, fake_es, tmp_path):
     run_es_export_stream(
         stream, out, "stream_docs", checkpoint_dir=ckpt,
         id_col="doc_id", base_url=fake_es, max_docs_per_file=3,
-    ).awaitTermination(120)
+    ).awaitTermination(600)
     client = HttpEsClient(fake_es)
     assert client.count("stream_docs")["count"] == 7
     dirs = _glob.glob(os.path.join(out, "bulk_epoch*"))
@@ -164,7 +164,7 @@ def test_streaming_export_to_live_fake_cluster(spark, fake_es, tmp_path):
     run_es_export_stream(
         stream, out, "stream_docs", checkpoint_dir=ckpt,
         id_col="doc_id", base_url=fake_es, max_docs_per_file=3,
-    ).awaitTermination(120)
+    ).awaitTermination(600)
     assert client.count("stream_docs")["count"] == 7  # upserted, not doubled
 
     # re-scan what the cluster holds and check content survived
@@ -348,7 +348,7 @@ def test_es_bulk_stream_writer_end_to_end(spark, fake_es, tmp_path):
         .trigger(availableNow=True)
         .start(out)
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     epochs = sorted(glob.glob(os.path.join(out, "epoch=*")))
     assert len(epochs) == 2

@@ -57,7 +57,13 @@ def _run_drain(spark, fake_es, index, sink, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination(timeout) RETURNS False on timeout (it does not
+    # raise); proceeding then reads a partial sink and fails with a
+    # confusing AnalysisException. Budget generously — a loaded machine
+    # (parallel Spark JVMs) can stretch the drain well past 120 s.
+    if not q.awaitTermination(600):
+        q.stop()
+        raise AssertionError("availableNow drain did not finish in 600 s")
 
 
 def test_tail_reads_all_then_only_new(spark, fake_es, tmp_path):
@@ -179,7 +185,7 @@ def test_es_tail_export_job_end_to_end(spark, fake_es, tmp_path):
             id_col="doc_id",
             page_size=8,
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream drain timed out"
 
     run()
     dirs1 = sorted(glob.glob(out + "/*.tsv"))

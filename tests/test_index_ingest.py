@@ -37,7 +37,7 @@ def test_stream_classifies_and_advances_index(spark, tmp_path):
         .json(src)
     )
     q = run_index_ingest_stream(stream, idx, out, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     res = spark.read.parquet(out)
     r1 = {r["doc_id"]: r["status"] for r in res.collect()}
@@ -52,7 +52,7 @@ def test_stream_classifies_and_advances_index(spark, tmp_path):
         out,
         ckpt,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     res = spark.read.parquet(out)
     r2 = {r["doc_id"]: r["status"] for r in res.collect()}
     assert r2 == {
@@ -215,7 +215,7 @@ def test_es_tail_feeds_index_ingest(spark, tmp_path):
                 id_col="doc_id",
                 text_col="payload",
             )
-            q.awaitTermination(120)
+            assert q.awaitTermination(600), "stream drain timed out"
 
         # run 1: ids 0..9, payload repeats every 4 => 4 distinct contents
         _bulk(0, 10, lambda i: f"content-{i % 4}")

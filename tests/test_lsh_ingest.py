@@ -108,7 +108,7 @@ def test_stream_entry_point_end_to_end(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
     q = run_lsh_ingest_stream(stream, idx, out, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream drain timed out"
     assert _committed_versions(idx) == [0]
     n_status = (
         spark.read.parquet(os.path.join(out, "batch=*", "status")).count()
@@ -291,7 +291,7 @@ def test_live_es_tail_feeds_near_dup_index(spark, tmp_path):
                 F.from_json("source_json", SCHEMA).alias("s")
             ).select("s.doc_id", "s.text")
             q = run_lsh_ingest_stream(parsed, idx, outp, ckpt)
-            q.awaitTermination(120)
+            assert q.awaitTermination(600), "stream drain timed out"
 
         seed([(1, t), (2, "an unrelated document about something else entirely")], "r1")
         run()

@@ -122,6 +122,10 @@ ALLOWANCES: dict[str, dict[str, str]] = {
     },
     "q167_truncation_loss": {"nested-loop-join": "3-row ctx-limit literal broadcast"},
     "q171_temperature_mix": {"nested-loop-join": "1-row total + 1-row Z broadcast"},
+    "q242_epoch_budget_plan": {
+        "nested-loop-join": "1-row total + 1-row Z broadcast (q171's shape "
+        "on the source axis)"
+    },
     "q173_label_shard_balance": {
         "nested-loop-join": "1-row N broadcast",
         "fact-scaled-broadcast": BOUNDED_DOMAIN_AGG,
@@ -196,6 +200,11 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "tables are (m x k)-bounded grouped aggregates"
     },
     "q100_decontaminate": {"fact-scaled-broadcast": PROBE_SET},
+    "q243_contamination_cascade": {
+        "fact-scaled-broadcast": PROBE_SET + "; only the test-side gram "
+        "postings carry the hint — the hit/cluster sets are unhinted "
+        "(AQE decides, the q203 rule)"
+    },
     "q106_count_min": {"fact-scaled-broadcast": SKETCH_RELATION},
     "q110_fuzzy_decontaminate": {"fact-scaled-broadcast": PROBE_SET},
     "q116_decontaminated_stats": {"fact-scaled-broadcast": PROBE_SET},

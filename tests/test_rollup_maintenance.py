@@ -164,7 +164,7 @@ def test_streamed_rollup_matches_batch_and_survives_replay(spark, tmp_path):
         KEYS,
         MEASURES,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     oneshot = spark.createDataFrame(B1 + B2 + B3, SCHEMA).groupBy(*KEYS).agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.sum("value").cast("long").alias("total"),

@@ -50,7 +50,7 @@ def test_export_stream_end_to_end(spark, tmpdir):
         checkpoint_dir=os.path.join(tmpdir, "ckpt"),
         audit_path=os.path.join(tmpdir, "audit"),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     tsv_dirs = glob.glob(os.path.join(out, "rta_claim_headers_*"))
     assert len(tsv_dirs) == 1, tsv_dirs
@@ -84,10 +84,10 @@ def test_export_stream_incremental_checkpoint(spark, tmpdir):
         audit_path=os.path.join(tmpdir, "audit"),
     )
     schema = "claimRequestId long, v string"
-    run_export_stream(spark, inp, out, schema=schema, **kw).awaitTermination(120)
+    run_export_stream(spark, inp, out, schema=schema, **kw).awaitTermination(600)
     with open(os.path.join(inp, "b.json"), "w") as f:
         f.write(json.dumps({"claimRequestId": 2, "v": "y"}) + "\n")
-    run_export_stream(spark, inp, out, schema=schema, **kw).awaitTermination(120)
+    run_export_stream(spark, inp, out, schema=schema, **kw).awaitTermination(600)
 
     dirs = sorted(glob.glob(os.path.join(out, "rta_claim_headers_*")))
     assert len(dirs) == 2
@@ -112,7 +112,7 @@ def _run_to_memory(stream_df, name, mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     return q
 
 
@@ -204,7 +204,7 @@ def test_stateful_sessionize(spark, tmpdir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "stream drain timed out"
         return spark.read.parquet(os.path.join(tmpdir, "out"))
 
     out1 = run_batch()
@@ -243,7 +243,7 @@ def test_stateful_sessionize_late_events(spark, tmpdir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "stream drain timed out"
         return spark.read.parquet(os.path.join(tmpdir, "out"))
 
     def write_rows(name, rows):
@@ -420,7 +420,7 @@ def test_transform_with_state_sessionize_parity(spark, tmpdir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "stream drain timed out"
         return spark.read.parquet(os.path.join(tmpdir, f"out_{name}"))
 
     results = {}
@@ -561,7 +561,7 @@ def test_cms_stream_equals_batch_sketch(spark, sf_dir, tmpdir):
         depth=4,
         width=32,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     streamed = {
         (r["d"], r["bucket"]): r["cnt"] for r in read_sketch(spark, state).collect()
@@ -607,13 +607,13 @@ def test_export_stream_exactly_once_replay_idempotent(spark, tmpdir):
         spark, inp, out, checkpoint_dir=ckpt,
         audit_path=os.path.join(tmpdir, "audit"),
         schema=schema, exactly_once=True,
-    ).awaitTermination(120)
+    ).awaitTermination(600)
     _simulate_crash_before_commit(ckpt)
     run_export_stream(  # restart replays batch 0 in the SAME lineage
         spark, inp, out, checkpoint_dir=ckpt,
         audit_path=os.path.join(tmpdir, "audit"),
         schema=schema, exactly_once=True,
-    ).awaitTermination(120)
+    ).awaitTermination(600)
     dirs = glob.glob(os.path.join(out, "rta_claim_headers_*"))
     assert len(dirs) == 1 and "epoch000000" in dirs[0]
     got = spark.read.option("sep", "\t").option("header", True).csv(dirs[0])
@@ -638,7 +638,7 @@ def test_export_stream_fresh_checkpoint_does_not_mask_new_data(spark, tmpdir):
     run_export_stream(
         spark, inp, out, checkpoint_dir=os.path.join(tmpdir, "ck_first"),
         audit_path=audit, schema=schema, exactly_once=True,
-    ).awaitTermination(120)
+    ).awaitTermination(600)
     # second lineage over NEW input (same output/audit): epochs restart at 0
     with open(os.path.join(inp, "b.json"), "w") as f:
         for i in range(100, 103):
@@ -646,7 +646,7 @@ def test_export_stream_fresh_checkpoint_does_not_mask_new_data(spark, tmpdir):
     run_export_stream(
         spark, inp, out, checkpoint_dir=os.path.join(tmpdir, "ck_second"),
         audit_path=audit, schema=schema, exactly_once=True,
-    ).awaitTermination(120)
+    ).awaitTermination(600)
     dirs = glob.glob(os.path.join(out, "rta_claim_headers_*"))
     assert len(dirs) == 2  # one epoch-0 dir per lineage, no collision
     total = sum(
@@ -677,7 +677,7 @@ def test_cms_stream_replay_is_idempotent(spark, sf_dir, tmpdir):
         run_cms_stream(
             stream.select("event_type"), "event_type",
             state_path=state, checkpoint_dir=ckpt, width=32,
-        ).awaitTermination(120)
+        ).awaitTermination(600)
 
     drain()
     first = {(r["d"], r["bucket"]): r["cnt"] for r in read_sketch(spark, state).collect()}
@@ -714,7 +714,7 @@ def test_cms_stream_fresh_checkpoint_merges_new_data(spark, sf_dir, tmpdir):
         run_cms_stream(
             stream.select("event_type"), "event_type",
             state_path=state, checkpoint_dir=os.path.join(tmpdir, ck), width=32,
-        ).awaitTermination(120)
+        ).awaitTermination(600)
 
     streamed = {
         (r["d"], r["bucket"]): r["cnt"] for r in read_sketch(spark, state).collect()
@@ -753,7 +753,7 @@ def test_cms_stream_alternating_lineages_replay_skipped(spark, sf_dir, tmpdir):
         run_cms_stream(
             stream.select("event_type"), "event_type",
             state_path=state, checkpoint_dir=ck, width=32,
-        ).awaitTermination(120)
+        ).awaitTermination(600)
 
     drain(src_a, ck_a)  # lineage A: batch 0 merged
     drain(src_b, ck_b)  # lineage B: batch 0 merged (ledger now holds both)
@@ -788,7 +788,7 @@ def test_export_stream_exactly_once_single_audit_row(spark, tmpdir):
         run_export_stream(
             spark, inp, out, checkpoint_dir=ckpt,
             audit_path=audit_path, schema=schema, exactly_once=True,
-        ).awaitTermination(120)
+        ).awaitTermination(600)
         if attempt == 0:
             _simulate_crash_before_commit(ckpt)
     rows = AuditLog(spark, audit_path).read().collect()
