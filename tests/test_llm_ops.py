@@ -683,3 +683,34 @@ def test_duplicated_spans_interval_merge(spark):
         (4, 7),
     ]
     assert out[2]["n_tokens"] == 10
+
+
+def test_contaminated_train_ids_matches_per_test_counts(spark):
+    """The train-side hit set must be exactly the union of train docs the
+    per-test-doc sweep counts: same postings substrate, opposite
+    aggregation side. A doc sharing grams with TWO test docs appears ONCE."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),      # leaks test gram A
+            (2, "eleven twelve thirteen fourteen fifteen sixteen"),  # leaks B
+            (3, "completely different words with no overlap at all"),
+            (4, "one two three four five eleven twelve thirteen fourteen fifteen"),  # leaks A and B
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, "zzz one two three four five zzz"),          # gram A
+            (200, "yyy eleven twelve thirteen fourteen fifteen"),  # gram B
+        ],
+        "doc_id long, text string",
+    )
+    hits = dedup.contaminated_train_ids(corpus, probes, "doc_id", "text", n=5)
+    got = sorted(r["train_id"] for r in hits.collect())
+    assert got == [1, 2, 4]  # doc 4 once despite matching both probes
+    # cross-check against the per-test-doc aggregation over the same substrate
+    per_test = dedup.ngram_contamination(corpus, probes, "doc_id", "text", n=5)
+    assert {r["test_id"]: r["n_train_docs"] for r in per_test.collect()} == {
+        100: 2,
+        200: 2,
+    }
