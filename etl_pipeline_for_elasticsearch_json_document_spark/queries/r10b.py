@@ -12,6 +12,13 @@ Q2=q211, Q3=q03, Q4=q238, Q5=q203, Q6=q239, Q7=q220, Q8=q235, Q9=q231,
 Q10=q240, Q11=q212, Q12=q241, Q13=q213, Q14=q236, Q15=q232, Q16=q237,
 Q17=q229, Q18=q204, Q19=q233, Q20=q234, Q21=q230, Q22=q214.
 
+Plus two LLM-pipeline planning/audit compositions: q242 turns tempered
+per-source weights and a global token budget into the epochs-per-source
+allocation table (the data-constrained-scaling decision q171's weights
+feed), and q243 prices a decontamination pass's REAL removal bill by
+expanding the 5-gram hit set to its full near-dup clusters
+(dedup.contaminated_train_ids x graph.dedup_clusters).
+
 Determinism follows registry.py's rules: money math in DECIMAL
 end-to-end, float only in final mirrored round() projections; top-k
 orders by the EXACT decimal measure with a unique-key tiebreak before
