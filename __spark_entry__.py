@@ -68,6 +68,8 @@ _NEW_IN_R10: set[str] = {
     "q241_priority_lateness_matrix",
     "q242_epoch_budget_plan",
     "q243_contamination_cascade",
+    "q244_trailing_wau",
+    "q245_zipf_slope",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

@@ -471,3 +471,148 @@ def q243(spark, sf_dir):
             4,
         ).alias("removed_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q244: trailing-7-day exact distinct users (WAU) via offset fan-out
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q244_trailing_wau",
+    oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM du),
+fan AS (SELECT du.d + CAST(t.o AS INTEGER) AS rd, du.user_id
+        FROM du, range(7) t(o))
+SELECT CAST(fan.rd AS VARCHAR) AS day,
+       CAST(count(DISTINCT fan.user_id) AS BIGINT) AS wau
+FROM fan JOIN days ON days.d = fan.rd
+GROUP BY fan.rd
+""",
+    doc="Trailing-7-day exact distinct users per day (the WAU curve) — "
+    "the sliding-window COUNT DISTINCT that neither a RANGE-frame window "
+    "(distinct is not frame-mergeable) nor per-day rescans can spell "
+    "scalably. The scalable form: events first collapse to the DISTINCT "
+    "(day, user) activity relation, each activity row fans out to the 7 "
+    "report days it supports (day..day+6, a 7-row broadcast join), and "
+    "one distinct-aggregate per report day finishes it — restricted to "
+    "observed calendar days so no phantom trailing days appear. "
+    "Determinism: exact integer/date arithmetic only. Scale: the "
+    "fan-out runs on the (active-day x user) relation — already "
+    "corpus-reduced by the first DISTINCT's partial aggregation — never "
+    "on raw events; x7 is a constant; the final distinct-agg shuffles "
+    "on the bounded day key with the user set spread across partial "
+    "aggregates. No window, no per-day self-joins.",
+)
+def q244(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "rd")
+    offsets = spark.range(7).select(F.col("id").cast("int").alias("o"))
+    fan = du.crossJoin(F.broadcast(offsets)).select(
+        F.date_add(F.col("d"), F.col("o")).alias("rd"), "user_id"
+    )
+    return (
+        fan.join(days, "rd")
+        .groupBy("rd")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .select(F.col("rd").cast("string").alias("day"), "wau")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q245: Zipf slope per language (binned midrank fit over the count domain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q245_zipf_slope",
+    oracle="""
+WITH wc AS (
+  SELECT lang, w, count(*) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY lang, w),
+dist AS (SELECT lang, c, CAST(count(*) AS BIGINT) AS k FROM wc GROUP BY lang, c),
+r AS (SELECT lang, c, k,
+             coalesce(sum(k) OVER (PARTITION BY lang ORDER BY c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM dist),
+t AS (SELECT lang, k,
+             CAST(round(k * ln(cum + (k + 1) / 2.0), 6) AS DECIMAL(24,6)) AS kx,
+             CAST(round(k * ln(c), 6) AS DECIMAL(24,6)) AS ky,
+             CAST(round(k * ln(cum + (k + 1) / 2.0) * ln(c), 6)
+                  AS DECIMAL(24,6)) AS kxy,
+             CAST(round(k * ln(cum + (k + 1) / 2.0)
+                          * ln(cum + (k + 1) / 2.0), 6)
+                  AS DECIMAL(24,6)) AS kxx
+      FROM r),
+s AS (SELECT lang, CAST(sum(k) AS BIGINT) AS vocab,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             sum(kx) AS sx, sum(ky) AS sy, sum(kxy) AS sxy, sum(kxx) AS sxx
+      FROM t GROUP BY lang)
+SELECT lang, vocab, n_bins,
+       round((CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / vocab)
+             / (CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / vocab),
+             4) AS zipf_slope
+FROM s WHERE n_bins >= 2
+""",
+    doc="Zipf slope per language: weighted OLS of log-frequency on "
+    "log-midrank over the word frequency distribution — the classic "
+    "corpus-health dial (natural text sits near -1; templated/spammy "
+    "feeds flatten or steepen it). The scalable spelling NEVER ranks "
+    "individual words: all words sharing a count c form one tie block, "
+    "so the fit runs on the (lang, c, k) DISTINCT-COUNT relation with "
+    "each block at its midrank (cum_above + (k+1)/2) and weight k — the "
+    "same value-domain discipline as the q217/q222 rank rewrites, with "
+    "the window over |distinct counts| (~sqrt of token mass) rows, not "
+    "the vocabulary. Determinism: per-block terms are single double "
+    "expressions rounded to 6 dp THEN summed as DECIMAL(24,6) (exact, "
+    "order-independent — the q171 recipe); the slope is one mirrored "
+    "float expression; languages with fewer than 2 distinct counts are "
+    "excluded (degenerate fit). Scale: word counts partial-aggregate "
+    "map-side; dist is a double reduction of the vocabulary; text never "
+    "shuffles.",
+)
+def q245(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    wc = toks.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    dist = wc.groupBy("lang", "c").agg(F.count("*").cast("bigint").alias("k"))
+    win = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = dist.withColumn("cum", F.coalesce(F.sum("k").over(win), F.lit(0)))
+    x = F.log(F.col("cum") + (F.col("k") + F.lit(1)) / F.lit(2.0))
+    y = F.log(F.col("c"))
+    t = r.select(
+        "lang",
+        "k",
+        F.round(F.col("k") * x, 6).cast("decimal(24,6)").alias("kx"),
+        F.round(F.col("k") * y, 6).cast("decimal(24,6)").alias("ky"),
+        F.round(F.col("k") * x * y, 6).cast("decimal(24,6)").alias("kxy"),
+        F.round(F.col("k") * x * x, 6).cast("decimal(24,6)").alias("kxx"),
+    )
+    s = t.groupBy("lang").agg(
+        F.sum("k").cast("bigint").alias("vocab"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.sum("kx").alias("sx"),
+        F.sum("ky").alias("sy"),
+        F.sum("kxy").alias("sxy"),
+        F.sum("kxx").alias("sxx"),
+    )
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    w = F.col("vocab")
+    return s.filter(F.col("n_bins") >= 2).select(
+        "lang",
+        "vocab",
+        "n_bins",
+        F.round((sxy - sx * sy / w) / (sxx - sx * sx / w), 4).alias("zipf_slope"),
+    )

@@ -126,6 +126,10 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "nested-loop-join": "1-row total + 1-row Z broadcast (q171's shape "
         "on the source axis)"
     },
+    "q244_trailing_wau": {
+        "nested-loop-join": BROADCAST_SCALAR + " (the constant 7-row "
+        "offset fan-out of the trailing window)"
+    },
     "q173_label_shard_balance": {
         "nested-loop-join": "1-row N broadcast",
         "fact-scaled-broadcast": BOUNDED_DOMAIN_AGG,
@@ -234,6 +238,7 @@ ALLOWANCES: dict[str, dict[str, str]] = {
     # bounded-key-window: value-domain / vocabulary / surface-demo windows
     "q217_scorer_rank_correlation": {"bounded-key-window": VALUE_DOMAIN_WINDOW},
     "q222_user_value_gini": {"bounded-key-window": VALUE_DOMAIN_WINDOW},
+    "q245_zipf_slope": {"bounded-key-window": VALUE_DOMAIN_WINDOW},
     "q134_length_stratified_sample": {"bounded-key-window": VALUE_DOMAIN_WINDOW},
     "q68_ntile_deciles": {
         "bounded-key-window": "ntile SQL-surface demo (per-status deciles "

@@ -497,6 +497,7 @@ def test_rank_decomposition_windows_run_over_value_domain(spark):
         "q217_scorer_rank_correlation",
         "q222_user_value_gini",
         "q134_length_stratified_sample",
+        "q245_zipf_slope",
     ):
         df = Q[name].fn(spark, SF_DIR)
         analyzed = df._jdf.queryExecution().analyzed()
