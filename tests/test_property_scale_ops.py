@@ -74,3 +74,102 @@ def test_grouped_prefix_sum_equals_window(spark, rows, width, inclusive):
     assert sorted(map(tuple, naive.select(cols).collect())) == sorted(
         map(tuple, fast.select(cols).collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# r10 second half: the q244 fan-out spelling and the q245 midrank identity
+# ---------------------------------------------------------------------------
+
+_activity = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # day ordinal (dense: overlaps)
+        st.integers(min_value=0, max_value=5),   # user id (few: collisions)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_activity, window=st.integers(1, 9))
+def test_trailing_distinct_fanout_equals_bruteforce(spark, rows, window):
+    """q244's spelling generalized: for ANY activity set and ANY window
+    length W, fanning each distinct (day, user) out to days d..d+W-1 and
+    distinct-counting per observed day equals the brute-force 'distinct
+    users with activity in [d-W+1, d]' — duplicates in the raw activity,
+    gap days, and single-day windows included."""
+    df = spark.createDataFrame(rows, "d int, u int")
+    du = df.distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "rd")
+    offsets = spark.range(window).select(F.col("id").cast("int").alias("o"))
+    fan = du.crossJoin(F.broadcast(offsets)).select(
+        (F.col("d") + F.col("o")).alias("rd"), "u"
+    )
+    got = {
+        (r["rd"], r["n"])
+        for r in fan.join(days, "rd")
+        .groupBy("rd")
+        .agg(F.countDistinct("u").alias("n"))
+        .collect()
+    }
+    acts = set(rows)
+    want = {
+        (d, len({u for (dd, u) in acts if d - window < dd <= d}))
+        for d in {dd for (dd, _) in acts}
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=50), min_size=2, max_size=12)
+)
+def test_midrank_ols_equals_perword_rank_ols(spark, counts):
+    """q245's tie-block identity: the weighted OLS over (midrank, count)
+    tie blocks equals the per-word OLS over individual ranks WHEN every
+    count is distinct (k=1 blocks — midrank == rank, weight == 1), and
+    with ties the block fit equals the per-word fit computed on midranks
+    assigned to every tied word — i.e. binning loses nothing beyond the
+    (standard) midrank tie convention itself."""
+    import math
+
+    # per-word midrank fit: sort counts desc; words with equal count all
+    # get the block midrank
+    cs = sorted(counts, reverse=True)
+    n = len(cs)
+    mid = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and cs[j] == cs[i]:
+            j += 1
+        for t in range(i, j):
+            mid[t] = i + (j - i + 1) / 2.0  # cum_above + (k+1)/2
+        i = j
+    xs = [math.log(mid[t]) for t in range(n)]
+    ys = [math.log(cs[t]) for t in range(n)]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    den = sxx - sx * sx / n
+    # the block fit, exactly as q245 spells it (weights k, block midrank)
+    from collections import Counter
+
+    blocks = Counter(counts)
+    ordered = sorted(blocks.items(), key=lambda kv: -kv[0])
+    cum = 0
+    bx = by = bxy = bxx = 0.0
+    for c, k in ordered:
+        m = cum + (k + 1) / 2.0
+        x, y = math.log(m), math.log(c)
+        bx += k * x
+        by += k * y
+        bxy += k * x * y
+        bxx += k * x * x
+        cum += k
+    bden = bxx - bx * bx / n
+    if abs(den) < 1e-12 or abs(bden) < 1e-12:
+        return  # degenerate: all counts equal -> both fits undefined
+    slope_words = (sxy - sx * sy / n) / den
+    slope_blocks = (bxy - bx * by / n) / bden
+    assert abs(slope_words - slope_blocks) < 1e-9
