@@ -413,8 +413,10 @@ GROUP BY t.source
     "leaked doc while keeping its near-duplicates removes nothing. Per "
     "source: train size, direct hits, cascade size (hits + their cluster "
     "mates), the extra docs dedup-awareness adds, and the removed share. "
-    "Composes two first-class operators (dedup.contaminated_train_ids, "
-    "graph.dedup_clusters) rather than re-deriving either. Determinism: "
+    "Composes three first-class operators (dedup.contaminated_train_ids, "
+    "dedup.prefix_filter_jaccard_pairs — the PPJoin exact join, not the "
+    "naive postings self-join — and graph.dedup_clusters) rather than "
+    "re-deriving any. Determinism: "
     "integer counts; one final mirrored rounded division. Scale: the "
     "test-side gram postings broadcast (benchmark-suite-bounded, the "
     "q100 posture); the hit and bad-cluster sets are match-bounded but "
@@ -433,7 +435,10 @@ def q243(spark, sf_dir):
     direct = dedup.contaminated_train_ids(train, test, "doc_id", "text", n=5).select(
         F.col("train_id").alias("doc_id")
     )
-    pairs = dedup.jaccard_pairs(train, "doc_id", "text", threshold=0.8)
+    # Prefix-filtered exact join (q141's PPJoin), NOT the naive postings
+    # self-join: identical output (equality pinned in tests/test_llm_ops),
+    # but stopword postings never enter the candidate join.
+    pairs = dedup.prefix_filter_jaccard_pairs(train, "doc_id", "text", threshold=0.8)
     clusters = graph.dedup_clusters(pairs, train, id_col="doc_id")
     # No explicit broadcast hints on the hit/cluster sets: they are
     # match-bounded, not constant-bounded — at 100 TB a heavily leaked
