@@ -380,7 +380,7 @@ inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
 pairs AS (SELECT a_id, b_id FROM inter
           JOIN sizes sa ON sa.doc_id = a_id
           JOIN sizes sb ON sb.doc_id = b_id
-          WHERE i / (sa.n + sb.n - i) >= 0.8),
+          WHERE round(i / (sa.n + sb.n - i), 6) >= 0.8),
 edges AS (SELECT a_id AS u, b_id AS v FROM pairs
           UNION ALL SELECT b_id, a_id FROM pairs),
 reach(id, lbl) AS (
