@@ -544,13 +544,14 @@ r AS (SELECT lang, c, k,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
       FROM dist),
 t AS (SELECT lang, k,
-             CAST(round(k * ln(cum + (k + 1) / 2.0), 6) AS DECIMAL(24,6)) AS kx,
-             CAST(round(k * ln(c), 6) AS DECIMAL(24,6)) AS ky,
-             CAST(round(k * ln(cum + (k + 1) / 2.0) * ln(c), 6)
-                  AS DECIMAL(24,6)) AS kxy,
-             CAST(round(k * ln(cum + (k + 1) / 2.0)
-                          * ln(cum + (k + 1) / 2.0), 6)
-                  AS DECIMAL(24,6)) AS kxx
+             k * CAST(round(ln(cum + (k + 1) / 2.0), 6)
+                      AS DECIMAL(18,6)) AS kx,
+             k * CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS ky,
+             k * CAST(round(ln(cum + (k + 1) / 2.0) * ln(c), 6)
+                      AS DECIMAL(18,6)) AS kxy,
+             k * CAST(round(ln(cum + (k + 1) / 2.0)
+                              * ln(cum + (k + 1) / 2.0), 6)
+                      AS DECIMAL(18,6)) AS kxx
       FROM r),
 s AS (SELECT lang, CAST(sum(k) AS BIGINT) AS vocab,
              CAST(count(*) AS BIGINT) AS n_bins,
@@ -573,11 +574,14 @@ FROM s WHERE n_bins >= 2
     "each block at its midrank (cum_above + (k+1)/2) and weight k — the "
     "same value-domain discipline as the q217/q222 rank rewrites, with "
     "the window over |distinct counts| (~sqrt of token mass) rows, not "
-    "the vocabulary. Determinism: per-block terms are single double "
-    "expressions rounded to 6 dp THEN summed as DECIMAL(24,6) (exact, "
-    "order-independent — the q171 recipe); the slope is one mirrored "
-    "float expression; languages with fewer than 2 distinct counts are "
-    "excluded (degenerate fit). Scale: word counts partial-aggregate "
+    "the vocabulary. Determinism: each block's TRANSCENDENTAL factor is "
+    "rounded to 6 dp, multiplied by the EXACT integer weight k, and "
+    "summed as DECIMAL (order-independent — the q171 recipe, with the "
+    "k-multiplication kept exact so a 1-ulp cross-engine ln() "
+    "difference is never amplified by a corpus-scaled hapax count); the "
+    "slope is one mirrored float expression; languages with fewer than "
+    "2 distinct counts are excluded (degenerate fit). Scale: word "
+    "counts partial-aggregate "
     "map-side; dist is a double reduction of the vocabulary; text never "
     "shuffles.",
 )
@@ -596,13 +600,18 @@ def q245(spark, sf_dir):
     r = dist.withColumn("cum", F.coalesce(F.sum("k").over(win), F.lit(0)))
     x = F.log(F.col("cum") + (F.col("k") + F.lit(1)) / F.lit(2.0))
     y = F.log(F.col("c"))
+    # Round the TRANSCENDENTAL term alone to 6 dp, THEN multiply by the
+    # exact integer k: rounding k*ln(...) instead would amplify a 1-ulp
+    # cross-engine ln() difference by k (hapax blocks make k corpus-scaled,
+    # so at 100 TB the product could cross a .xxxxxx5 boundary; the bare
+    # log term never leaves the ~1e-16 neighborhood of its true value).
     t = r.select(
         "lang",
         "k",
-        F.round(F.col("k") * x, 6).cast("decimal(24,6)").alias("kx"),
-        F.round(F.col("k") * y, 6).cast("decimal(24,6)").alias("ky"),
-        F.round(F.col("k") * x * y, 6).cast("decimal(24,6)").alias("kxy"),
-        F.round(F.col("k") * x * x, 6).cast("decimal(24,6)").alias("kxx"),
+        (F.col("k") * F.round(x, 6).cast("decimal(18,6)")).alias("kx"),
+        (F.col("k") * F.round(y, 6).cast("decimal(18,6)")).alias("ky"),
+        (F.col("k") * F.round(x * y, 6).cast("decimal(18,6)")).alias("kxy"),
+        (F.col("k") * F.round(x * x, 6).cast("decimal(18,6)")).alias("kxx"),
     )
     s = t.groupBy("lang").agg(
         F.sum("k").cast("bigint").alias("vocab"),
