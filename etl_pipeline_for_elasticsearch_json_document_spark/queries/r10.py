@@ -61,25 +61,26 @@ WHERE 5 * CAST(l.l_quantity AS DECIMAL(18,4)) * a.qcnt < a.qsum
     "back to lineitem, never a per-row subquery. Determinism: the 20% "
     "threshold is cross-multiplied (5·qty·cnt < Σqty) over exact DECIMAL "
     "sums, so no float division feeds the predicate; the revenue sum is "
-    "DECIMAL with one final mirrored round. Scale: the per-part average "
-    "rides the lineitem grouping shuffle map-side; the brand dimension "
-    "filter is pushed to the part scan and AQE sizes the join-back — no "
-    "forced broadcasts, no windows.",
+    "DECIMAL with one final mirrored round. Scale: the fact is first "
+    "pruned to the brand's parts by a semi-join (only those parts' "
+    "averages are ever consulted, so the grouped aggregate runs on the "
+    "brand slice, not all of lineitem — the q234 pattern) and AQE sizes "
+    "the joins — no forced broadcasts, no windows.",
 )
 def q229(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
-        "p_partkey"
+        F.col("p_partkey").alias("l_partkey")
     )
+    # Only Brand#4 parts' averages are consulted after the join-back, so
+    # prune the fact FIRST — the per-part aggregate then reduces the
+    # brand slice, not the whole table (byte-identical result).
+    lib = li.join(p, "l_partkey", "left_semi")
     qd = F.col("l_quantity").cast("decimal(18,4)")
-    a = li.groupBy("l_partkey").agg(
+    a = lib.groupBy("l_partkey").agg(
         F.sum(qd).alias("qsum"), F.count("*").cast("bigint").alias("qcnt")
     )
-    j = (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .join(a, "l_partkey")
-        .filter(5 * qd * F.col("qcnt") < F.col("qsum"))
-    )
+    j = lib.join(a, "l_partkey").filter(5 * qd * F.col("qcnt") < F.col("qsum"))
     return j.agg(
         F.round(
             F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
@@ -195,8 +196,10 @@ GROUP BY n.n_name, year(o.o_orderdate)
     "DECIMAL end-to-end (price × (1−discount) − 0.6 × retail × qty), "
     "summed exactly, one mirrored final round; the year is exact "
     "integer extraction. Scale: the LIKE filter prunes part before any "
-    "join; nation is a constant-cardinality broadcast; the fact joins "
-    "shuffle on their keys with AQE sizing — no hints, no windows.",
+    "join; nation carries an explicit constant-cardinality broadcast "
+    "hint (25 rows at every SF, the q203 convention); the fact joins "
+    "shuffle on their keys with AQE sizing — no windows, no hints on "
+    "SF-scaled relations.",
 )
 def q231(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -436,9 +439,10 @@ FROM rev GROUP BY o_year
     "filters the region, supplier side labels the share) and the "
     "conditional-aggregate share instead of a self-join. Determinism: "
     "volume stays DECIMAL through both sums; the share is one mirrored "
-    "double division, rounded. Scale: region/nation are constant-"
-    "cardinality broadcasts under AQE; the fact joins shuffle on their "
-    "keys; share-of-total needs no second pass — numerator and "
+    "double division, rounded. Scale: both nation roles and the region "
+    "filter carry explicit constant-cardinality broadcast hints (25/5 "
+    "rows at every SF, the q203 convention); the fact joins shuffle on "
+    "their keys; share-of-total needs no second pass — numerator and "
     "denominator ride the SAME grouped aggregate.",
 )
 def q235(spark, sf_dir):
