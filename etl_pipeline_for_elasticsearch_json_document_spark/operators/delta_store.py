@@ -28,9 +28,14 @@ batch-bounded on both ends:
   amplification and unlocks GC.
 - **GC** — :func:`prune` deletes only versions no retained resolution
   can reference: strictly older than the latest snapshot at-or-before
-  the oldest retained version. Deltas newer than that snapshot are
-  load-bearing and kept regardless of age — compaction cadence bounds
-  retained disk, exactly like any LSM store.
+  the oldest retained version AND every base still pinned by a PENDING
+  ledger marker (:func:`pending_pins` — a crashed stream batch re-reads
+  its pinned base on replay, so GC must not outrun it). Deltas newer
+  than that snapshot are load-bearing and kept regardless of age —
+  compaction cadence bounds retained disk, exactly like any LSM store.
+  Deletion de-commits first (``_COMMITTED`` removed before the data),
+  so a partially-deleted version always fails loudly, never reads
+  silently incomplete.
 
 The resolution function MUST be idempotent over duplicated rows
 (min/max/distinct-style): the snapshot marker lands between the data
@@ -171,18 +176,26 @@ def read_union(
     0. ``touched_p`` prunes to those hash partitions — pass the
     ``n_partitions`` the probe set was hashed under: versions written
     under a DIFFERENT P (pre-re-shard history a replayed batch may still
-    pin) are read whole instead of mis-pruned. ``schema=None`` infers
-    from parquet (stores whose schema is caller-defined, e.g. rollups)
-    — only legal when at least one data file exists to infer from."""
+    pin) are read whole instead of mis-pruned — pruning without stating
+    the probes' P is therefore a ValueError, not a default. ``schema=
+    None`` infers from parquet (stores whose schema is caller-defined,
+    e.g. rollups); when no data file survives the pruning (or every
+    committed version is an empty delta) the read falls back to the
+    newest ``_SCHEMA`` sidecar instead of failing."""
+    if touched_p is not None and n_partitions is None:
+        raise ValueError(
+            "touched_p without n_partitions: pruning needs the partition "
+            "count the probe set was hashed under, or versions written "
+            "under a different P would be silently mis-pruned"
+        )
     if version < 0:
-        if schema is None:
-            raise ValueError("schema required to construct an empty read")
-        return spark.createDataFrame([], schema)
+        return _empty_read(spark, path, [], schema)
+    sources = source_versions(path, version)
     paths: list[str] = []
-    for v in source_versions(path, version):
+    for v in sources:
         vdir = os.path.join(path, f"v={v}")
-        prune_this = touched_p is not None and (
-            n_partitions is None or version_partitions(path, v) == n_partitions
+        prune_this = (
+            touched_p is not None and version_partitions(path, v) == n_partitions
         )
         for d in os.listdir(vdir):
             if not d.startswith("p="):
@@ -191,14 +204,32 @@ def read_union(
                 continue
             paths.append(os.path.join(vdir, d))
     if not paths:
-        if schema is None:
-            raise ValueError(
-                f"no data files under {path} as of v={version} and no "
-                "schema to construct an empty read from"
-            )
-        return spark.createDataFrame([], schema)
+        return _empty_read(spark, path, sources, schema)
     reader = spark.read if schema is None else spark.read.schema(schema)
     return reader.parquet(*paths)
+
+
+def _empty_read(
+    spark: SparkSession, path: str, sources: list[int], schema: str | None
+) -> DataFrame:
+    """An empty DataFrame with the store's schema: the caller's if given,
+    else the newest ``_SCHEMA`` sidecar among ``sources`` (every
+    write_version records one, so an all-empty-delta store — or a pruned
+    read whose touched partitions hold no files — still reads cleanly)."""
+    if schema is not None:
+        return spark.createDataFrame([], schema)
+    from pyspark.sql.types import StructType
+
+    for v in sorted(sources, reverse=True):
+        f = os.path.join(path, f"v={v}", "_SCHEMA")
+        if os.path.exists(f):
+            with open(f) as fh:
+                return spark.createDataFrame([], StructType.fromJson(json.load(fh)))
+    raise ValueError(
+        f"no data files under {path} and no schema to construct an empty "
+        "read from (store predates _SCHEMA sidecars; pass schema= or "
+        "commit one non-empty version)"
+    )
 
 
 def claim_version(path: str, version: int, reclaim_torn: bool = False) -> str:
@@ -255,7 +286,14 @@ def write_version(
     first, one repartition on the store hash so each ``p=`` dir is a
     single file (appended INTO the claimed dir, so the lock directory is
     never deleted mid-write), ``_SNAPSHOT`` (if any) BEFORE
-    ``_COMMITTED``."""
+    ``_COMMITTED``. ``p`` is the store's reserved partition column —
+    a caller schema carrying that name would be silently clobbered by
+    the hash ids and its values lost, so it is rejected loudly."""
+    if "p" in df.columns:
+        raise ValueError(
+            "column name 'p' is reserved for the store's hash partition; "
+            "rename the caller column before committing"
+        )
     vdir = claim_version(path, version, reclaim_torn)
     (
         df.withColumn("p", partition_expr(key_cols, n_partitions))
@@ -266,6 +304,8 @@ def write_version(
     )
     with open(os.path.join(vdir, "_P"), "w") as f:
         f.write(str(int(n_partitions)))  # pruning safety across re-shards
+    with open(os.path.join(vdir, "_SCHEMA"), "w") as f:
+        json.dump(df.schema.jsonValue(), f)  # empty-store read fallback
     if snapshot:
         with open(os.path.join(vdir, _SNAPSHOT), "w"):
             pass
@@ -348,28 +388,82 @@ def compact(
         read_union(spark, path, latest, schema)
     ).localCheckpoint(eager=True)
     next_v = latest + 1
-    write_version(resolved, path, next_v, key_cols, P, snapshot=True)
+    # Re-shard: advance _META BEFORE the snapshot commit. Correctness is
+    # carried by each version's _P sidecar either way; the ordering only
+    # decides what a crash between the two steps leaves behind. Meta
+    # first → later deltas already use the new P and the next compact
+    # completes the re-shard. Meta last (the old order) → a committed
+    # new-P snapshot under an old-P meta, so every pruned read falls
+    # back to whole-snapshot scans SILENTLY until an operator notices.
     if n_partitions is not None and P != meta["n_partitions"]:
         _store_meta(path, P)
+    write_version(resolved, path, next_v, key_cols, P, snapshot=True)
     return next_v
+
+
+def pending_pins(path: str) -> list[int]:
+    """Base versions still pinned by PENDING ledger markers under
+    ``path/_ledger/`` (the marker-first exactly-once protocol all four
+    stream clients share). A marker is pending while its target delta —
+    ``base_v + 1``, or its ``.recovered`` re-pin — is not yet committed
+    AS A DELTA: exactly the markers a crash replay will re-read
+    ``read_union(base_v)`` for. Spent markers (target committed as a
+    delta) pin nothing: the streaming checkpoint has advanced past them
+    and they never replay."""
+    ledger = os.path.join(path, "_ledger")
+    if not os.path.isdir(ledger):
+        return []
+    committed = set(committed_versions(path))
+    pins = []
+    for name in os.listdir(ledger):
+        if name.endswith(".recovered") or name.endswith(".tmp"):
+            continue
+        mp = os.path.join(ledger, name)
+        try:
+            with open(mp) as f:
+                base_v = int(f.read())
+        except (OSError, ValueError):
+            continue
+        target = base_v + 1
+        rec = mp + ".recovered"
+        if os.path.exists(rec):
+            with open(rec) as f:
+                target = int(f.read())
+        if target not in committed or is_snapshot(path, target):
+            pins.append(base_v)
+    return sorted(pins)
 
 
 def prune(path: str, keep_last: int = 2) -> list[int]:
     """GC: delete versions no retained resolution references — strictly
-    older than the latest snapshot at-or-before the oldest of the last
-    ``keep_last`` versions. Returns the deleted version numbers; [] when
-    no snapshot floor exists yet (run :func:`compact` first)."""
+    older than the latest snapshot at-or-before the oldest of (the last
+    ``keep_last`` versions AND every :func:`pending_pins` base). The pin
+    guard closes the compact-crash-replay hole: a batch that pinned
+    base_v and crashed will re-read ``read_union(base_v)`` on replay,
+    so neither base_v nor its snapshot floor may be GC'd while the
+    marker is pending — without it, two compacts plus one prune while a
+    stream is down would delete the pinned base and the replay would
+    crash-loop on the loud 'GC'd' error. Returns the deleted version
+    numbers; [] when no snapshot floor exists yet (run :func:`compact`
+    first).
+
+    Deletion is fail-stop: each version's ``_COMMITTED`` marker is
+    removed FIRST (not ignoring errors), so a partially-deleted version
+    can never satisfy a replay's committed check and feed it silently
+    incomplete data — it reads as uncommitted and fails loudly."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = committed_versions(path)
     if len(versions) <= keep_last:
         return []
-    oldest_retained = versions[-keep_last]
+    oldest_retained = min([versions[-keep_last]] + pending_pins(path))
     snaps = [v for v in versions if v <= oldest_retained and is_snapshot(path, v)]
     if not snaps:
         return []
     floor = max(snaps)
     deleted = [v for v in versions if v < floor]
     for v in deleted:
-        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+        vdir = os.path.join(path, f"v={v}")
+        os.remove(os.path.join(vdir, _COMMITTED))  # de-commit first
+        shutil.rmtree(vdir, ignore_errors=True)
     return deleted

@@ -43,7 +43,13 @@ def test_write_read_union_and_pruning(spark, tmp_path):
     # (exactness) and strictly fewer rows than the full relation
     probes = _df(spark, [(3, 0), (17, 0)])
     touched = ds.touched_partitions(probes, ["k"], 8)
-    pruned = ds.read_union(spark, path, 0, SCHEMA, touched_p=touched)
+    # touched_p without the probes' n_partitions is rejected (pruning a
+    # re-sharded version with an unstated hash would drop rows silently)
+    with pytest.raises(ValueError, match="touched_p without n_partitions"):
+        ds.read_union(spark, path, 0, SCHEMA, touched_p=touched)
+    pruned = ds.read_union(
+        spark, path, 0, SCHEMA, touched_p=touched, n_partitions=8
+    )
     got = {r["k"] for r in pruned.collect()}
     assert {3, 17} <= got
     assert len(got) < 50
@@ -220,3 +226,74 @@ def test_commit_pinned_delta_normal_path(spark, tmp_path):
     calls = []
     assert ds.commit_pinned_delta(path, marker, 0, lambda v: calls.append(v)) == 1
     assert calls == []
+
+
+def test_prune_respects_pending_ledger_pins(spark, tmp_path):
+    """The compact-crash-replay GC hole: a marker pinning base_v whose
+    delta never landed must hold the GC floor at base_v's snapshot —
+    even after two compacts would otherwise let prune delete it. A SPENT
+    marker (its target committed as a delta) pins nothing."""
+    path = str(tmp_path / "store")
+    ds.load_or_init_meta(path, 4)
+    ds.write_version(_df(spark, [(1, 1)]), path, 0, ["k"], 4, snapshot=True)
+    ds.write_version(_df(spark, [(2, 2)]), path, 1, ["k"], 4)
+    # a stream batch pins base_v=1 and crashes before committing v=2
+    ledger = os.path.join(path, "_ledger")
+    os.makedirs(ledger)
+    with open(os.path.join(ledger, "ckpt-7"), "w") as f:
+        f.write("1")
+    assert ds.pending_pins(path) == [1]
+    # two compacts land as v=2 (snapshot) and v=3 (snapshot)
+    ds.compact(spark, path, SCHEMA, ["k"], _resolve)
+    ds.compact(spark, path, SCHEMA, ["k"], _resolve)
+    # keep_last=2 would put the floor at v=2 and delete v=0/v=1 —
+    # the pending pin must hold the floor at v=0 (the snapshot <= base 1)
+    assert ds.prune(path, keep_last=2) == []
+    assert ds.committed_versions(path) == [0, 1, 2, 3]
+    # the replay's pinned read still works end-to-end
+    assert ds.read_union(spark, path, 1, SCHEMA).count() == 2
+    # replay lands via commit_pinned_delta (re-pinned past the tail),
+    # the marker is now spent, and the SAME prune call proceeds
+    marker = os.path.join(ledger, "ckpt-7")
+    ds.commit_pinned_delta(
+        path,
+        marker,
+        1,
+        lambda v: ds.write_version(
+            _df(spark, [(9, 9)]), path, v, ["k"], 4, reclaim_torn=True
+        ),
+    )
+    assert ds.pending_pins(path) == []
+    deleted = ds.prune(path, keep_last=2)
+    assert deleted == [0, 1, 2]
+    # fail-stop deletion removed the commit markers with the dirs
+    assert ds.committed_versions(path) == [3, 4]
+
+
+def test_empty_delta_store_reads_via_schema_sidecar(spark, tmp_path):
+    """A store whose only committed versions are EMPTY deltas must still
+    read (schema=None callers like the rollup store): the _SCHEMA sidecar
+    recorded at write time supplies the empty frame's schema."""
+    path = str(tmp_path / "store")
+    ds.load_or_init_meta(path, 4)
+    ds.write_version(_df(spark, []), path, 0, ["k"], 4)
+    out = ds.read_union(spark, path, 0, schema=None)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
+    # pruned read whose touched partitions hold no files: same fallback
+    probes = _df(spark, [(3, 0)])
+    touched = ds.touched_partitions(probes, ["k"], 4)
+    pruned = ds.read_union(
+        spark, path, 0, schema=None, touched_p=touched, n_partitions=4
+    )
+    assert pruned.count() == 0
+
+
+def test_reserved_partition_column_rejected(spark, tmp_path):
+    """A caller schema carrying the store's reserved 'p' column would be
+    silently clobbered by the hash ids — rejected loudly instead."""
+    path = str(tmp_path / "store")
+    ds.load_or_init_meta(path, 4)
+    bad = spark.createDataFrame([(1, 2)], "k long, p long")
+    with pytest.raises(ValueError, match="reserved"):
+        ds.write_version(bad, path, 0, ["k"], 4)
