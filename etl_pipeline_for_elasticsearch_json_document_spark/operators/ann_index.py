@@ -82,17 +82,13 @@ def _assign_fn(method: str):
 POSTINGS_SCHEMA = "vec_id long, cid long, dist double"
 CENTROIDS_SCHEMA = "cid long, centroid array<double>"
 
-
-def _committed_versions(index_path: str) -> list[int]:
-    if not os.path.isdir(index_path):
-        return []
-    out = []
-    for name in os.listdir(index_path):
-        if name.startswith("v=") and os.path.exists(
-            os.path.join(index_path, name, "_COMMITTED")
-        ):
-            out.append(int(name[2:]))
-    return sorted(out)
+# Version bookkeeping delegates to the shared protocol (the ANN store's
+# v=N/_COMMITTED/_SNAPSHOT layout IS delta_store's — only the payload
+# inside a version differs). Private aliases retained for call-site
+# stability; re-implementing them here is the drift channel that let the
+# r10 prune fixes (pending-pin guard, de-commit-first) bypass this module.
+_committed_versions = delta_store.committed_versions
+_is_snapshot = delta_store.is_snapshot
 
 
 def _write_version(
@@ -129,23 +125,7 @@ def _write_version(
         pass  # marker LAST: a version is atomic-or-absent
 
 
-def _is_snapshot(index_path: str, version: int) -> bool:
-    return os.path.exists(os.path.join(index_path, f"v={version}", "_SNAPSHOT"))
-
-
-def _postings_sources(index_path: str, version: int) -> list[int]:
-    """Latest snapshot ≤ version plus the deltas after it (raises if
-    ``version`` is not committed — GC'd or never landed)."""
-    committed = [v for v in _committed_versions(index_path) if v <= version]
-    if version not in committed:
-        raise ValueError(
-            f"version {version} is not committed at {index_path} "
-            f"(committed: {_committed_versions(index_path)}) — it may have "
-            "been GC'd by prune_ann_versions"
-        )
-    snaps = [v for v in committed if _is_snapshot(index_path, v)]
-    base = max(snaps) if snaps else None
-    return [v for v in committed if base is None or v >= base]
+_postings_sources = delta_store.source_versions
 
 
 def _read_postings(
@@ -335,12 +315,18 @@ def ivf_health(
       codebook's k cells (empty cells count as 0 via the centroid join).
       High imbalance means probes hit one giant cell — IVF pruning decays
       toward brute force.
-    - ``drift_ratio`` = mean assignment distance of vectors ADDED after
-      the build (absent from the earliest retained version) over the mean
-      distance of build-set vectors. A codebook fitted on yesterday's
-      distribution quantizes today's poorly; ratio >> 1 is that signal.
-      With no post-build vectors the ratio is null and only imbalance can
-      trigger.
+    - ``drift_ratio`` = mean assignment distance of rows CHANGED since
+      the earliest retained version (new ids, plus re-upserted ids whose
+      distance moved — a replace carries today's distribution exactly
+      like a new id does; comparing ids alone would count re-upserted
+      build ids as base and report null drift on a fully drifted,
+      same-id corpus) over the earliest retained version's OWN recorded
+      mean distance (the quantization quality the codebook had when that
+      version landed — a fixed baseline that survives even a 100%
+      replacement, where an unchanged-rows denominator would go empty).
+      A codebook fitted on yesterday's distribution quantizes today's
+      poorly; ratio >> 1 is that signal. With no changed rows the ratio
+      is null and only imbalance can trigger.
     - ``needs_refit`` = imbalance > threshold OR drift_ratio > threshold.
 
     Means are single divisions of DECIMAL(18,6) sums of the already-6dp
@@ -352,17 +338,25 @@ def ivf_health(
     if not versions:
         raise ValueError(f"no committed index at {index_path}")
     cents, postings = read_ann_index(spark, index_path)
-    base_ids = _read_postings(spark, index_path, versions[0]).select(
-        "vec_id", F.lit(1).alias("__base")
+    # Changed = rows NOT identical to the earliest retained version: new
+    # ids, plus re-upserted ids whose distance moved (dist is the
+    # deterministic 6-dp rounded assignment, so an untouched row carries
+    # the exact same double through snapshots). A re-upserted id reflects
+    # TODAY's distribution and must count toward drift — an id-only test
+    # would mask a fully drifted same-id corpus as base.
+    base = _read_postings(spark, index_path, versions[0]).select(
+        "vec_id", F.col("dist").alias("__bdist")
     )
-    tagged = postings.join(base_ids, "vec_id", "left").select(
-        "cid",
-        "dist",
-        F.coalesce("__base", F.lit(0)).alias("is_base"),
+    changed = (
+        postings.join(base, "vec_id", "left")
+        .filter(
+            F.col("__bdist").isNull() | (F.col("dist") != F.col("__bdist"))
+        )
+        .select("dist")
     )
     cells = (
         cents.select("cid")
-        .join(tagged.groupBy("cid").agg(F.count("*").alias("n")), "cid", "left")
+        .join(postings.groupBy("cid").agg(F.count("*").alias("n")), "cid", "left")
         .select(F.coalesce("n", F.lit(0)).alias("n"))
     )
     occ = cells.agg(
@@ -371,16 +365,18 @@ def ivf_health(
         F.max("n").alias("max_cell"),
     )
     dist6 = F.col("dist").cast("decimal(18,6)")
-    drift = tagged.agg(
+    # baseline = the earliest version's OWN recorded mean: a fixed
+    # reference that survives 100% replacement (an unchanged-rows
+    # denominator would go empty exactly when drift is total)
+    base_mean = base.agg(
         (
-            F.sum(F.when(F.col("is_base") == 1, dist6)).cast("double")
-            / F.sum(F.when(F.col("is_base") == 1, 1))
-        ).alias("mean_dist_base"),
-        (
-            F.sum(F.when(F.col("is_base") == 0, dist6)).cast("double")
-            / F.sum(F.when(F.col("is_base") == 0, 1))
-        ).alias("mean_dist_new"),
+            F.sum(F.col("__bdist").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_dist_base")
     )
+    drift = changed.agg(
+        (F.sum(dist6).cast("double") / F.count("*")).alias("mean_dist_new")
+    ).crossJoin(F.broadcast(base_mean))
     imb = F.round(F.col("max_cell") / (F.col("n_vectors") / F.col("n_cells")), 6)
     dr = F.round(F.col("mean_dist_new") / F.col("mean_dist_base"), 6)
     return (
@@ -399,6 +395,42 @@ def ivf_health(
                 | F.coalesce(dr > drift_threshold, F.lit(False))
             ).alias("needs_refit"),
         )
+    )
+
+
+def _probe_cells(
+    queries: DataFrame, cents: DataFrame, id_col: str, vec_col: str, nprobe: int
+) -> DataFrame:
+    """Each query's ``nprobe`` nearest cells: ``(q_id, qv, cid)``. The
+    ONE probe computation both query paths share — the determinism rules
+    (6-dp round before ranking, cid tiebreak) live here once, so the
+    pinned ivf_query ≡ ivf_query_layout parity cannot drift."""
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.similarity import (
+        _l2sq,
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "qv",
+            "cid",
+            F.round(_l2sq(F.col("qv"), F.col("centroid")), 6).alias("cdist"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("cdist"), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "qv", "cid")
     )
 
 
@@ -440,27 +472,7 @@ def ivf_query(
     cents, postings = read_ann_index(spark, index_path)
     if cents.isEmpty():
         raise ValueError(f"no committed index at {index_path}; run ivf_build first")
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "q_id",
-            "qv",
-            "cid",
-            F.round(_l2sq(F.col("qv"), F.col("centroid")), 6).alias("cdist"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.col("cdist"), F.col("cid"))
-            ),
-        )
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "qv", "cid")
-    )
+    probes = _probe_cells(queries, cents, id_col, vec_col, nprobe)
     cand = probes.join(postings.select("vec_id", "cid"), "cid").select(
         "q_id", "qv", F.col("vec_id").alias("n_id")
     )
@@ -519,14 +531,21 @@ def write_ivf_layout(
     if not versions:
         raise ValueError(f"no committed index at {index_path}; run ivf_build first")
     v = versions[-1]
-    _, postings = read_ann_index(spark, index_path)
+    # Read AS OF the pinned version, not "latest again": an upsert landing
+    # between the two listings would put v+1 rows into a layout pinned as
+    # v, and the follow-up append_ivf_layout would append those same rows
+    # a second time (duplicate vec_ids displace true top-k neighbors).
+    _, postings = read_ann_index(spark, index_path, version=v)
     laid = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
     ).join(postings.select("vec_id", "cid"), "vec_id")
     laid.write.mode("overwrite").partitionBy("cid").parquet(layout_path)
-    with open(os.path.join(layout_path, "_STORE_VERSION"), "w") as f:
+    pin_file = os.path.join(layout_path, "_STORE_VERSION")
+    tmp = pin_file + ".tmp"
+    with open(tmp, "w") as f:
         f.write(str(v))
+    os.replace(tmp, pin_file)  # atomic, like the catch-up paths' pins
     return v
 
 
@@ -579,27 +598,7 @@ def ivf_query_layout(
             "returns wrong neighbors, so this is refused, not served)"
         )
     cents, _ = read_ann_index(spark, index_path)
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "q_id",
-            "qv",
-            "cid",
-            F.round(_l2sq(F.col("qv"), F.col("centroid")), 6).alias("cdist"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.col("cdist"), F.col("cid"))
-            ),
-        )
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "qv", "cid")
-    )
+    probes = _probe_cells(queries, cents, id_col, vec_col, nprobe)
     probes = probes.localCheckpoint(eager=True)  # probe once, reuse twice
     probed_cids = sorted(r["cid"] for r in probes.select("cid").distinct().collect())
     corpus = spark.read.parquet(layout_path).filter(
@@ -673,7 +672,7 @@ def append_ivf_layout(
     batch = new_vectors.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
-    )
+    ).localCheckpoint(eager=True)  # pin: guards and write see ONE frame
     # the only question asked of the pinned postings is "does any batch id
     # already exist?" — prune the resolution read to the batch ids' own
     # hash partitions (exact: all versions of one vec_id share a partition)
@@ -695,6 +694,19 @@ def append_ivf_layout(
     # cells come from the committed truth, probed by batch id only —
     # the same pruned resolution read as the replaced-id check above
     postings = _read_postings(spark, index_path, latest, touched_p=touched)
+    # a batch id absent from the latest postings would vanish silently
+    # (dropped by the inner join while the pin still advances, and the
+    # pin contract forbids re-appending it later) — the caller passed a
+    # batch that differs from the one given to ivf_upsert. Refuse, the
+    # same guard upsert_ivf_layout carries.
+    n_missing = batch.join(postings.select("vec_id"), "vec_id", "left_anti").count()
+    if n_missing:
+        raise ValueError(
+            f"{n_missing} batch id(s) are absent from the latest postings "
+            f"(v={latest}); append_ivf_layout must receive exactly the "
+            "batch given to ivf_upsert — otherwise those vectors would "
+            "silently disappear from the serving layout"
+        )
     laid = batch.join(postings.select("vec_id", "cid"), "vec_id")
     laid.write.mode("append").partitionBy("cid").parquet(layout_path)
     tmp = pin_file + ".tmp"
@@ -754,7 +766,7 @@ def upsert_ivf_layout(
     batch = new_vectors.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
-    )
+    ).localCheckpoint(eager=True)  # pin: guards and write see ONE frame
     batch_ids = batch.select("vec_id")
     # both the pinned and the latest postings are only probed BY BATCH ID
     # here — prune both resolution reads to the ids' hash partitions
@@ -840,25 +852,15 @@ def compact_ann_index(spark: SparkSession, index_path: str) -> int:
 
 
 def prune_ann_versions(index_path: str, keep_last: int = 2) -> list[int]:
-    """GC for this DELTA store: delete only versions older than the
-    latest snapshot at-or-before the oldest retained version — deltas
-    newer than that snapshot are load-bearing for every later
-    resolution and are kept regardless of age (run
+    """GC for this DELTA store — :func:`delta_store.prune` verbatim (the
+    ANN version layout IS the shared protocol's): delete only versions
+    older than the latest snapshot at-or-before the oldest of the last
+    ``keep_last`` versions AND every base a PENDING ann_ingest ledger
+    marker still pins (a crashed stream batch re-reads its pinned base on
+    replay — GC must not outrun it), de-committing each version before
+    its data so a partial deletion fails loudly instead of serving an
+    incomplete resolution. Deltas newer than the snapshot floor are
+    load-bearing and kept regardless of age (run
     :func:`compact_ann_index` to widen the deletable range). [] until a
     snapshot floor exists. Keep ``keep_last >= 2`` for stream replays."""
-    import shutil
-
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
-    versions = _committed_versions(index_path)
-    if len(versions) <= keep_last:
-        return []
-    oldest_retained = versions[-keep_last]
-    snaps = [v for v in versions if v <= oldest_retained and _is_snapshot(index_path, v)]
-    if not snaps:
-        return []
-    floor = max(snaps)
-    deleted = [v for v in versions if v < floor]
-    for v in deleted:
-        shutil.rmtree(os.path.join(index_path, f"v={v}"), ignore_errors=True)
-    return deleted
+    return delta_store.prune(index_path, keep_last)

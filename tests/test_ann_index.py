@@ -751,3 +751,74 @@ def test_upsert_commit_is_batch_sized(spark, emb, tmp_path):
     )
     _, postings = read_ann_index(spark, path)
     assert postings.count() == 121
+
+
+def test_prune_respects_pending_ann_ledger_pin(spark, emb, tmp_path):
+    """The compact-crash-replay GC hole, through the ANN API: a pending
+    ann_ingest marker pinning base_v must hold prune_ann_versions' floor
+    even after two compacts — the replay re-reads its pinned base."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        compact_ann_index,
+        prune_ann_versions,
+    )
+
+    path = str(tmp_path / "ivf")
+    build, batch = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    ivf_upsert(spark, path, batch.limit(5))          # v=1 delta
+    ledger = os.path.join(path, "_ledger")
+    os.makedirs(ledger)
+    with open(os.path.join(ledger, "ckpt-3"), "w") as f:
+        f.write("1")                                  # pending pin on v=1
+    compact_ann_index(spark, path)                    # v=2 snapshot
+    compact_ann_index(spark, path)                    # v=3 snapshot
+    assert prune_ann_versions(path, keep_last=2) == []
+    assert read_ann_index(spark, path, version=1)[1].count() > 0
+    # marker spent (its recovered target committed as a delta) -> GC frees
+    ivf_upsert(spark, path, batch.limit(3))           # v=4 delta
+    with open(os.path.join(ledger, "ckpt-3.recovered"), "w") as f:
+        f.write("4")
+    assert prune_ann_versions(path, keep_last=2) == [0, 1, 2]
+
+
+def test_append_layout_refuses_foreign_batch(spark, emb, tmp_path):
+    """A batch id absent from the latest postings means the caller passed
+    a different frame than the one given to ivf_upsert — append must
+    refuse (the inner join would silently drop the id while the pin
+    advances past it forever)."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        append_ivf_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    build, batch = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    write_ivf_layout(spark, path, build, layout)
+    upserted = batch.limit(5)
+    ivf_upsert(spark, path, upserted)
+    foreign = batch.limit(8)  # superset: 3 ids never reached the store
+    with pytest.raises(ValueError, match="absent from the latest postings"):
+        append_ivf_layout(spark, path, foreign, layout)
+    # the exact upserted batch still appends fine
+    assert append_ivf_layout(spark, path, upserted, layout) == 1
+
+
+def test_health_drift_sees_reupserted_ids(spark, emb, tmp_path):
+    """Replace-upsert drift blindness (r10 review): re-upserting the SAME
+    ids with drifted vectors must move drift_ratio off null — an id-only
+    base test would classify every row as base and report no drift."""
+    path = str(tmp_path / "ivf")
+    build, _ = _split(emb)
+    ivf_build(spark, path, build, k=4)
+    assert ivf_health(spark, path).first()["drift_ratio"] is None
+    drifted = build.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(7.0) + F.lit(3.0)
+        ).alias("embedding"),
+    )
+    ivf_upsert(spark, path, drifted)  # same ids, drifted vectors
+    h = ivf_health(spark, path).first()
+    assert h["drift_ratio"] is not None and h["drift_ratio"] > 1.0
