@@ -63,11 +63,17 @@ from pyspark.sql import functions as F
 from etl_pipeline_for_elasticsearch_json_document_spark.operators import delta_store
 
 #: measure -> (per-batch aggregate, merge aggregate). count merges as sum.
+#: sum/min/max carry the INPUT column's own type end-to-end (a per-batch
+#: cast to long would silently floor fractional sums batch-by-batch and
+#: break the batch-sequence == one-shot equivalence for non-integral
+#: inputs); the equivalence is byte-exact for integral/decimal inputs,
+#: while double sums inherit floating addition's usual last-ulp
+#: order-dependence — use a decimal input column where exactness matters.
 _MEASURES = {
     "count": (lambda c: F.count(c).cast("bigint"), F.sum),
-    "sum": (lambda c: F.sum(c).cast("long"), F.sum),
-    "min": (lambda c: F.min(c), F.min),
-    "max": (lambda c: F.max(c), F.max),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
 }
 
 _ROLLUP_META = "_ROLLUP"
@@ -93,29 +99,71 @@ def _load_or_init_rollup_meta(
     rollup_path: str, keys: list[str], measures: dict[str, tuple]
 ) -> None:
     """Persist (or check against) the store's rollup definition — keys
-    and measure KINDS. A second writer with a different definition is
-    refused: merging mismatched partials corrupts every total."""
+    and the FULL measure mapping (kind AND input column: two sums over
+    different source columns are different definitions even though the
+    kinds match, and merging them corrupts every total). A second writer
+    with a different definition is refused.
+
+    Creation is exclusive (``os.link``, which fails on an existing
+    target), not check-then-replace: two racing first creators with
+    different definitions must not let the loser overwrite the sidecar
+    AFTER the winner's data committed — the loser falls through to the
+    comparison and raises like any other mismatched writer."""
     mp = os.path.join(rollup_path, _ROLLUP_META)
-    kinds = {out: kind for out, (kind, _) in measures.items()}
-    if os.path.exists(mp):
-        with open(mp) as f:
-            meta = json.load(f)
-        if meta != {"keys": list(keys), "measures": kinds}:
-            raise ValueError(
-                f"rollup definition mismatch at {rollup_path}: store has "
-                f"{meta}, caller passed keys={list(keys)} measures={kinds}"
-            )
-        return
-    os.makedirs(rollup_path, exist_ok=True)
-    tmp = mp + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"keys": list(keys), "measures": kinds}, f)
-    os.replace(tmp, mp)
+    want = {
+        "keys": list(keys),
+        "measures": {out: [kind, in_col] for out, (kind, in_col) in measures.items()},
+    }
+    if not os.path.exists(mp):
+        os.makedirs(rollup_path, exist_ok=True)
+        tmp = mp + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(want, f)
+        try:
+            os.link(tmp, mp)  # exclusive: loses loudly to a racing creator
+            return
+        except FileExistsError:
+            pass  # another creator won; compare against theirs below
+        finally:
+            os.unlink(tmp)
+    with open(mp) as f:
+        meta = json.load(f)
+    if meta != want:
+        raise ValueError(
+            f"rollup definition mismatch at {rollup_path}: store has "
+            f"{meta}, caller passed {want}"
+        )
 
 
 def _read_rollup_meta(rollup_path: str) -> dict:
     with open(os.path.join(rollup_path, _ROLLUP_META)) as f:
         return json.load(f)
+
+
+def _guard_pre_protocol_layout(rollup_path: str) -> None:
+    """A pre-r10 rollup store committed full snapshots as ``v=N/_SUCCESS``
+    with no ``_COMMITTED`` marker; the delta protocol would read it as
+    EMPTY — silent data loss — and the next update would wedge on the
+    uncommitted v=0 claim. Fail loudly with the migration step instead
+    (each old version was a full standing relation, so migrating is one
+    read + one update into a fresh store)."""
+    if not os.path.isdir(rollup_path):
+        return
+    legacy = [
+        d
+        for d in os.listdir(rollup_path)
+        if d.startswith("v=")
+        and os.path.exists(os.path.join(rollup_path, d, "_SUCCESS"))
+        and not os.path.exists(os.path.join(rollup_path, d, "_COMMITTED"))
+    ]
+    if legacy:
+        raise ValueError(
+            f"{rollup_path} holds a pre-delta-protocol rollup layout "
+            f"({sorted(legacy)} committed via _SUCCESS only). Each old "
+            "version is a FULL standing relation: migrate by reading the "
+            "latest old version with spark.read.parquet and update_rollup "
+            "into a fresh path, then retire this one."
+        )
 
 
 def _aggregate(batch: DataFrame, keys: list[str], measures: dict[str, tuple]) -> DataFrame:
@@ -138,10 +186,16 @@ def _merge_union(
     for out_col, kind in measure_kinds.items():
         merge_fn = F.sum if kind in ("count", "sum") else _MEASURES[kind][1]
         col = merge_fn(out_col)
-        if kind in ("count", "sum"):
-            col = col.cast("long")
+        if kind == "count":
+            col = col.cast("long")  # counts are integral; sums keep their
+            # input column's own type (see _MEASURES)
         aggs.append(col.alias(out_col))
     return union.groupBy(*keys).agg(*aggs)
+
+
+def _measure_kinds(meta: dict) -> dict[str, str]:
+    """out_col -> kind from the persisted _ROLLUP definition."""
+    return {out: kc[0] for out, kc in meta["measures"].items()}
 
 
 def read_rollup(
@@ -152,12 +206,13 @@ def read_rollup(
     snapshot + delta tail — compact to bound the tail."""
     versions = _committed_versions(rollup_path)
     if not versions:
+        _guard_pre_protocol_layout(rollup_path)
         return None
     if version is None:
         version = versions[-1]
     meta = _read_rollup_meta(rollup_path)
     union = delta_store.read_union(spark, rollup_path, version, schema=None)
-    return _merge_union(union, meta["keys"], meta["measures"])
+    return _merge_union(union, meta["keys"], _measure_kinds(meta))
 
 
 def update_rollup(
@@ -167,7 +222,8 @@ def update_rollup(
     keys: list[str],
     measures: dict[str, tuple],
     n_partitions: int = DEFAULT_PARTITIONS,
-) -> DataFrame:
+    return_resolved: bool = True,
+) -> DataFrame | None:
     """Fold ``batch`` into the standing rollup: aggregate ONLY the batch
     (tiny) and commit it as delta ``v=N+1`` — O(|batch| groups) written,
     never the standing relation; the single-writer claim raises loudly
@@ -176,31 +232,47 @@ def update_rollup(
     ``measures`` maps output column -> (kind, input column), e.g.
     ``{"n_events": ("count", "*"), "total": ("sum", "value")}``.
     ``n_partitions`` applies only when this call CREATES the store.
-    Returns the standing rollup resolved at the new version.
+    Returns the standing rollup resolved at the new version — or None
+    with ``return_resolved=False``, which skips constructing the
+    resolved frame entirely (building it lists and footer-reads every
+    live version's files; a caller that discards the result, like a
+    stream's per-batch commit, should not pay tail-sized read cost on
+    an O(|batch|) write).
     """
+    # validate BEFORE the sidecar persists: a bad kind must not create a
+    # definition the first CORRECT caller is then refused against
     _validate_measures(measures)
+    versions = _committed_versions(rollup_path)
+    if not versions:
+        _guard_pre_protocol_layout(rollup_path)
     _load_or_init_rollup_meta(rollup_path, keys, measures)
     store_meta = delta_store.load_or_init_meta(rollup_path, n_partitions)
     delta = _aggregate(batch, keys, measures)
-    versions = _committed_versions(rollup_path)
     next_v = (versions[-1] + 1) if versions else 0
     delta_store.write_version(
         delta, rollup_path, next_v, keys, store_meta["n_partitions"]
     )
+    if not return_resolved:
+        return None
     return read_rollup(spark, rollup_path, version=next_v)
 
 
-def compact_rollup(spark: SparkSession, rollup_path: str) -> int:
+def compact_rollup(
+    spark: SparkSession, rollup_path: str, n_partitions: int | None = None
+) -> int:
     """Fold the snapshot + delta tail into ONE new snapshot version
     (returned) — O(|groups|), scheduled maintenance that bounds per-read
-    merge width and unlocks GC. Single writer, checked by the claim."""
+    merge width and unlocks GC. Single writer, checked by the claim.
+    ``n_partitions`` re-shards the store at the fold (the one sanctioned
+    way to change P — :func:`delta_store.compact`)."""
     meta = _read_rollup_meta(rollup_path)
     return delta_store.compact(
         spark,
         rollup_path,
         None,
         meta["keys"],
-        lambda u: _merge_union(u, meta["keys"], meta["measures"]),
+        lambda u: _merge_union(u, meta["keys"], _measure_kinds(meta)),
+        n_partitions=n_partitions,
     )
 
 

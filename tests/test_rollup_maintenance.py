@@ -223,3 +223,68 @@ def test_crashed_rollup_batch_survives_interleaved_compact(spark, tmp_path):
     assert _rows(read_rollup(spark, path)) == _rows(oneshot)
     versions = sorted(d for d in os.listdir(path) if d.startswith("v="))
     assert versions == ["v=0", "v=1", "v=2"]
+
+
+def test_fractional_sums_not_truncated(spark, tmp_path):
+    """r10 review: the per-batch sum must NOT cast to long — two batches
+    each summing to 0.6 would floor to 0 per delta and merge to 0 where
+    the one-shot aggregate says 1.2. Decimal inputs stay byte-exact
+    through the batch-sequence == one-shot contract."""
+    path = str(tmp_path / "rollup")
+    dec_schema = "day string, event_type string, value decimal(10,2)"
+    from decimal import Decimal as D
+
+    b1 = [("d1", "click", D("0.60"))]
+    b2 = [("d1", "click", D("0.60"))]
+    m = {"total": ("sum", "value")}
+    for b in (b1, b2):
+        update_rollup(spark, path, spark.createDataFrame(b, dec_schema), KEYS, m)
+    got = read_rollup(spark, path).collect()
+    assert len(got) == 1 and got[0]["total"] == D("1.20")
+
+
+def test_same_kind_different_column_refused(spark, tmp_path):
+    """r10 review: the _ROLLUP sidecar records the INPUT column, not just
+    the kind — sum(bytes) and sum(latency) are different definitions even
+    though both are 'sum', and merging them corrupts every total."""
+    path = str(tmp_path / "rollup")
+    schema2 = "day string, event_type string, value long, other long"
+    rows = [("d1", "click", 5, 100)]
+    update_rollup(
+        spark, path, spark.createDataFrame(rows, schema2), KEYS,
+        {"total": ("sum", "value")},
+    )
+    with pytest.raises(ValueError, match="definition mismatch"):
+        update_rollup(
+            spark, path, spark.createDataFrame(rows, schema2), KEYS,
+            {"total": ("sum", "other")},
+        )
+
+
+def test_pre_protocol_layout_fails_loudly(spark, tmp_path):
+    """A pre-r10 store (full snapshots committed via _SUCCESS, no
+    _COMMITTED) must raise with the migration step — the delta protocol
+    would otherwise read it as empty (silent data loss) and wedge the
+    next update on the uncommitted v=0 claim."""
+    path = str(tmp_path / "rollup")
+    old = os.path.join(path, "v=0")
+    os.makedirs(old)
+    open(os.path.join(old, "_SUCCESS"), "w").close()
+    with pytest.raises(ValueError, match="pre-delta-protocol"):
+        read_rollup(spark, path)
+    with pytest.raises(ValueError, match="pre-delta-protocol"):
+        update_rollup(
+            spark, path, spark.createDataFrame(B1, SCHEMA), KEYS, MEASURES
+        )
+
+
+def test_update_can_skip_resolved_readback(spark, tmp_path):
+    """return_resolved=False commits the delta without constructing the
+    tail-sized resolved frame (the stream's discard-the-result path)."""
+    path = str(tmp_path / "rollup")
+    out = update_rollup(
+        spark, path, spark.createDataFrame(B1, SCHEMA), KEYS, MEASURES,
+        return_resolved=False,
+    )
+    assert out is None
+    assert read_rollup(spark, path).count() == 2
