@@ -30,20 +30,40 @@ def split_label(
     """Deterministic train/val/test label from one md5 nibble: buckets
     below ``train`` → 'train' (12/16 = 75 %), below ``val`` → 'val'
     (2/16), rest → 'test' (2/16). Thresholds are hex-char boundaries so
-    the comparison stays a plain string <."""
+    the comparison stays a plain string <. NOTE: uses the same unsalted
+    nibble as :func:`deterministic_sample` — composing the two on one
+    key is fully correlated (an unsalted sample of per_16 <= 12 is 100%
+    'train'); salt the sample when stacking them."""
+    hexchars = "0123456789abcdef"
+    if train not in hexchars or val not in hexchars or not train < val:
+        raise ValueError(
+            f"split thresholds must be lowercase hex chars with train < "
+            f"val (md5 output is lowercase); got train={train!r} val={val!r}"
+        )
     b = hash_bucket(key)
     return (
         F.when(b < F.lit(train), "train").when(b < F.lit(val), "val").otherwise("test")
     )
 
 
-def deterministic_sample(df: DataFrame, key_col: str, per_16: int) -> DataFrame:
+def deterministic_sample(
+    df: DataFrame, key_col: str, per_16: int, salt: str = ""
+) -> DataFrame:
     """Keep ≈ per_16/16 of rows, chosen by hash bucket of the key —
     repeatable, engine-portable, and independent of partitioning (unlike
-    ``df.sample``, whose output depends on the partition layout)."""
+    ``df.sample``, whose output depends on the partition layout).
+    ``salt`` decorrelates the coin from other md5-nibble decisions on
+    the same key (:func:`split_label` uses the unsalted nibble: an
+    unsalted sample is pure head-of-bucket selection, so stacking it
+    with the splitter silently empties 'val'/'test')."""
     assert 0 < per_16 <= 16
+    if per_16 == 16:
+        return df  # format(16,'x')='10' would STRING-compare below '2'
     threshold = format(per_16, "x")  # e.g. 4 -> '4': buckets 0..3 pass
-    return df.filter(hash_bucket(F.col(key_col)) < F.lit(threshold))
+    key = F.col(key_col).cast("string")
+    if salt:
+        key = F.concat(key, F.lit("|" + salt))
+    return df.filter(hash_bucket(key) < F.lit(threshold))
 
 
 def per_key_topk(
@@ -75,12 +95,22 @@ def per_key_topk(
 
     Requirements: ``sort_cols`` must end in a unique tiebreak (ranking
     determinism — same contract every ranking query in the repo states)
-    and be ASCENDING; for a descending numeric order pass a negated
-    column. Returns ``df``'s columns (minus helper columns) plus
+    and be ASCENDING; for a descending numeric order, withColumn a
+    negated helper onto ``df``, name it in ``sort_cols``, and drop it
+    from the result (helper columns ride through into the payload).
+    Returns ``df``'s columns (minus the key columns' duplicates) plus
     ``rank_col`` (1-based, bigint) when requested.
     """
     from pyspark.sql import Window
 
+    if n_salts < 1:
+        raise ValueError(
+            f"n_salts must be >= 1 (got {n_salts}): pmod(_, 0) is NULL, "
+            "which would silently collapse every row into ONE salt cell — "
+            "the single-task per-key sort this operator exists to avoid"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
     sort_structs = [F.col(c) for c in sort_cols]
     payload = [c for c in df.columns if c not in key_cols]
     salt = F.pmod(F.xxhash64(*sort_structs), F.lit(n_salts))
@@ -166,6 +196,12 @@ def grouped_prefix_sum(
     """
     from pyspark.sql import Window
 
+    if chunk_width < 1:
+        raise ValueError(
+            f"chunk_width must be >= 1 (got {chunk_width}): 0 makes every "
+            "chunk NULL (order/0) and a negative width inverts the carry "
+            "direction — both corrupt the running sums silently"
+        )
     chunk = F.floor(F.col(order_col) / F.lit(chunk_width)).alias("__chunk")
     order = [order_col, *(tiebreak_cols or [])]
     w_local = (
@@ -184,16 +220,43 @@ def grouped_prefix_sum(
         .orderBy("__chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # __carry stays NULLABLE (no coalesce): the window spelling's prefix
+    # is NULL iff every value so far is NULL, and the exact equivalent
+    # here is "NULL iff local-prefix AND carry are both NULL" — coalescing
+    # either side early would turn that corner into a spurious 0.
     carry = totals.select(
         group_col,
         "__chunk",
-        F.coalesce(F.sum("__ctot").over(w_carry), F.lit(0)).alias("__carry"),
+        F.sum("__ctot").over(w_carry).alias("__carry"),
     )
-    run = F.col("__local") + F.col("__carry")
+    run = F.when(
+        F.col("__local").isNull() & F.col("__carry").isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(F.col("__local"), F.lit(0)) + F.coalesce(F.col("__carry"), F.lit(0))
+    )
     if not inclusive:
-        run = run - F.col(value_col)
+        # a NULL value contributes nothing, so its exclusive prefix IS the
+        # inclusive one — subtracting NULL would nullify the whole sum;
+        # and the exclusive form coalesces to 0 (an empty/all-null prefix
+        # is a ZERO start offset — the packing contract, matching the
+        # single-window spelling's coalesce)
+        run = F.coalesce(
+            F.when(F.col(value_col).isNull(), run).otherwise(
+                run - F.col(value_col)
+            ),
+            F.lit(0),
+        )
+    # null-safe join: a NULL group or NULL order (NULL chunk) must keep
+    # its row — the plain column-list join drops NULL keys, silently
+    # losing rows the single-window spelling keeps (nulls-first order)
+    l, c = local.alias("l"), carry.alias("c")
     return (
-        local.join(carry, [group_col, "__chunk"])
+        l.join(
+            c,
+            F.col(f"l.{group_col}").eqNullSafe(F.col(f"c.{group_col}"))
+            & F.col("l.__chunk").eqNullSafe(F.col("c.__chunk")),
+        )
+        .select("l.*", F.col("c.__carry"))
         .withColumn(out_col, run)
         .drop("__chunk", "__local", "__carry")
     )
@@ -298,7 +361,10 @@ def target_mix_sample(
         / F.lit(float(2**32))
     )
     return (
-        df.join(F.broadcast(rates), src == F.col("__s"))
+        # null-safe: a NULL source forms a group in the aggregate (and
+        # contributes to the weight total), so its rows must surface
+        # with their rate instead of silently dropping out of the join
+        df.join(F.broadcast(rates), src.eqNullSafe(F.col("__s")))
         .drop("__s")
         .select("*", (coin < F.col("mix_rate")).alias("kept"))
     )

@@ -21,7 +21,9 @@ _rows = st.lists(
     st.tuples(
         st.sampled_from(["a", "b", "c"]),           # group key
         st.integers(min_value=-20, max_value=20),   # order / score value
-        st.integers(min_value=0, max_value=9),      # summed value
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+        # summed value — None included: the hierarchical prefix sum claims
+        # NULL-exactness vs the window spelling (r10 review fix)
     ),
     min_size=1,
     max_size=25,
