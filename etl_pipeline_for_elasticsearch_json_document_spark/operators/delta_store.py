@@ -331,8 +331,20 @@ def commit_pinned_delta(path: str, marker_path: str, base_v: int, write) -> int:
     commit, so a second replay re-uses the same recovery version instead
     of stacking duplicates) and commits there — correct because the
     snapshot cannot contain the never-committed rows, and the store's
-    idempotent resolution absorbs any replay overlap."""
+    idempotent resolution absorbs any replay overlap.
+
+    Ownership: a committed delta at the target does not by itself prove
+    it is OURS — under a lineage handoff another writer could have taken
+    the version, and skipping then silently drops this batch's rows from
+    the index. The ``<marker>.attempt`` sidecar records the version we
+    are about to write, BEFORE writing: on replay a committed target
+    delta is skipped only when the sidecar matches; otherwise it is
+    treated like the stolen-snapshot case and the batch re-pins past the
+    tail. (A foreign interleaved writer still violates the store's
+    single-writer contract — the sidecar turns the silent row loss into
+    a correct recommit.)"""
     rec = marker_path + ".recovered"
+    att = marker_path + ".attempt"
     target = base_v + 1
     if os.path.exists(rec):
         with open(rec) as f:
@@ -340,14 +352,25 @@ def commit_pinned_delta(path: str, marker_path: str, base_v: int, write) -> int:
     while True:
         committed = committed_versions(path)
         if target in committed:
-            if not is_snapshot(path, target):
+            ours = False
+            if os.path.exists(att):
+                with open(att) as f:
+                    ours = f.read().strip() == str(target)
+            if not is_snapshot(path, target) and ours:
                 return target  # our delta already landed (replay)
+            # a compact's snapshot — or a foreign writer's delta — took
+            # the version: re-pin past the tail (recorded FIRST so a
+            # second replay re-uses the same recovery version)
             target = committed[-1] + 1
             tmp = rec + ".tmp"
             with open(tmp, "w") as f:
                 f.write(str(target))
-            os.replace(tmp, rec)  # pin the recovery version FIRST
+            os.replace(tmp, rec)
             continue
+        tmp = att + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(target))
+        os.replace(tmp, att)  # ownership intent BEFORE the commit
         write(target)
         return target
 
@@ -402,21 +425,30 @@ def compact(
 
 
 def pending_pins(path: str) -> list[int]:
-    """Base versions still pinned by PENDING ledger markers under
-    ``path/_ledger/`` (the marker-first exactly-once protocol all four
-    stream clients share). A marker is pending while its target delta —
-    ``base_v + 1``, or its ``.recovered`` re-pin — is not yet committed
-    AS A DELTA: exactly the markers a crash replay will re-read
-    ``read_union(base_v)`` for. Spent markers (target committed as a
-    delta) pin nothing: the streaming checkpoint has advanced past them
-    and they never replay."""
+    """Base versions a crash replay may still re-read, from the ledger
+    markers under ``path/_ledger/`` (the marker-first exactly-once
+    protocol all four stream clients share).
+
+    Micro-batches within one checkpoint lineage commit SEQUENTIALLY —
+    batch N+1 only starts after batch N's epoch committed to the
+    checkpoint — so only each lineage's HIGHEST-batch marker can ever
+    replay; every earlier marker is spent by construction. That last
+    marker pins its base UNCONDITIONALLY: a committed target delta does
+    NOT prove the batch finished (the crash window between the index
+    commit and the output/checkpoint writes is exactly when replays
+    happen, and the replay re-reads ``read_union(base_v)`` to
+    re-classify). The pin clears when the lineage's next batch writes
+    its marker, or when a decommissioned lineage's markers are removed
+    via :func:`gc_ledger`."""
     ledger = os.path.join(path, "_ledger")
     if not os.path.isdir(ledger):
         return []
-    committed = set(committed_versions(path))
-    pins = []
+    latest: dict[str, tuple[int, int]] = {}  # lineage -> (batch_id, base_v)
     for name in os.listdir(ledger):
-        if name.endswith(".recovered") or name.endswith(".tmp"):
+        if name.endswith((".recovered", ".tmp", ".attempt")):
+            continue
+        lineage, sep, bid = name.rpartition("-")
+        if not sep or not bid.isdigit():
             continue
         mp = os.path.join(ledger, name)
         try:
@@ -424,14 +456,51 @@ def pending_pins(path: str) -> list[int]:
                 base_v = int(f.read())
         except (OSError, ValueError):
             continue
-        target = base_v + 1
-        rec = mp + ".recovered"
-        if os.path.exists(rec):
-            with open(rec) as f:
-                target = int(f.read())
-        if target not in committed or is_snapshot(path, target):
-            pins.append(base_v)
-    return sorted(pins)
+        cur = latest.get(lineage)
+        if cur is None or int(bid) > cur[0]:
+            latest[lineage] = (int(bid), base_v)
+    return sorted({base for _, base in latest.values()})
+
+
+def gc_ledger(path: str, lineage: str | None = None) -> list[str]:
+    """Ledger housekeeping. With ``lineage``: remove ALL of that
+    checkpoint lineage's markers (+ sidecars) — the decommission step
+    for a retired stream, without which its last marker pins the GC
+    floor forever (prune cannot tell a down stream from a dead one).
+    Without: remove only SPENT markers (every non-highest batch per
+    lineage — sequential epochs make them unreplayable), bounding ledger
+    growth while keeping every live pin. Returns removed filenames."""
+    ledger = os.path.join(path, "_ledger")
+    if not os.path.isdir(ledger):
+        return []
+    by_lineage: dict[str, list[tuple[int, str]]] = {}
+    sidecars: dict[str, list[str]] = {}
+    for name in os.listdir(ledger):
+        base_name = name
+        for suf in (".recovered", ".tmp", ".attempt"):
+            if name.endswith(suf):
+                base_name = name[: -len(suf)]
+                break
+        lin, sep, bid = base_name.rpartition("-")
+        if not sep or not bid.isdigit():
+            continue
+        if base_name != name:
+            sidecars.setdefault(base_name, []).append(name)
+        else:
+            by_lineage.setdefault(lin, []).append((int(bid), name))
+    removed = []
+    for lin, markers in by_lineage.items():
+        if lineage is not None and lin != lineage:
+            continue
+        markers.sort()
+        doomed = markers if lineage is not None else markers[:-1]
+        for _, name in doomed:
+            for f in [name, *sidecars.get(name, [])]:
+                fp = os.path.join(ledger, f)
+                if os.path.exists(fp):
+                    os.remove(fp)
+                    removed.append(f)
+    return sorted(removed)
 
 
 def prune(path: str, keep_last: int = 2) -> list[int]:

@@ -117,11 +117,17 @@ def read_fingerprint_index(
     )
 
 
-def compact_fingerprint_index(spark: SparkSession, index_path: str) -> int:
+def compact_fingerprint_index(
+    spark: SparkSession, index_path: str, n_partitions: int | None = None
+) -> int:
     """Fold the snapshot + delta tail into ONE new snapshot version
     (returned) — bounds per-batch read amplification and unlocks GC.
-    Single writer: run between stream drains."""
-    return delta_store.compact(spark, index_path, INDEX_SCHEMA, _KEYS, _resolve)
+    Single writer: run between stream drains. ``n_partitions`` re-shards
+    the store at the fold (the sanctioned way to change P)."""
+    return delta_store.compact(
+        spark, index_path, INDEX_SCHEMA, _KEYS, _resolve,
+        n_partitions=n_partitions,
+    )
 
 
 def prune_fingerprint_versions(index_path: str, keep_last: int = 2) -> list[int]:
@@ -149,15 +155,25 @@ def _classify(
     meta = delta_store.load_or_init_meta(index_path, n_partitions)
     P = meta["n_partitions"]
     h = docs.select(
-        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp")
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fp"),
     ).localCheckpoint(eager=True)  # one md5 pass feeds probe set + classify
-    touched = delta_store.touched_partitions(h, _KEYS, P)
+    # NULL text -> NULL fp: such docs carry no content to fingerprint.
+    # They must neither enter the index nor VANISH — the plain `first`
+    # join below never matches NULL keys, which silently dropped their
+    # rows from the output (the sampling.py NULL-key class). Classify
+    # them explicitly and run the join machinery on the hashed rows only.
+    no_text = h.filter(F.col("fp").isNull()).select(
+        "doc_id", "fp", F.lit("no_text").alias("status")
+    )
+    hashed = h.filter(F.col("fp").isNotNull())
+    touched = delta_store.touched_partitions(hashed, _KEYS, P)
     idx = read_fingerprint_index(
         spark, index_path, version=base_v, touched_p=touched, n_partitions=P
     )
-    first = h.groupBy("fp").agg(F.min("doc_id").alias("first_in_batch"))
+    first = hashed.groupBy("fp").agg(F.min("doc_id").alias("first_in_batch"))
     cls = (
-        h.join(idx.withColumnRenamed("first_doc_id", "idx_first"), "fp", "left")
+        hashed.join(idx.withColumnRenamed("first_doc_id", "idx_first"), "fp", "left")
         .join(first, "fp")
         .select(
             "doc_id",
@@ -167,6 +183,7 @@ def _classify(
             .otherwise("ingested")
             .alias("status"),
         )
+        .unionByName(no_text)
     )
     return cls.localCheckpoint(eager=True)  # pin before the index moves
 
@@ -200,9 +217,11 @@ def ingest_with_index(
 
     Returns the classification (materialized BEFORE the index advances,
     so a failed write never half-applies): columns ``doc_id``, ``fp``,
-    ``status`` ∈ {'duplicate_corpus', 'duplicate_batch', 'ingested'} —
-    corpus match outranks within-batch (q158's precedence), first
-    occurrence (min id) wins within a batch. ``n_partitions`` applies
+    ``status`` ∈ {'duplicate_corpus', 'duplicate_batch', 'ingested',
+    'no_text'} — corpus match outranks within-batch (q158's precedence),
+    first occurrence (min id) wins within a batch, NULL-text docs are
+    surfaced as 'no_text' (never indexed, never silently dropped).
+    ``n_partitions`` applies
     only when this call CREATES the store (the persisted _META wins).
     """
     versions = delta_store.committed_versions(index_path)

@@ -126,13 +126,21 @@ def _read_resolved(
     )
 
 
-def compact(spark: SparkSession, index_path: str) -> int:
+def compact(
+    spark: SparkSession, index_path: str, n_partitions: int | None = None
+) -> int:
     """Fold the latest snapshot + delta tail into ONE new snapshot
     version (returned) — the scheduled maintenance step that bounds
     per-batch read amplification and makes older versions GC-eligible
     (:func:`prune_lsh_versions`). Single writer: run between stream
-    drains, like :func:`operators.ann_index.append_ivf_layout`."""
-    return delta_store.compact(spark, index_path, BUCKET_SCHEMA, _KEYS, _resolve)
+    drains, like :func:`operators.ann_index.append_ivf_layout`.
+    ``n_partitions`` re-shards the store at the fold — the module
+    docstring's 're-shard on a compact' step, exposed here so it does
+    not require reaching into the private resolve/keys internals."""
+    return delta_store.compact(
+        spark, index_path, BUCKET_SCHEMA, _KEYS, _resolve,
+        n_partitions=n_partitions,
+    )
 
 
 def prune_lsh_versions(index_path: str, keep_last: int = 2) -> list[int]:
@@ -158,6 +166,12 @@ def _lsh_batch_processor(
     existing store's _META wins (mixing partitioning functions within one
     store would break pruning silently)."""
 
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}) — validated at setup so a misconfigured stream "
+            "fails before its first micro-batch, not inside it"
+        )
     ledger = os.path.join(index_path, "_ledger")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -178,12 +192,18 @@ def _lsh_batch_processor(
         # batch minima, touched partitions, classification, and the delta
         # all derive from this pin — and it freezes the batch's view
         # before the index advances (replay safety rides the marker, this
-        # is cost + isolation).
-        bb = lsh_band_buckets(
-            batch_df, id_col, text_col, num_hashes, bands
-        ).localCheckpoint(eager=True)
-        batch_min = bb.groupBy("band", "bucket").agg(
-            F.min("doc_id").alias("batch_min")
+        # is cost + isolation). doc_id is cast to long at the source so
+        # the delta's anchor_id matches BUCKET_SCHEMA on read-back
+        # (index_maintenance casts the same way).
+        bb = (
+            lsh_band_buckets(batch_df, id_col, text_col, num_hashes, bands)
+            .withColumn("doc_id", F.col("doc_id").cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        batch_min = (
+            bb.groupBy("band", "bucket")
+            .agg(F.min("doc_id").alias("batch_min"))
+            .localCheckpoint(eager=True)  # feeds probe set, join, delta
         )
         # The batch can only collide with index rows in the partitions its
         # own buckets hash into — collect that partition set (≤ P ints,
@@ -219,6 +239,20 @@ def _lsh_batch_processor(
                 "corpus_anchor",
             )
         )
+        # docs with NULL text produce no signature and hence no bb rows —
+        # without this they would VANISH from the status output (silent
+        # row loss); surface them explicitly instead
+        no_text = (
+            batch_df.select(F.col(id_col).cast("long").alias("doc_id"))
+            .distinct()
+            .join(status.select("doc_id"), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.lit("no_text").alias("status"),
+                F.lit(None).cast("long").alias("corpus_anchor"),
+            )
+        )
+        status = status.unionByName(no_text)
 
         # DELTA commit: the batch's own per-bucket minima, nothing else —
         # O(|batch| buckets) written per version regardless of index size.

@@ -774,9 +774,9 @@ def test_prune_respects_pending_ann_ledger_pin(spark, emb, tmp_path):
     compact_ann_index(spark, path)                    # v=3 snapshot
     assert prune_ann_versions(path, keep_last=2) == []
     assert read_ann_index(spark, path, version=1)[1].count() > 0
-    # marker spent (its recovered target committed as a delta) -> GC frees
+    # the pin clears when the lineage's NEXT batch writes its marker
     ivf_upsert(spark, path, batch.limit(3))           # v=4 delta
-    with open(os.path.join(ledger, "ckpt-3.recovered"), "w") as f:
+    with open(os.path.join(ledger, "ckpt-4"), "w") as f:
         f.write("4")
     assert prune_ann_versions(path, keep_last=2) == [0, 1, 2]
 

@@ -229,10 +229,12 @@ def test_commit_pinned_delta_normal_path(spark, tmp_path):
 
 
 def test_prune_respects_pending_ledger_pins(spark, tmp_path):
-    """The compact-crash-replay GC hole: a marker pinning base_v whose
-    delta never landed must hold the GC floor at base_v's snapshot —
-    even after two compacts would otherwise let prune delete it. A SPENT
-    marker (its target committed as a delta) pins nothing."""
+    """The compact-crash-replay GC hole: each lineage's LAST marker pins
+    its base unconditionally (even a committed target delta does not
+    prove the batch's outputs and checkpoint advanced), holding the GC
+    floor at base_v's snapshot through two compacts; the pin moves only
+    when the lineage's NEXT batch writes its marker (sequential epochs
+    make every non-last marker unreplayable)."""
     path = str(tmp_path / "store")
     ds.load_or_init_meta(path, 4)
     ds.write_version(_df(spark, [(1, 1)]), path, 0, ["k"], 4, snapshot=True)
@@ -252,8 +254,8 @@ def test_prune_respects_pending_ledger_pins(spark, tmp_path):
     assert ds.committed_versions(path) == [0, 1, 2, 3]
     # the replay's pinned read still works end-to-end
     assert ds.read_union(spark, path, 1, SCHEMA).count() == 2
-    # replay lands via commit_pinned_delta (re-pinned past the tail),
-    # the marker is now spent, and the SAME prune call proceeds
+    # replay lands via commit_pinned_delta (re-pinned past the tail); the
+    # marker STILL pins (outputs/checkpoint state are unknowable here)...
     marker = os.path.join(ledger, "ckpt-7")
     ds.commit_pinned_delta(
         path,
@@ -263,11 +265,22 @@ def test_prune_respects_pending_ledger_pins(spark, tmp_path):
             _df(spark, [(9, 9)]), path, v, ["k"], 4, reclaim_torn=True
         ),
     )
-    assert ds.pending_pins(path) == []
+    assert ds.pending_pins(path) == [1]
+    # ...until the lineage's NEXT batch pins its own base: batch 8 lands,
+    # marker 7 is spent by construction, and the SAME prune proceeds
+    with open(os.path.join(ledger, "ckpt-8"), "w") as f:
+        f.write("4")
+    assert ds.pending_pins(path) == [4]
     deleted = ds.prune(path, keep_last=2)
     assert deleted == [0, 1, 2]
     # fail-stop deletion removed the commit markers with the dirs
     assert ds.committed_versions(path) == [3, 4]
+    # ledger housekeeping: spent (non-last) markers are removable; a
+    # decommissioned lineage clears entirely and stops pinning
+    removed = ds.gc_ledger(path)
+    assert "ckpt-7" in removed and ds.pending_pins(path) == [4]
+    ds.gc_ledger(path, lineage="ckpt")
+    assert ds.pending_pins(path) == []
 
 
 def test_empty_delta_store_reads_via_schema_sidecar(spark, tmp_path):
@@ -297,3 +310,39 @@ def test_reserved_partition_column_rejected(spark, tmp_path):
     bad = spark.createDataFrame([(1, 2)], "k long, p long")
     with pytest.raises(ValueError, match="reserved"):
         ds.write_version(bad, path, 0, ["k"], 4)
+
+
+def test_commit_pinned_delta_foreign_delta_repins(spark, tmp_path):
+    """Ownership (r10 review): a committed DELTA at the target version
+    that this batch did not write (no matching .attempt sidecar — e.g. a
+    lineage handoff's writer took the version) must NOT be skipped as
+    'ours': the batch re-pins past the tail and commits, so its rows
+    never silently vanish from the index."""
+    path = str(tmp_path / "store")
+    ds.load_or_init_meta(path, 4)
+    ds.write_version(_df(spark, [(1, 1)]), path, 0, ["k"], 4, snapshot=True)
+    ledger = os.path.join(path, "_ledger")
+    os.makedirs(ledger)
+    marker = os.path.join(ledger, "ckpt-0")
+    with open(marker, "w") as f:
+        f.write("0")  # pinned base 0; target would be v=1
+    # a FOREIGN writer commits a delta at v=1 (no .attempt for our marker)
+    ds.write_version(_df(spark, [(5, 5)]), path, 1, ["k"], 4)
+    committed_at = ds.commit_pinned_delta(
+        path,
+        marker,
+        0,
+        lambda v: ds.write_version(
+            _df(spark, [(9, 9)]), path, v, ["k"], 4, reclaim_torn=True
+        ),
+    )
+    assert committed_at == 2  # re-pinned past the foreign delta
+    rows = {tuple(r) for r in ds.read_union(spark, path, 2, SCHEMA).collect()}
+    assert (9, 9) in rows and (5, 5) in rows
+    # replay of OUR commit now skips (matching .attempt): same version,
+    # no duplicate
+    again = ds.commit_pinned_delta(
+        path, marker, 0,
+        lambda v: (_ for _ in ()).throw(AssertionError("must not rewrite")),
+    )
+    assert again == 2

@@ -140,3 +140,22 @@ def test_compact_and_prune_fingerprint_versions(spark, tmp_path):
 
     with pytest.raises(ValueError):
         prune_versions(idx_path, keep_last=0)
+
+
+def test_null_text_docs_surface_as_no_text(spark, tmp_path):
+    """r10 review: a NULL-text doc produces a NULL fingerprint — it must
+    neither enter the index nor VANISH from the classification (the
+    plain fp join drops NULL keys). It surfaces as 'no_text'."""
+    idx_path = str(tmp_path / "fpidx")
+    b = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "alpha")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in ingest_with_index(spark, idx_path, b).collect()}
+    assert got == {1: "ingested", 2: "no_text", 3: "duplicate_batch"}
+    # the null fp never entered the index: replaying doc 2 with real text
+    # classifies fresh, and the index holds exactly one fingerprint
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.index_maintenance import (
+        read_fingerprint_index,
+    )
+
+    assert read_fingerprint_index(spark, idx_path).count() == 1

@@ -347,3 +347,35 @@ def test_crashed_batch_survives_interleaved_compact(spark, tmp_path):
     st = spark.read.parquet(os.path.join(out, "batch=lin-6", "status"))
     r = {x["doc_id"]: (x["status"], x["corpus_anchor"]) for x in st.collect()}
     assert r == {20: ("near_dup_corpus", 9)}
+
+
+def test_null_text_docs_surface_as_no_text(spark, tmp_path):
+    """r10 review: a NULL-text doc yields no signature and hence no
+    bucket rows — it must still appear in the batch's status output (as
+    'no_text') instead of silently vanishing from the per-doc report."""
+    idx = str(tmp_path / "lsh")
+    out = str(tmp_path / "out")
+    proc = _lsh_batch_processor(idx, out, "lin")
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    b = spark.createDataFrame([(1, t), (2, None), (3, t)], SCHEMA)
+    proc(b, 0)
+    status = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(
+            os.path.join(out, "batch=lin-0", "status")
+        ).collect()
+    }
+    assert status == {1: "unique", 2: "no_text", 3: "near_dup_batch"}
+
+
+def test_misconfigured_banding_fails_at_setup(spark, tmp_path):
+    """num_hashes not divisible by bands must fail when the stream is
+    BUILT, not inside the first micro-batch (and never silently under
+    python -O)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        _lsh_batch_processor(
+            str(tmp_path / "i"), str(tmp_path / "o"), "lin",
+            num_hashes=16, bands=5,
+        )

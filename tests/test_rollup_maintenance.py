@@ -181,8 +181,12 @@ def test_streamed_rollup_matches_batch_and_survives_replay(spark, tmp_path):
 
     ckpt_id = checkpoint_identity(str(tmp_path / "ckpt"))
     proc = _rollup_batch_processor(path, ckpt_id, KEYS, MEASURES)
-    last_batch = sorted(int(m.rsplit("-", 1)[1]) for m in os.listdir(
-        os.path.join(path, "_ledger")) if m.startswith(ckpt_id))[-1]
+    last_batch = sorted(
+        int(m.rsplit("-", 1)[1])
+        for m in os.listdir(os.path.join(path, "_ledger"))
+        if m.startswith(ckpt_id)
+        and not m.endswith((".attempt", ".recovered", ".tmp"))
+    )[-1]
     before = _rows(read_rollup(spark, path))
     proc(spark.createDataFrame(B3, SCHEMA), last_batch)
     assert _rows(read_rollup(spark, path)) == before
