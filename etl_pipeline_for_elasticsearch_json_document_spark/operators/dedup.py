@@ -33,20 +33,29 @@ from etl_pipeline_for_elasticsearch_json_document_spark.operators.text import fi
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (normalized) documents: one row per distinct
     fingerprint with the keeper id (min) and the duplicate count. The
-    groupBy key is the 16-byte md5, so the shuffle moves hashes, not text."""
+    groupBy key is the 16-byte md5, so the shuffle moves hashes, not text.
+    NULL-text docs carry no content to compare and are excluded (they are
+    NOT one giant duplicate group — the same isNotNull guard the MinHash/
+    SimHash/CDC operators apply)."""
     return (
-        df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
     )
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one representative (min id) per fingerprint group."""
+    """Keep one representative (min id) per fingerprint group. NULL-text
+    docs pass through untouched: they share no CONTENT, so grouping them
+    under the single NULL fingerprint would silently delete all but one
+    unrelated document (the NULL-key hazard class)."""
+    has_text = df.where(F.col(text_col).isNotNull())
     w = F.row_number().over(
         Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
     )
-    return df.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+    kept = has_text.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+    return kept.unionByName(df.where(F.col(text_col).isNull()))
 
 
 # ---------------------------------------------------------------------------
@@ -113,7 +122,15 @@ def jaccard_pairs(
     words = _distinct_words(df, id_col, text_col, token_expr).cache()
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = words.alias("a")
-    b = (F.broadcast(words) if broadcast_postings else words).alias("b")
+    if broadcast_postings:
+        b = F.broadcast(words).alias("b")
+    elif broadcast_postings is False:
+        # an explicit False must actually FORCE the shuffle path — without
+        # the hint AQE may still convert to broadcast at runtime, which is
+        # exactly the OOM the caller opted out of
+        b = words.hint("shuffle_merge").alias("b")
+    else:
+        b = words.alias("b")
     inter = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
@@ -157,12 +174,7 @@ def prefix_filter_jaccard_pairs(
     never raw text. Columns: ``a_id, b_id, jaccard`` (identical to
     :func:`jaccard_pairs`; equality pinned in tests/test_llm_ops.py).
     """
-    toks = tokens(F.col(text_col)) if token_expr is None else token_expr
-    n = df.sparkSession.sparkContext.defaultParallelism
-    words = (
-        df.repartition(n, F.col(id_col))
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(toks)).alias("w"))
-    )
+    words = _distinct_words(df, id_col, text_col, token_expr)
     docfreq = words.groupBy("w").agg(F.count("*").alias("df"))
     ordered = (
         words.join(docfreq, "w")
@@ -170,7 +182,8 @@ def prefix_filter_jaccard_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("df", "w"))).alias("ts"))
     )
     p = (
-        F.floor(F.lit(1.0 - threshold) * F.size("ts")).cast("int") + F.lit(1)
+        F.floor(F.lit(1.0 - threshold) * F.size("ts") + F.lit(1e-9)).cast("int")
+        + F.lit(1)
     )
     prefix = ordered.select(
         "doc_id",
@@ -226,8 +239,19 @@ _SLICES_PER_MD5 = 32 // PREFIX_LEN
 
 
 def _minhash_seed_offset(k: int) -> tuple[int, int]:
-    """Hash function k reads md5(seed || w) at 1-based hex offset off+1."""
+    """Hash function k reads md5(seed-prefix || w) at 1-based hex offset
+    off+1 (the prefix string is :func:`_seed_prefix` of the seed)."""
     return k // _SLICES_PER_MD5, (k % _SLICES_PER_MD5) * PREFIX_LEN
+
+
+def _seed_prefix(seed: int) -> str:
+    """The seed's hash-input prefix, SEPARATED from the token by a space
+    (tokens are space-split, so a space can never occur inside one):
+    without it md5('1' + '0foo') == md5('10' + 'foo') and hash families
+    with two-digit seeds (num_hashes > 8*_SLICES_PER_MD5... i.e. seeds
+    >= 10) lose pairwise independence. Oracle SQL interpolates this SAME
+    function so both engines hash identically."""
+    return f"{seed} "
 
 
 def minhash_signatures(
@@ -259,7 +283,7 @@ def minhash_signatures(
         # NB: capture j in a closure, NOT a default arg — PySpark counts
         # default args toward higher-order-function arity, and a 2-param
         # lambda gets (element, index) with the index shadowing the seed.
-        return lambda w: F.md5(F.concat(F.lit(str(j)), w))
+        return lambda w: F.md5(F.concat(F.lit(_seed_prefix(j)), w))
 
     # Spread a single-file corpus across cores first: the projection is
     # map-only, so without this the whole md5×tokens computation runs in
@@ -620,7 +644,9 @@ def cdc_chunks(
     Columns: <id_col>, chunk_idx, chunk_fp, chunk_len.
     """
     t = F.col(text_col)
-    accepted = [F.lit(c) for c in boundary_hex]
+    # md5 renders lowercase hex: an uppercase boundary char would never
+    # match, silently disabling chunking (every doc = one whole chunk)
+    accepted = [F.lit(c) for c in boundary_hex.lower()]
     # Guard: for length(t) < window Spark's sequence(window, length) counts
     # DOWN (step -1) — phantom boundaries with negative-start substrings
     # (which count from the string END). Short texts are one whole chunk,
@@ -847,9 +873,12 @@ def dedup_close(
 
     keyed = docs if id_col == "doc_id" else docs.withColumn("doc_id", F.col(id_col))
     if threshold > 0:
+        # threshold must flow INTO the pair generator: its own default
+        # (0.5) filters first, which would silently clamp a lower ask
         pairs = minhash_lsh_pairs(
-            keyed, "doc_id", text_col, num_hashes=num_hashes, bands=bands
-        ).filter(F.col("est_jaccard") >= threshold)
+            keyed, "doc_id", text_col, num_hashes=num_hashes, bands=bands,
+            threshold=threshold,
+        )
     else:
         pairs = lsh_bucket_edges(
             keyed, "doc_id", text_col, num_hashes=num_hashes, bands=bands

@@ -102,7 +102,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
     # Hash function k = 8 hex chars of md5(seed || w) at offset (k%4)*8 —
     # identical family to operators/dedup.py (PREFIX_LEN slices, 4 per md5).
     mins = ",\n  ".join(
-        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"min(substring(md5('{dedup._seed_prefix(dedup._minhash_seed_offset(k)[0])}' || w), "
         f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
         for k in range(num_hashes)
     )
@@ -1322,7 +1322,7 @@ def q102(spark, sf_dir):
 def _lsh_star_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     rows = num_hashes // bands
     mins = ",\n  ".join(
-        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"min(substring(md5('{dedup._seed_prefix(dedup._minhash_seed_offset(k)[0])}' || w), "
         f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
         for k in range(num_hashes)
     )
@@ -1622,7 +1622,7 @@ def q109(spark, sf_dir):
 def _minhash_cross_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
     rows = num_hashes // bands
     mins = ",\n  ".join(
-        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"min(substring(md5('{dedup._seed_prefix(dedup._minhash_seed_offset(k)[0])}' || w), "
         f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
         for k in range(num_hashes)
     )

@@ -1098,7 +1098,7 @@ def _lsh_sweep_oracle(num_hashes: int = 16, band_cfgs: tuple[int, ...] = (2, 4, 
     from etl_pipeline_for_elasticsearch_json_document_spark.operators import dedup
 
     mins = ",\n  ".join(
-        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"min(substring(md5('{dedup._seed_prefix(dedup._minhash_seed_offset(k)[0])}' || w), "
         f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
         for k in range(num_hashes)
     )
@@ -2158,7 +2158,7 @@ def _false_merge_oracle(num_hashes: int = 16, bands: int = 4) -> str:
 
     rows = num_hashes // bands
     mins = ",\n  ".join(
-        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"min(substring(md5('{dedup._seed_prefix(dedup._minhash_seed_offset(k)[0])}' || w), "
         f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
         for k in range(num_hashes)
     )

@@ -299,7 +299,7 @@ def _star_cluster_cte(num_hashes: int = 16, bands: int = 4) -> str:
     ``clusters(doc_id, cluster_id)``. Same md5 family as operators/dedup."""
     rows = num_hashes // bands
     mins = ",\n  ".join(
-        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"min(substring(md5('{dedup._seed_prefix(dedup._minhash_seed_offset(k)[0])}' || w), "
         f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
         for k in range(num_hashes)
     )
@@ -391,7 +391,7 @@ def q186(spark, sf_dir):
 def _blocking_oracle(num_hashes: int = 16, bands: int = 4, truth_t: float = 0.9) -> str:
     rows = num_hashes // bands
     mins = ",\n  ".join(
-        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"min(substring(md5('{dedup._seed_prefix(dedup._minhash_seed_offset(k)[0])}' || w), "
         f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
         for k in range(num_hashes)
     )
@@ -695,7 +695,7 @@ def _minhash_pairs_ctes(num_hashes: int = 16, bands: int = 4, threshold: float =
     """CTE chain (q32's md5 family) ending in ``pairs(a_id, b_id, est)``."""
     rows = num_hashes // bands
     mins = ",\n  ".join(
-        f"min(substring(md5('{dedup._minhash_seed_offset(k)[0]}' || w), "
+        f"min(substring(md5('{dedup._seed_prefix(dedup._minhash_seed_offset(k)[0])}' || w), "
         f"{dedup._minhash_seed_offset(k)[1] + 1}, 8)) AS mh{k}"
         for k in range(num_hashes)
     )

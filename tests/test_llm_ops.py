@@ -714,3 +714,33 @@ def test_contaminated_train_ids_matches_per_test_counts(spark):
         100: 2,
         200: 2,
     }
+
+
+def test_dedup_exact_null_text_passthrough(spark):
+    """r10 review: NULL-text docs share no CONTENT — dedup_exact must not
+    group them under one NULL fingerprint and delete all but one."""
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(df, "doc_id", "text").collect())
+    assert kept == [1, 3, 4, 5]  # one of the dup pair + ALL null-text docs
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0]["dup_count"] == 2
+
+
+def test_dedup_close_honors_low_threshold(spark):
+    """r10 review: dedup_close(threshold=t) must pass t into the pair
+    generator — its internal default (0.5) silently clamped lower asks,
+    keeping docs apart that the caller asked to be clustered."""
+    base = [f"w{i}" for i in range(16)]
+    other = [f"w{i}" for i in range(10)] + [f"x{i}" for i in range(6)]
+    # this pair's banded estimate is deterministically 0.3125 under
+    # (num_hashes=16, bands=16): below the old silent 0.5 clamp, above
+    # the caller's 0.25 ask
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(other))], "doc_id long, text string"
+    )
+    out = dedup.dedup_close(df, threshold=0.25, num_hashes=16, bands=16)
+    clusters = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert clusters[1] == clusters[2]  # clustered at the CALLER's threshold
