@@ -237,6 +237,16 @@ def prefix_filter_jaccard_pairs(
 PREFIX_LEN = 8
 _SLICES_PER_MD5 = 32 // PREFIX_LEN
 
+#: Version stamp for the minhash/LSH hash FAMILY — everything that
+#: decides which bucket a given text lands in (tokenization, the md5
+#: seed-prefix spelling, slice width, band hashing). Bump whenever any
+#: of those changes semantically: persisted LSH bucket stores record
+#: this stamp at creation and refuse ingest on mismatch (ADVICE r10 #1 —
+#: the r10 `_seed_prefix` space-separator fix silently invalidated every
+#: pre-r10 store; the stamp turns that class of corruption into a loud
+#: rebuild instruction). "v2" = space-separated seed prefix (r10).
+HASH_FAMILY = "minhash-md5-prefix8/seed-space/v2"
+
 
 def _minhash_seed_offset(k: int) -> tuple[int, int]:
     """Hash function k reads md5(seed-prefix || w) at 1-based hex offset

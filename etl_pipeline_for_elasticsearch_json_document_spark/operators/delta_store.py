@@ -352,6 +352,15 @@ def commit_pinned_delta(path: str, marker_path: str, base_v: int, write) -> int:
     while True:
         committed = committed_versions(path)
         if target in committed:
+            # No sidecar at all = either a legacy marker (pre-.attempt
+            # protocol) whose delta DID land, or a foreign writer. The
+            # two are indistinguishable here, and the failure costs are
+            # asymmetric: skipping a foreign delta silently drops this
+            # batch's rows; recommitting our own legacy delta stacks ONE
+            # duplicate version whose rows the idempotent resolution
+            # absorbs. So absence of a sidecar re-pins — a documented
+            # one-time duplicate-version cost per lineage that replays
+            # across the protocol upgrade (ADVICE r10 #5, option B).
             ours = False
             if os.path.exists(att):
                 with open(att) as f:
@@ -476,11 +485,18 @@ def gc_ledger(path: str, lineage: str | None = None) -> list[str]:
     by_lineage: dict[str, list[tuple[int, str]]] = {}
     sidecars: dict[str, list[str]] = {}
     for name in os.listdir(ledger):
+        # strip sidecar suffixes ITERATIVELY: a crash between the tmp
+        # write and os.replace leaves double-suffixed leftovers like
+        # '.recovered.tmp' / '.attempt.tmp' that a single-pass strip
+        # never parses, orphaning them forever (ADVICE r10 #4)
         base_name = name
-        for suf in (".recovered", ".tmp", ".attempt"):
-            if name.endswith(suf):
-                base_name = name[: -len(suf)]
-                break
+        stripped = True
+        while stripped:
+            stripped = False
+            for suf in (".recovered", ".tmp", ".attempt"):
+                if base_name.endswith(suf):
+                    base_name = base_name[: -len(suf)]
+                    stripped = True
         lin, sep, bid = base_name.rpartition("-")
         if not sep or not bid.isdigit():
             continue
@@ -535,4 +551,20 @@ def prune(path: str, keep_last: int = 2) -> list[int]:
         vdir = os.path.join(path, f"v={v}")
         os.remove(os.path.join(vdir, _COMMITTED))  # de-commit first
         shutil.rmtree(vdir, ignore_errors=True)
+    # Sweep ORPHANED uncommitted dirs below the floor: a crash between
+    # the de-commit and the rmtree above leaves a v= dir that
+    # committed_versions never lists again, so no later pass would ever
+    # reclaim it — unbounded disk leak (ADVICE r10 #4). Only below the
+    # floor: an uncommitted dir at-or-above it may be a live writer's
+    # claimed version mid-commit.
+    for name in os.listdir(path):
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        vdir = os.path.join(path, name)
+        if v < floor and not os.path.exists(os.path.join(vdir, _COMMITTED)):
+            shutil.rmtree(vdir, ignore_errors=True)
     return deleted

@@ -128,6 +128,7 @@ def _load_or_init_rollup_meta(
             os.unlink(tmp)
     with open(mp) as f:
         meta = json.load(f)
+    _guard_legacy_measures(rollup_path, meta)
     if meta != want:
         raise ValueError(
             f"rollup definition mismatch at {rollup_path}: store has "
@@ -135,9 +136,34 @@ def _load_or_init_rollup_meta(
         )
 
 
+def _guard_legacy_measures(rollup_path: str, meta: dict) -> None:
+    """A pre-r10 ``_ROLLUP`` sidecar recorded measures as ``{out: kind}``
+    (plain strings); the current form is ``{out: [kind, in_col]}``.
+    Without this guard the legacy form surfaces as a MISLEADING
+    'definition mismatch' in update_rollup (the definition is identical,
+    only the encoding differs) and as a raw KeyError in read_rollup
+    (``kc[0]`` of 'sum' is 's' — ADVICE r10 #2). The measure kinds are
+    intact in the legacy form but the INPUT COLUMNS were never recorded,
+    so an in-place upgrade cannot be verified — raise the migration
+    instruction instead, like :func:`_guard_pre_protocol_layout`."""
+    if any(isinstance(kc, str) for kc in meta.get("measures", {}).values()):
+        raise ValueError(
+            f"{rollup_path} holds a pre-r10 _ROLLUP sidecar (measures as "
+            f"{{out: kind}} strings: {meta['measures']}). The current "
+            "format records the input column per measure and the legacy "
+            "sidecar never did, so it cannot be upgraded in place. "
+            "Migrate: read the store's latest resolution with the OLD "
+            "code (or spark.read.parquet on its newest snapshot), then "
+            "update_rollup it into a fresh path with the full "
+            "{out: (kind, in_col)} definition, and retire this one."
+        )
+
+
 def _read_rollup_meta(rollup_path: str) -> dict:
     with open(os.path.join(rollup_path, _ROLLUP_META)) as f:
-        return json.load(f)
+        meta = json.load(f)
+    _guard_legacy_measures(rollup_path, meta)
+    return meta
 
 
 def _guard_pre_protocol_layout(rollup_path: str) -> None:

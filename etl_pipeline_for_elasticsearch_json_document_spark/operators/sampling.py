@@ -35,10 +35,20 @@ def split_label(
     key is fully correlated (an unsalted sample of per_16 <= 12 is 100%
     'train'); salt the sample when stacking them."""
     hexchars = "0123456789abcdef"
-    if train not in hexchars or val not in hexchars or not train < val:
+    # `in hexchars` alone is SUBSTRING membership: 'ab', '45', and ''
+    # would all pass while breaking the n/16 bucket semantics — require
+    # exactly one hex char (ADVICE r10 #3)
+    if (
+        len(train) != 1
+        or len(val) != 1
+        or train not in hexchars
+        or val not in hexchars
+        or not train < val
+    ):
         raise ValueError(
-            f"split thresholds must be lowercase hex chars with train < "
-            f"val (md5 output is lowercase); got train={train!r} val={val!r}"
+            f"split thresholds must be SINGLE lowercase hex chars with "
+            f"train < val (md5 output is lowercase); got train={train!r} "
+            f"val={val!r}"
         )
     b = hash_bucket(key)
     return (

@@ -77,6 +77,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_for_elasticsearch_json_document_spark.operators import delta_store
 from etl_pipeline_for_elasticsearch_json_document_spark.operators.dedup import (
+    HASH_FAMILY,
     lsh_band_buckets,
 )
 from etl_pipeline_for_elasticsearch_json_document_spark.streaming.identity import (
@@ -93,6 +94,45 @@ BUCKET_SCHEMA = "band int, bucket long, anchor_id long"
 DEFAULT_PARTITIONS = delta_store.DEFAULT_PARTITIONS
 
 _KEYS = ["band", "bucket"]
+
+_HASH_FAMILY_FILE = "_HASH_FAMILY"
+
+
+def _check_hash_family(index_path: str) -> None:
+    """Stamp the store with the minhash/LSH hash family at creation and
+    refuse ingest into a store built under a DIFFERENT family: buckets
+    from two families never collide where they should, so mixing them
+    makes every known near-dup classify 'unique' SILENTLY (ADVICE r10 #1
+    — the r10 seed-prefix fix changed the family; pre-r10 stores must be
+    rebuilt, and this turns that into a loud instruction). A store with
+    committed versions but no stamp predates the stamp = pre-r10 family
+    = also a mismatch."""
+    fp = os.path.join(index_path, _HASH_FAMILY_FILE)
+    if os.path.exists(fp):
+        with open(fp) as f:
+            found = f.read().strip()
+        if found != HASH_FAMILY:
+            raise ValueError(
+                f"LSH store at {index_path} was built under hash family "
+                f"{found!r}; this build uses {HASH_FAMILY!r} — identical "
+                "text now hashes to different buckets, so ingest would "
+                "silently classify known near-dups as unique. Rebuild the "
+                "store from the corpus (or pin the old code for it)."
+            )
+        return
+    if delta_store.committed_versions(index_path):
+        raise ValueError(
+            f"LSH store at {index_path} has committed versions but no "
+            f"{_HASH_FAMILY_FILE} stamp — it predates the hash-family "
+            f"guard and was built under the pre-{HASH_FAMILY!r} family "
+            "(the r10 seed-prefix fix changed bucket hashes). Rebuild the "
+            "store from the corpus."
+        )
+    os.makedirs(index_path, exist_ok=True)
+    tmp = fp + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(HASH_FAMILY)
+    os.replace(tmp, fp)
 
 
 def _committed_versions(index_path: str) -> list[int]:
@@ -176,6 +216,7 @@ def _lsh_batch_processor(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_hash_family(index_path)
         meta = delta_store.load_or_init_meta(index_path, n_partitions)
         P = meta["n_partitions"]
         os.makedirs(ledger, exist_ok=True)

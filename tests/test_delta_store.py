@@ -346,3 +346,46 @@ def test_commit_pinned_delta_foreign_delta_repins(spark, tmp_path):
         lambda v: (_ for _ in ()).throw(AssertionError("must not rewrite")),
     )
     assert again == 2
+
+
+def test_prune_sweeps_orphaned_uncommitted_dirs(spark, tmp_path):
+    """A crash between prune's de-commit and its rmtree leaves a v= dir
+    committed_versions never lists again; a later prune must sweep it
+    (below the floor) instead of leaking disk forever — while leaving
+    an uncommitted dir ABOVE the floor alone (could be a live writer's
+    claimed version mid-commit). ADVICE r10 #4."""
+    path = str(tmp_path / "store")
+    ds.load_or_init_meta(path, 4)
+    ds.write_version(_df(spark, [(1, 1)]), path, 0, ["k"], 4)
+    ds.write_version(_df(spark, [(2, 2)]), path, 1, ["k"], 4)
+    ds.compact(spark, path, SCHEMA, ["k"], _resolve)  # snapshot v=2
+    ds.write_version(_df(spark, [(3, 3)]), path, 3, ["k"], 4)
+    # simulate the torn prior prune: v=0 de-committed but not removed
+    os.remove(os.path.join(path, "v=0", "_COMMITTED"))
+    # and a live writer's claimed-but-uncommitted dir above the floor
+    os.makedirs(os.path.join(path, "v=9"))
+    deleted = ds.prune(path, keep_last=2)
+    assert deleted == [1]  # v=0 is no longer committed, so not in the list
+    assert not os.path.exists(os.path.join(path, "v=0"))  # swept anyway
+    assert os.path.exists(os.path.join(path, "v=9"))      # left alone
+
+
+def test_gc_ledger_strips_double_suffixed_leftovers(tmp_path):
+    """A crash between a sidecar's tmp write and its os.replace leaves
+    '.recovered.tmp'/'.attempt.tmp' files; gc_ledger must parse them back
+    to their marker (iterative strip) and remove them with it instead of
+    orphaning them forever. ADVICE r10 #4."""
+    path = str(tmp_path / "store")
+    ledger = os.path.join(path, "_ledger")
+    os.makedirs(ledger)
+    for name, body in [
+        ("ckpt-0", "0"),
+        ("ckpt-0.recovered.tmp", "3"),
+        ("ckpt-0.attempt.tmp", "1"),
+        ("ckpt-1", "2"),
+    ]:
+        with open(os.path.join(ledger, name), "w") as f:
+            f.write(body)
+    removed = ds.gc_ledger(path)  # spent = everything but the last batch
+    assert set(removed) == {"ckpt-0", "ckpt-0.recovered.tmp", "ckpt-0.attempt.tmp"}
+    assert sorted(os.listdir(ledger)) == ["ckpt-1"]

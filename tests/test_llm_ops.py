@@ -744,3 +744,17 @@ def test_dedup_close_honors_low_threshold(spark):
     out = dedup.dedup_close(df, threshold=0.25, num_hashes=16, bands=16)
     clusters = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert clusters[1] == clusters[2]  # clustered at the CALLER's threshold
+
+
+def test_split_label_rejects_multi_char_thresholds(spark):
+    """ADVICE r10 #3: the threshold guard used substring membership, so
+    'ab', '45', and '' passed validation while silently breaking the
+    n/16 bucket semantics — must be exactly one lowercase hex char."""
+    import pytest
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import split_label
+
+    for train, val in [("ab", "e"), ("c", "45"), ("", "e"), ("C", "e"), ("e", "c")]:
+        with pytest.raises(ValueError, match="SINGLE lowercase hex"):
+            split_label(F.col("k"), train=train, val=val)
+    split_label(F.col("k"))  # defaults still valid

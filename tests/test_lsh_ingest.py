@@ -379,3 +379,38 @@ def test_misconfigured_banding_fails_at_setup(spark, tmp_path):
             str(tmp_path / "i"), str(tmp_path / "o"), "lin",
             num_hashes=16, bands=5,
         )
+
+
+def test_hash_family_mismatch_refused(spark, tmp_path):
+    """ADVICE r10 #1: a persisted LSH store is only valid under the hash
+    family that built it — after the r10 seed-prefix fix, pre-fix stores
+    hash identical text to different buckets and known near-dups would
+    classify 'unique' SILENTLY. The store stamps its family at creation
+    and refuses ingest on mismatch; a store with committed versions but
+    NO stamp (pre-guard vintage) is also refused."""
+    import pytest
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators import (
+        delta_store,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    b = spark.createDataFrame([(1, t)], SCHEMA)
+    idx = str(tmp_path / "lsh")
+    out = str(tmp_path / "out")
+    proc = _lsh_batch_processor(idx, out, "lin")
+    proc(b, 0)
+    stamp = os.path.join(idx, "_HASH_FAMILY")
+    assert os.path.exists(stamp)
+    # same family: a later batch ingests fine
+    proc(spark.createDataFrame([(2, t)], SCHEMA), 1)
+    # different family: refused loudly with the rebuild instruction
+    with open(stamp, "w") as f:
+        f.write("minhash-md5-prefix8/v1")
+    with pytest.raises(ValueError, match="hash family"):
+        proc(spark.createDataFrame([(3, t)], SCHEMA), 2)
+    # committed versions but no stamp at all (pre-guard store): refused
+    os.remove(stamp)
+    assert delta_store.committed_versions(idx)
+    with pytest.raises(ValueError, match="no _HASH_FAMILY"):
+        proc(spark.createDataFrame([(3, t)], SCHEMA), 2)

@@ -7,7 +7,7 @@ order values, ties on the order column, and chunk widths of 1."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -30,6 +30,12 @@ _rows = st.lists(
 )
 
 
+def _none_safe(t):
+    # rows carry nullable w; plain tuple sort raises TypeError when two
+    # rows tie on every field before a (None, int) pair — sort None first
+    return tuple((x is None, x) for x in t)
+
+
 def _df(spark, rows):
     # unique rid = the tiebreak every ranking contract requires
     return spark.createDataFrame(
@@ -49,13 +55,18 @@ def test_per_key_topk_equals_window(spark, rows, k, n_salts):
     )
     fast = per_key_topk(df, ["g"], ["v", "rid"], k, n_salts, rank_col="rank")
     cols = ["g", "v", "w", "rid", "rank"]
-    assert sorted(map(tuple, naive.select(cols).collect())) == sorted(
-        map(tuple, fast.select(cols).collect())
+    assert sorted(map(_none_safe, naive.select(cols).collect())) == sorted(
+        map(_none_safe, fast.select(cols).collect())
     )
 
 
 @settings(max_examples=8, deadline=None)
 @given(rows=_rows, width=st.integers(1, 9), inclusive=st.booleans())
+# the r10 judge's minimal falsifying draw for the old None-unsafe sort:
+# two rows tie on (g, v), one NULL weight, one zero — pinned so the
+# NULL-tie equivalence class is asserted on every run, not by luck
+@example(rows=[("a", 0, None), ("a", 0, 0)], width=1, inclusive=False)
+@example(rows=[("a", 0, None), ("a", 0, 0)], width=1, inclusive=True)
 def test_grouped_prefix_sum_equals_window(spark, rows, width, inclusive):
     df = _df(spark, rows)
     lo, hi = (0, 0) if inclusive else (0, -1)
@@ -73,8 +84,8 @@ def test_grouped_prefix_sum_equals_window(spark, rows, width, inclusive):
         inclusive=inclusive, tiebreak_cols=["rid"],
     )
     cols = ["g", "v", "w", "rid", "run"]
-    assert sorted(map(tuple, naive.select(cols).collect())) == sorted(
-        map(tuple, fast.select(cols).collect())
+    assert sorted(map(_none_safe, naive.select(cols).collect())) == sorted(
+        map(_none_safe, fast.select(cols).collect())
     )
 
 

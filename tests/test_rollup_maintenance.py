@@ -292,3 +292,27 @@ def test_update_can_skip_resolved_readback(spark, tmp_path):
     )
     assert out is None
     assert read_rollup(spark, path).count() == 2
+
+
+def test_legacy_string_measures_sidecar_refused(spark, tmp_path):
+    """ADVICE r10 #2: a pre-r10 _ROLLUP sidecar recorded measures as
+    {out: kind} strings. Without a guard that surfaced as a misleading
+    'definition mismatch' in update_rollup and a raw KeyError in
+    read_rollup (kc[0] of 'sum' -> 's'); both paths must instead raise
+    the migration instruction."""
+    import json
+
+    path = str(tmp_path / "rollup")
+    df = spark.createDataFrame(B1, SCHEMA)
+    update_rollup(spark, path, df, KEYS, MEASURES)
+    # rewrite the sidecar in the legacy encoding (same definition)
+    legacy = {
+        "keys": KEYS,
+        "measures": {out: kind for out, (kind, _) in MEASURES.items()},
+    }
+    with open(os.path.join(path, "_ROLLUP"), "w") as f:
+        json.dump(legacy, f)
+    with pytest.raises(ValueError, match="pre-r10 _ROLLUP sidecar"):
+        read_rollup(spark, path)
+    with pytest.raises(ValueError, match="pre-r10 _ROLLUP sidecar"):
+        update_rollup(spark, path, spark.createDataFrame(B2, SCHEMA), KEYS, MEASURES)
