@@ -49,27 +49,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json, record its green names as last-verified in round N
 # and empty the new-this-round set.
 
-#: Queries first registered in round 10 — ordered first (never driver-checked,
+#: Queries first registered in round 11 — ordered first (never driver-checked,
 #: newest); locally oracle-green at sf0.01 AND sf0.001 before registration
 #: (scripts/compare_oracle.py).
-_NEW_IN_R10: set[str] = {
-    "q229_small_quantity_revenue",
-    "q230_waiting_suppliers",
-    "q231_product_profit",
-    "q232_top_supplier_revenue",
-    "q233_disjunctive_revenue",
-    "q234_dominant_part_suppliers",
-    "q235_market_share",
-    "q236_promo_revenue_share",
-    "q237_part_supplier_diversity",
-    "q238_order_priority_check",
-    "q239_forecast_revenue",
-    "q240_returned_items",
-    "q241_priority_lateness_matrix",
-    "q242_epoch_budget_plan",
-    "q243_contamination_cascade",
-    "q244_trailing_wau",
-    "q245_zipf_slope",
+_NEW_IN_R11: set[str] = {
+    "q246_schema_evolution",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.
@@ -78,8 +62,8 @@ _LAST_VERIFIED: dict[str, int] = {
     "q54_bigram_counts": 5, "q55_language_id": 5, "q57_char_ngram_profile": 5,
     "q58_pii_redaction": 5, "q59_train_split": 5, "q60_multimodal_meta": 5,
     # round 2
-    "q10_window_topk": 5, "q11_window_running": 5, "q12_rank_dense": 5,
-    "q13_sort_limit": 5, "q14_union_all": 5, "q15_intersect": 5,
+    "q10_window_topk": 10, "q11_window_running": 10, "q12_rank_dense": 10,
+    "q13_sort_limit": 10, "q14_union_all": 5, "q15_intersect": 5,
     "q16_except": 5, "q17_semi_join": 5, "q18_anti_join": 5,
     "q19_outer_join_coalesce": 5, "q20_string_funcs": 5, "q21_date_funcs": 5,
     "q22_case_when": 5, "q23_json_extract": 5, "q24_array_funcs": 5,
@@ -117,21 +101,21 @@ _LAST_VERIFIED: dict[str, int] = {
     "q111_weighted_sample": 9, "q112_facets": 9, "q113_bm25_topk": 9,
     "q114_triangle_counts": 9, "q115_source_mix": 9,
     "q116_decontaminated_stats": 9, "q117_novelty_scores": 9,
-    "q118_profile": 9, "q119_gap_fill": 9, "q120_null_safe_join": 4,
-    "q121_union_schema_evolution": 4, "q122_bfs_levels": 4, "q123_funnel": 4,
-    "q124_retention_cohorts": 4, "q125_fuzzy_match": 4,
-    "q126_anomaly_days": 4, "q127_snapshot_diff": 4,
-    "q128_dedup_cluster_stats": 4, "q129_regression_agg": 4,
-    "q130_ewma_daily": 4, "q131_boilerplate_ratio": 4,
-    "q132_lsh_verify_calibration": 4, "q133_salted_join": 4,
-    "q134_length_stratified_sample": 4, "q135_campaign_overlap": 4,
-    "q136_debounce_events": 4, "q137_json_key_profile": 4,
-    "q138_kmeans_codebook": 4, "q139_semantic_dedup": 4,
-    "q140_heavy_hitters": 4, "q141_prefix_filter_jaccard": 4,
-    "q142_asof_join_forward": 4, "q143_event_transitions": 4,
-    "q67_hll_sketch_distinct": 4, "q87_approx_count_distinct": 4,
+    "q118_profile": 9, "q119_gap_fill": 9, "q120_null_safe_join": 10,
+    "q121_union_schema_evolution": 10, "q122_bfs_levels": 10, "q123_funnel": 10,
+    "q124_retention_cohorts": 10, "q125_fuzzy_match": 10,
+    "q126_anomaly_days": 10, "q127_snapshot_diff": 10,
+    "q128_dedup_cluster_stats": 10, "q129_regression_agg": 10,
+    "q130_ewma_daily": 10, "q131_boilerplate_ratio": 10,
+    "q132_lsh_verify_calibration": 10, "q133_salted_join": 10,
+    "q134_length_stratified_sample": 10, "q135_campaign_overlap": 10,
+    "q136_debounce_events": 10, "q137_json_key_profile": 10,
+    "q138_kmeans_codebook": 10, "q139_semantic_dedup": 10,
+    "q140_heavy_hitters": 10, "q141_prefix_filter_jaccard": 10,
+    "q142_asof_join_forward": 10, "q143_event_transitions": 10,
+    "q67_hll_sketch_distinct": 10, "q87_approx_count_distinct": 10,
     # round 5
-    "q144_char_entropy": 5, "q145_winsorized_stats": 5, "q146_token_jsd": 5,
+    "q144_char_entropy": 10, "q145_winsorized_stats": 10, "q146_token_jsd": 10,
     "q147_kmv_sketch_overlap": 5, "q148_weighted_reservoir": 5,
     "q149_vocab_oov": 5, "q150_matryoshka_recall": 5, "q151_fd_audit": 5,
     "q152_dup_spans": 5,
@@ -184,13 +168,32 @@ _LAST_VERIFIED: dict[str, int] = {
     "q223_backlog_curve": 9, "q224_shipping_delay_distribution": 9,
     "q225_repeat_purchase_interval": 9, "q226_first_word_entropy": 9,
     "q227_balance_outliers_robust": 9, "q228_crosslingual_mirror": 9,
+    # round 10 (CORRECTNESS_r10: 50/50 green — the 17 r10-new plus the 33
+    # stalest re-verifications, whose entries above are bumped to 10)
+    "q229_small_quantity_revenue": 10,
+    "q230_waiting_suppliers": 10,
+    "q231_product_profit": 10,
+    "q232_top_supplier_revenue": 10,
+    "q233_disjunctive_revenue": 10,
+    "q234_dominant_part_suppliers": 10,
+    "q235_market_share": 10,
+    "q236_promo_revenue_share": 10,
+    "q237_part_supplier_diversity": 10,
+    "q238_order_priority_check": 10,
+    "q239_forecast_revenue": 10,
+    "q240_returned_items": 10,
+    "q241_priority_lateness_matrix": 10,
+    "q242_epoch_budget_plan": 10,
+    "q243_contamination_cascade": 10,
+    "q244_trailing_wau": 10,
+    "q245_zipf_slope": 10,
 }
 
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
     never_checked = [
-        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R10
+        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R11
     ]
     verified = sorted(
         (n for n in names if n in _LAST_VERIFIED),
@@ -198,7 +201,7 @@ def _ordered() -> list[str]:
     )
     return (
         never_checked
-        + [n for n in names if n in _NEW_IN_R10]
+        + [n for n in names if n in _NEW_IN_R11]
         + verified
     )
 

@@ -870,7 +870,7 @@ def dedup_close(
     the closure result is IDENTICAL to closing over all candidate pairs
     (star spans the same components; equivalence pinned in
     tests/test_scale_shakeout.py). Measured 3× faster than the pair path
-    at sf0.1 (bench.py ``dedup_close_e2e`` vs ``dedup_close_pairs``).
+    at sf0.1 (bench.py ``dedup_close_e2e`` vs ``diag_allpairs_close_pairs``).
 
     A ``threshold`` > 0 additionally requires estimated Jaccard ≥ threshold
     on each candidate pair, which needs the scored pairs from

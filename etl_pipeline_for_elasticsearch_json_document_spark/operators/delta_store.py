@@ -416,9 +416,13 @@ def compact(
     meta = load_or_init_meta(path, DEFAULT_PARTITIONS)
     P = meta["n_partitions"] if n_partitions is None else int(n_partitions)
     latest = versions[-1]
-    resolved = resolve(
-        read_union(spark, path, latest, schema)
-    ).localCheckpoint(eager=True)
+    # persist + explicit unpersist (r11; was localCheckpoint): repeated
+    # compacts in one long-lived JVM accumulated each snapshot-sized
+    # checkpoint until the lazy ContextCleaner got to it (the lsh_ingest
+    # finding). Recompute-safe: the union reads version dirs pinned at
+    # plan time, all retained while this compact runs.
+    resolved = resolve(read_union(spark, path, latest, schema)).persist()
+    resolved.count()  # materialize before claiming the version
     next_v = latest + 1
     # Re-shard: advance _META BEFORE the snapshot commit. Correctness is
     # carried by each version's _P sidecar either way; the ordering only
@@ -429,7 +433,10 @@ def compact(
     # back to whole-snapshot scans SILENTLY until an operator notices.
     if n_partitions is not None and P != meta["n_partitions"]:
         _store_meta(path, P)
-    write_version(resolved, path, next_v, key_cols, P, snapshot=True)
+    try:
+        write_version(resolved, path, next_v, key_cols, P, snapshot=True)
+    finally:
+        resolved.unpersist()
     return next_v
 
 

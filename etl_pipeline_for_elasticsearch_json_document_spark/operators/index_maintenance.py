@@ -154,15 +154,29 @@ def _classify(
     caller can advance the store without re-running it."""
     meta = delta_store.load_or_init_meta(index_path, n_partitions)
     P = meta["n_partitions"]
+    # persist + explicit unpersist below (r11; was localCheckpoint): one
+    # md5 pass feeds probe set + classify, and checkpointed blocks are
+    # only released by the lazy ContextCleaner — a long-running stream
+    # accumulated every batch's blocks in executor storage (the
+    # lsh_ingest finding, same class). Recompute-safe: h derives only
+    # from the immutable micro-batch input.
     h = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.md5(F.col(text_col)).alias("fp"),
-    ).localCheckpoint(eager=True)  # one md5 pass feeds probe set + classify
+    ).persist()
+    h.count()  # materialize eagerly
     # NULL text -> NULL fp: such docs carry no content to fingerprint.
     # They must neither enter the index nor VANISH — the plain `first`
     # join below never matches NULL keys, which silently dropped their
     # rows from the output (the sampling.py NULL-key class). Classify
     # them explicitly and run the join machinery on the hashed rows only.
+    try:
+        return _classify_pinned(spark, index_path, h, base_v, P)
+    finally:
+        h.unpersist()
+
+
+def _classify_pinned(spark, index_path, h, base_v, P):
     no_text = h.filter(F.col("fp").isNull()).select(
         "doc_id", "fp", F.lit("no_text").alias("status")
     )

@@ -378,3 +378,87 @@ def target_mix_sample(
         .drop("__s")
         .select("*", (coin < F.col("mix_rate")).alias("kept"))
     )
+
+
+def value_domain_rank_blocks(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    descending: bool = False,
+    count_col: str = "k",
+    below_col: str = "below",
+) -> DataFrame:
+    """The DISTINCT-VALUE rank decomposition, block form: one row per
+    distinct (partition, value) with ``count_col`` = that value's
+    multiplicity and ``below_col`` = rows strictly before it under the
+    (ascending by default) value order. Every rank statistic over rows
+    then derives from this tiny relation:
+
+    - per-row rank  = below + row_number within the tie block
+      (:func:`value_domain_ranks`);
+    - rank SUM of a tie block = k·below + k(k+1)/2 (Gini / rank-mass);
+    - midrank of a tie block  = below + (k+1)/2 (Zipf fits);
+    - quantile bucket of a value = floor(q · below / N) (tie-stable
+      deciles).
+
+    Why this exists (VERDICT r9 'bounded-key-window' class, extracted as
+    an operator in r11 after four queries hand-rolled it): the naive
+    ``row_number().over(partitionBy(part).orderBy(value))`` sorts each
+    partition's FULL row population in one task — at 100 TB a
+    low-cardinality partition column means executor-breaking task sizes.
+    Here the only window runs over the distinct-value relation (bounded
+    by the VALUE DOMAIN, not the corpus) and the per-row work is a join
+    back by value plus a row_number partitioned by (part, value) — tasks
+    are tie-block-sized. Bit-equality with the corpus-wide window
+    spelling is pinned by tests/test_property_scale_ops.py.
+
+    ``below_col`` is a BIGINT (sum over bigint counts); the frame is
+    inclusive-minus-own-count, which equals the exclusive-preceding
+    cumulative sum without the NULL-coalesce of an empty frame."""
+    from pyspark.sql.window import Window
+
+    for reserved in (count_col, below_col):
+        if reserved in df.columns:
+            raise ValueError(
+                f"column {reserved!r} already exists in the input; pass "
+                "count_col=/below_col= names that do not collide"
+            )
+    order = F.col(value_col).desc() if descending else F.col(value_col)
+    g = df.groupBy(*part_cols, value_col).agg(F.count("*").alias(count_col))
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.withColumn(below_col, F.sum(count_col).over(w) - F.col(count_col))
+
+
+def value_domain_ranks(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    rank_col: str,
+    tiebreak_cols: list[str],
+    descending: bool = False,
+) -> DataFrame:
+    """Per-row EXACT rank under (value, tiebreaks) within each partition
+    — ``df`` plus ``rank_col``, bit-identical to
+    ``row_number().over(Window.partitionBy(*part_cols).orderBy(value_col,
+    *tiebreak_cols))`` but with no corpus-sized window anywhere: rank =
+    count-strictly-below (from :func:`value_domain_rank_blocks`) +
+    row_number within the (partition, value) tie block, whose tasks are
+    tie-block-sized. ``tiebreak_cols`` must totally order rows within a
+    tie block (e.g. a unique id) or the rank is nondeterministic — same
+    contract as the window spelling."""
+    from pyspark.sql.window import Window
+
+    blocks = value_domain_rank_blocks(
+        df, part_cols, value_col, descending,
+        count_col="__vd_k", below_col="__vd_below",
+    ).drop("__vd_k")
+    tie = Window.partitionBy(*part_cols, value_col).orderBy(*tiebreak_cols)
+    return (
+        df.join(blocks, [*part_cols, value_col])
+        .withColumn(rank_col, F.col("__vd_below") + F.row_number().over(tie))
+        .drop("__vd_below")
+    )

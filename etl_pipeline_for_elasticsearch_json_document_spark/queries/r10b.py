@@ -586,18 +586,20 @@ FROM s WHERE n_bins >= 2
     "shuffles.",
 )
 def q245(spark, sf_dir):
-    from pyspark.sql import Window
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import (
+        value_domain_rank_blocks,
+    )
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
     wc = toks.groupBy("lang", "w").agg(F.count("*").alias("c"))
-    dist = wc.groupBy("lang", "c").agg(F.count("*").cast("bigint").alias("k"))
-    win = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("c").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # the extracted block operator (r11), descending: one row per
+    # (lang, count) with k = words in the tie block and cum = words
+    # strictly ABOVE it in frequency — identical to the hand-rolled
+    # exclusive-preceding window (sum-inclusive-minus-own-k, no coalesce)
+    r = value_domain_rank_blocks(
+        wc, ["lang"], "c", descending=True, count_col="k", below_col="cum"
     )
-    r = dist.withColumn("cum", F.coalesce(F.sum("k").over(win), F.lit(0)))
     x = F.log(F.col("cum") + (F.col("k") + F.lit(1)) / F.lit(2.0))
     y = F.log(F.col("c"))
     # Round the TRANSCENDENTAL term alone to 6 dp, THEN multiply by the

@@ -1674,17 +1674,21 @@ GROUP BY c.source, c.decile
     "global per-doc sort. Docs join back by value (broadcast-sized map).",
 )
 def q175(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import (
+        value_domain_rank_blocks,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    vc = d.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count("*").cast("bigint").alias("c")
+    # the extracted block operator (r11), GLOBAL partition: one row per
+    # distinct n_chars with multiplicity c and count-strictly-below
+    vc = value_domain_rank_blocks(
+        d.select(F.col("n_chars").alias("v")), [], "v",
+        count_col="c", below_col="below",
     )
     n = vc.agg(F.sum("c").cast("bigint").alias("n"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     dec = vc.crossJoin(F.broadcast(n)).select(
         "v",
-        F.least(
-            F.floor(10 * (F.sum("c").over(w) - F.col("c")) / F.col("n")), F.lit(9)
-        )
+        F.least(F.floor(10 * F.col("below") / F.col("n")), F.lit(9))
         .cast("bigint")
         .alias("decile"),
     )

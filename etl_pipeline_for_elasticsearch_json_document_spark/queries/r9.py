@@ -432,28 +432,20 @@ FROM r GROUP BY source
     "rankings, identical to the corpus-wide window spelling.",
 )
 def q217(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import (
+        value_domain_ranks,
+    )
+
     d = _t(spark, sf_dir, "documents")
     s = d.select(
         "source", "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_words")
     )
 
     def add_rank(df, score, out):
-        # distinct-value relation: one row per (source, score value)
-        g = df.groupBy("source", score).agg(F.count("*").alias("k"))
-        wv = (
-            Window.partitionBy("source")
-            .orderBy(score)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        below = g.select(
-            "source", score, (F.sum("k").over(wv) - F.col("k")).alias("below")
-        )
-        tie = Window.partitionBy("source", score).orderBy("doc_id")
-        return (
-            df.join(below, ["source", score])
-            .withColumn(out, F.col("below") + F.row_number().over(tie))
-            .drop("below")
-        )
+        # the extracted first-class operator (r11): rank = count-strictly-
+        # below over the DISTINCT (source, score) relation + tie-block
+        # row_number — bit-equal to the corpus window, value-domain tasks
+        return value_domain_ranks(df, ["source"], score, out, ["doc_id"])
 
     r = add_rank(add_rank(s, "n_chars", "r1"), "n_words", "r2")
     cnt = F.count("*")
@@ -768,22 +760,18 @@ FROM r GROUP BY event_type
     "row_number spelling (intra-tie order cannot change Σi·x).",
 )
 def q222(spark, sf_dir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import (
+        value_domain_rank_blocks,
+    )
+
     e = _t(spark, sf_dir, "events")
     u = e.groupBy("event_type", "user_id").agg(
         F.sum(F.col("value").cast("decimal(18,4)")).alias("x")
     )
-    # distinct-value relation: one row per (type, per-user total)
-    g = u.groupBy("event_type", "x").agg(F.count("*").alias("k"))
-    wv = (
-        Window.partitionBy("event_type")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    b = g.select(
-        "event_type",
-        "x",
-        "k",
-        (F.sum("k").over(wv) - F.col("k")).alias("c"),
+    # the extracted block operator (r11): one row per (type, per-user
+    # total) with multiplicity k and count-strictly-below c
+    b = value_domain_rank_blocks(
+        u, ["event_type"], "x", count_col="k", below_col="c"
     )
     # ranks in a tie block are c+1..c+k → Σranks = k·c + k(k+1)/2 (exact
     # integer: shiftright halves the always-even k·(k+1))

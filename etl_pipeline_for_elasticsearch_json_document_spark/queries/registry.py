@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Query]:
         r9b,
         r10,
         r10b,
+        r11,
         relational,
     )
 

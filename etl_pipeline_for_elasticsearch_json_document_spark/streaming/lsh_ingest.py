@@ -233,89 +233,106 @@ def _lsh_batch_processor(
         # batch minima, touched partitions, classification, and the delta
         # all derive from this pin — and it freezes the batch's view
         # before the index advances (replay safety rides the marker, this
-        # is cost + isolation). doc_id is cast to long at the source so
-        # the delta's anchor_id matches BUCKET_SCHEMA on read-back
-        # (index_maintenance casts the same way).
-        bb = (
-            lsh_band_buckets(batch_df, id_col, text_col, num_hashes, bands)
-            .withColumn("doc_id", F.col("doc_id").cast("long"))
-            .localCheckpoint(eager=True)
-        )
-        batch_min = (
-            bb.groupBy("band", "bucket")
-            .agg(F.min("doc_id").alias("batch_min"))
-            .localCheckpoint(eager=True)  # feeds probe set, join, delta
-        )
-        # The batch can only collide with index rows in the partitions its
-        # own buckets hash into — collect that partition set (≤ P ints,
-        # driver-bounded) and prune the index read to it. This is what
-        # keeps per-batch cost tied to |batch|, not |index|.
-        touched = delta_store.touched_partitions(batch_min, _KEYS, P)
-        idx = _read_resolved(
-            spark, index_path, base_v, touched_p=touched, n_partitions=P
-        )
-        j = (
-            bb.join(idx, ["band", "bucket"], "left")
-            .join(batch_min, ["band", "bucket"])
-            .localCheckpoint(eager=True)
-        )
-        # star target per (doc, bucket): the stored anchor if the bucket
-        # exists, else the batch's own minimum for that bucket
-        target = F.coalesce("anchor_id", "batch_min")
-        edges = j.filter(F.col("doc_id") != target).select(
-            target.alias("a_id"), F.col("doc_id").alias("b_id")
-        )
-        status = (
-            j.groupBy("doc_id")
-            .agg(
-                F.min("anchor_id").alias("corpus_anchor"),
-                F.min("batch_min").alias("min_batch_peer"),
-            )
-            .select(
-                "doc_id",
-                F.when(F.col("corpus_anchor").isNotNull(), "near_dup_corpus")
-                .when(F.col("min_batch_peer") < F.col("doc_id"), "near_dup_batch")
-                .otherwise("unique")
-                .alias("status"),
-                "corpus_anchor",
-            )
-        )
-        # docs with NULL text produce no signature and hence no bb rows —
-        # without this they would VANISH from the status output (silent
-        # row loss); surface them explicitly instead
-        no_text = (
-            batch_df.select(F.col(id_col).cast("long").alias("doc_id"))
-            .distinct()
-            .join(status.select("doc_id"), "doc_id", "left_anti")
-            .select(
-                "doc_id",
-                F.lit("no_text").alias("status"),
-                F.lit(None).cast("long").alias("corpus_anchor"),
-            )
-        )
-        status = status.unionByName(no_text)
+        # is cost + isolation). persist + EXPLICIT unpersist (r11; was
+        # localCheckpoint): checkpointed blocks are released only by the
+        # lazy ContextCleaner, so a long-running stream accumulated every
+        # batch's blocks in executor storage — measured as monotonically
+        # slower bench cycles in one JVM (build 3.2 s → 12.2 s across
+        # three fresh-store cycles). The finally block makes per-batch
+        # storage bounded by construction. doc_id is cast to long at the
+        # source so the delta's anchor_id matches BUCKET_SCHEMA on
+        # read-back (index_maintenance casts the same way).
+        pinned: list[DataFrame] = []
 
-        # DELTA commit: the batch's own per-bucket minima, nothing else —
-        # O(|batch| buckets) written per version regardless of index size.
-        # Resolution (min per bucket over snapshot+deltas) reconstructs
-        # exactly the eagerly-merged relation. commit_pinned_delta guards
-        # the replay skip: v=base_v+1 must be OUR delta, not a snapshot a
-        # compact() committed in between (else re-pin past the tail).
-        delta = batch_min.select(
-            "band", "bucket", F.col("batch_min").alias("anchor_id")
-        )
-        delta_store.commit_pinned_delta(
-            index_path,
-            marker,
-            base_v,
-            lambda v: delta_store.write_version(
-                delta, index_path, v, _KEYS, P, reclaim_torn=True
-            ),
-        )
-        # deterministic per-(lineage, batch) dirs + overwrite = idempotent
-        base = os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")
-        edges.write.mode("overwrite").parquet(os.path.join(base, "edges"))
-        status.write.mode("overwrite").parquet(os.path.join(base, "status"))
+        def pin(df: DataFrame) -> DataFrame:
+            pinned.append(df.persist())
+            return df
+
+        try:
+            bb = pin(
+                lsh_band_buckets(batch_df, id_col, text_col, num_hashes, bands)
+                .withColumn("doc_id", F.col("doc_id").cast("long"))
+            )
+            bb.count()  # materialize eagerly (the one minhash pass)
+            batch_min = pin(
+                bb.groupBy("band", "bucket").agg(F.min("doc_id").alias("batch_min"))
+            )  # feeds probe set, join, delta
+            # The batch can only collide with index rows in the partitions its
+            # own buckets hash into — collect that partition set (≤ P ints,
+            # driver-bounded) and prune the index read to it. This is what
+            # keeps per-batch cost tied to |batch|, not |index|. (Also the
+            # eager materialization of batch_min.)
+            touched = delta_store.touched_partitions(batch_min, _KEYS, P)
+            idx = _read_resolved(
+                spark, index_path, base_v, touched_p=touched, n_partitions=P
+            )
+            j = pin(
+                bb.join(idx, ["band", "bucket"], "left")
+                .join(batch_min, ["band", "bucket"])
+            )
+            # star target per (doc, bucket): the stored anchor if the bucket
+            # exists, else the batch's own minimum for that bucket
+            target = F.coalesce("anchor_id", "batch_min")
+            edges = j.filter(F.col("doc_id") != target).select(
+                target.alias("a_id"), F.col("doc_id").alias("b_id")
+            )
+            status = (
+                j.groupBy("doc_id")
+                .agg(
+                    F.min("anchor_id").alias("corpus_anchor"),
+                    F.min("batch_min").alias("min_batch_peer"),
+                )
+                .select(
+                    "doc_id",
+                    F.when(F.col("corpus_anchor").isNotNull(), "near_dup_corpus")
+                    .when(F.col("min_batch_peer") < F.col("doc_id"), "near_dup_batch")
+                    .otherwise("unique")
+                    .alias("status"),
+                    "corpus_anchor",
+                )
+            )
+            # docs with NULL text produce no signature and hence no bb rows —
+            # without this they would VANISH from the status output (silent
+            # row loss); surface them explicitly instead
+            no_text = (
+                batch_df.select(F.col(id_col).cast("long").alias("doc_id"))
+                .distinct()
+                .join(status.select("doc_id"), "doc_id", "left_anti")
+                .select(
+                    "doc_id",
+                    F.lit("no_text").alias("status"),
+                    F.lit(None).cast("long").alias("corpus_anchor"),
+                )
+            )
+            status = status.unionByName(no_text)
+
+            # DELTA commit: the batch's own per-bucket minima, nothing else —
+            # O(|batch| buckets) written per version regardless of index size.
+            # Resolution (min per bucket over snapshot+deltas) reconstructs
+            # exactly the eagerly-merged relation. commit_pinned_delta guards
+            # the replay skip: v=base_v+1 must be OUR delta, not a snapshot a
+            # compact() committed in between (else re-pin past the tail).
+            delta = batch_min.select(
+                "band", "bucket", F.col("batch_min").alias("anchor_id")
+            )
+            delta_store.commit_pinned_delta(
+                index_path,
+                marker,
+                base_v,
+                lambda v: delta_store.write_version(
+                    delta, index_path, v, _KEYS, P, reclaim_torn=True
+                ),
+            )
+            # deterministic per-(lineage, batch) dirs + overwrite = idempotent
+            base = os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")
+            edges.write.mode("overwrite").parquet(os.path.join(base, "edges"))
+            status.write.mode("overwrite").parquet(os.path.join(base, "status"))
+        finally:
+            # bounded per-batch executor storage: release this batch's
+            # pinned frames NOW, not whenever the ContextCleaner gets to
+            # the dead references (see the persist note above)
+            for df in pinned:
+                df.unpersist()
 
     return process_batch
 

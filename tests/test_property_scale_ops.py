@@ -186,3 +186,67 @@ def test_midrank_ols_equals_perword_rank_ols(spark, counts):
     slope_words = (sxy - sx * sy / n) / den
     slope_blocks = (bxy - bx * by / n) / bden
     assert abs(slope_words - slope_blocks) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# r11: the extracted distinct-value rank decomposition (VERDICT r10 item 5)
+# ---------------------------------------------------------------------------
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.sampling import (  # noqa: E402
+    value_domain_rank_blocks,
+    value_domain_ranks,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_rows, descending=st.booleans())
+def test_value_domain_ranks_equals_window(spark, rows, descending):
+    """For ANY dataset the decomposed rank (count-strictly-below over the
+    distinct-value relation + tie-block row_number) is BIT-EQUAL to the
+    corpus-wide row_number window — including negative values, dense
+    ties, and descending order."""
+    df = _df(spark, rows)
+    order = F.col("v").desc() if descending else F.col("v")
+    w = Window.partitionBy("g").orderBy(order, "rid")
+    naive = df.withColumn("rank", (F.row_number().over(w)).cast("bigint"))
+    fast = value_domain_ranks(df, ["g"], "v", "rank", ["rid"], descending)
+    fast = fast.withColumn("rank", F.col("rank").cast("bigint"))
+    cols = ["g", "v", "w", "rid", "rank"]
+    assert sorted(map(_none_safe, naive.select(cols).collect())) == sorted(
+        map(_none_safe, fast.select(cols).collect())
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_rows, descending=st.booleans())
+def test_value_domain_blocks_match_window_counts(spark, rows, descending):
+    """Block relation invariants vs the window spelling: k = the value's
+    multiplicity, below = rows strictly before it in the order — and the
+    blocks cover every (g, v) exactly once."""
+    df = _df(spark, rows)
+    blocks = {
+        (r["g"], r["v"]): (r["k"], r["below"])
+        for r in value_domain_rank_blocks(
+            df, ["g"], "v", descending=descending
+        ).collect()
+    }
+    from collections import Counter
+
+    per_gv = Counter((g, v) for (g, v, _) in rows)
+    assert set(blocks) == set(per_gv)
+    for (g, v), (k, below) in blocks.items():
+        want_below = sum(
+            c
+            for (gg, vv), c in per_gv.items()
+            if gg == g and ((vv > v) if descending else (vv < v))
+        )
+        assert k == per_gv[(g, v)]
+        assert below == want_below
+
+
+def test_value_domain_reserved_columns_rejected(spark):
+    df = spark.createDataFrame([("a", 1, 2)], "g string, v long, k long")
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        value_domain_rank_blocks(df, ["g"], "v")

@@ -793,3 +793,66 @@ def test_export_stream_exactly_once_single_audit_row(spark, tmpdir):
             _simulate_crash_before_commit(ckpt)
     rows = AuditLog(spark, audit_path).read().collect()
     assert len(rows) == 1 and rows[0]["job_status"] == "SUCCESS"
+
+
+def test_schema_evolution_stream_matches_batch(spark, tmpdir):
+    """Streaming twin of q246 (VERDICT r10 item 8): micro-batches append
+    their json_schema_profile rows to a standing store; after the drain,
+    schema_evolution_report over the accumulated profiles equals the
+    one-shot batch report — schema memory ACROSS batches, which the
+    reference's per-page rediscovery never had. Exercises all three
+    statuses: a path that appears (new), one that vanishes (missing),
+    and one whose scalar kind flips (kind_changed)."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.schema_report import (
+        json_schema_profile,
+        schema_evolution_report,
+    )
+
+    rows = []
+    for batch in range(4):
+        for i in range(3):
+            parts = [f'"a":{i}']
+            if batch >= 1:
+                parts.append(f'"b":{i * 10}')       # new in batch 1
+            if batch < 2:
+                parts.append(f'"c":"s{i}"')          # missing from batch 2
+            parts.append(f'"d":{i}' if batch < 3 else f'"d":"x{i}"')  # flips in 3
+            rows.append((batch, "{" + ",".join(parts) + "}"))
+    df = spark.createDataFrame(rows, "batch long, j string")
+
+    src = os.path.join(tmpdir, "sev_src")
+    # one file per batch id so maxFilesPerTrigger=1 delivers them as
+    # separate micro-batches in order
+    for b in range(4):
+        df.filter(f"batch = {b}").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("batch long, j string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    profiles = os.path.join(tmpdir, "sev_profiles")
+
+    def process(batch_df, batch_id):
+        json_schema_profile(batch_df, "batch", "j").write.mode("append").parquet(
+            profiles
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(tmpdir, "sev_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream drain timed out"
+
+    streamed = schema_evolution_report(spark.read.parquet(profiles))
+    got = {tuple(r) for r in streamed.collect()}
+    want = {
+        (1, "b", "new", None, "number"),
+        (2, "c", "missing", "string", None),
+        (3, "d", "kind_changed", "number", "string"),
+    }
+    assert got == want
+    # parity with the one-shot batch report over the same rows
+    batch_report = schema_evolution_report(json_schema_profile(df, "batch", "j"))
+    assert {tuple(r) for r in batch_report.collect()} == want
