@@ -845,9 +845,18 @@ def compact_ann_index(spark: SparkSession, index_path: str) -> int:
         raise ValueError(f"no committed index at {index_path}; nothing to compact")
     latest = versions[-1]
     cents, postings = read_ann_index(spark, index_path)
-    resolved = postings.localCheckpoint(eager=True)
+    # persist + explicit unpersist (r11; was localCheckpoint): repeated
+    # compacts in one long-lived JVM accumulated each snapshot-sized
+    # checkpoint until the lazy ContextCleaner got to it (the lsh_ingest
+    # finding). Recompute-safe: the postings read pins version dirs at
+    # plan time and the snapshot writes to a NEW dir.
+    resolved = postings.persist()
+    resolved.count()
     next_v = latest + 1
-    _write_version(index_path, next_v, cents, resolved, snapshot=True)
+    try:
+        _write_version(index_path, next_v, cents, resolved, snapshot=True)
+    finally:
+        resolved.unpersist()
     return next_v
 
 

@@ -1,0 +1,95 @@
+"""Streaming schema watch: the q246 evolution report attached to a live
+document stream — per micro-batch, append the batch's observed
+(path, kinds) profile to a standing store; read the standing store back
+as the new / missing / kind_changed report at any time.
+
+Why a separate store instead of diffing inside foreachBatch: the report
+is a JOIN ACROSS batches, and a micro-batch must not re-read the corpus
+— appending the O(paths) profile delta per batch keeps stream-side work
+batch-bounded while the report stays a cheap batch query over the
+accumulated profile relation (batches x paths x kinds rows, tiny at any
+corpus size).
+
+Exactly-once: each micro-batch writes its profile into a DETERMINISTIC
+``batch=<lineage>-<id>`` directory with overwrite — a crash replay
+rewrites the same directory byte-equivalently instead of appending a
+duplicate profile (the export_job discipline). Profiles are idempotent
+per batch by construction (a distinct relation), so the report never
+double-counts a replayed batch.
+
+Reference analog: the reference rediscovers schema per page
+(`ElasticSearch ETL.py:171-217`) and remembers nothing; this watches the
+schema MOVE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_for_elasticsearch_json_document_spark.operators.schema_report import (
+    json_schema_profile,
+    schema_evolution_report,
+)
+from etl_pipeline_for_elasticsearch_json_document_spark.streaming.identity import (
+    checkpoint_identity,
+)
+
+
+def _schema_watch_processor(profiles_path: str, ckpt_id: str, batch_col: str, json_col: str):
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # 'mb=', NOT 'batch=': partition discovery would read a 'batch='
+        # dir token as a STRING partition column and clobber the data's
+        # own bigint batch ordinal
+        out = os.path.join(profiles_path, f"mb={ckpt_id}-{batch_id}")
+        json_schema_profile(batch_df, batch_col, json_col).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    return process_batch
+
+
+def run_schema_watch_stream(
+    stream: DataFrame,
+    profiles_path: str,
+    checkpoint_dir: str,
+    batch_col: str,
+    json_col: str,
+    trigger_available_now: bool = True,
+):
+    """Attach the schema watch to a streaming DataFrame carrying a batch
+    ordinal column (day-of-export, epoch id — consecutive integers) and a
+    JSON document column. Returns the StreamingQuery."""
+    ckpt_id = checkpoint_identity(checkpoint_dir)
+    writer = (
+        stream.writeStream.foreachBatch(
+            _schema_watch_processor(profiles_path, ckpt_id, batch_col, json_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_schema_report(spark: SparkSession, profiles_path: str) -> DataFrame:
+    """The evolution report over every profile the stream has appended —
+    one batch query over the accumulated (batch, path, kinds) relation.
+    Micro-batch boundaries do not fragment a logical batch: profiles for
+    the same batch ordinal from different micro-batches merge by
+    re-profiling the union (kind sets re-aggregate exactly because the
+    profile is a distinct relation)."""
+    import pyspark.sql.functions as F
+
+    raw = spark.read.parquet(profiles_path).select("batch", "path", "kinds")
+    # a logical batch split across micro-batches may contribute several
+    # kind-set rows per (batch, path) — merge the sets before diffing
+    merged = (
+        raw.select("batch", "path", F.explode(F.split("kinds", r"\+")).alias("k"))
+        .distinct()
+        .groupBy("batch", "path")
+        .agg(F.array_join(F.array_sort(F.collect_set("k")), "+").alias("kinds"))
+    )
+    return schema_evolution_report(merged)

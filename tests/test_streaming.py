@@ -856,3 +856,82 @@ def test_schema_evolution_stream_matches_batch(spark, tmpdir):
     # parity with the one-shot batch report over the same rows
     batch_report = schema_evolution_report(json_schema_profile(df, "batch", "j"))
     assert {tuple(r) for r in batch_report.collect()} == want
+
+
+def test_schema_watch_stream_entry_point(spark, tmpdir):
+    """run_schema_watch_stream end-to-end: micro-batches (split so one
+    LOGICAL batch ordinal spans two micro-batches — the merge path) feed
+    the standing profile store; read_schema_report returns the same
+    report as the one-shot batch operator, and a crash replay of a
+    micro-batch rewrites its deterministic directory instead of
+    double-counting."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.schema_report import (
+        json_schema_profile,
+        schema_evolution_report,
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.schema_watch import (
+        read_schema_report,
+        run_schema_watch_stream,
+    )
+
+    rows = []
+    for batch in range(3):
+        for i in range(4):
+            parts = [f'"a":{i}']
+            if batch >= 1:
+                parts.append(f'"b":{i}')                 # new in batch 1
+            parts.append(f'"c":{i}' if batch < 2 else f'"c":"x{i}"')  # flips in 2
+            rows.append((batch, i, "{" + ",".join(parts) + "}"))
+    df = spark.createDataFrame(rows, "batch long, i long, j string")
+    src = os.path.join(tmpdir, "sw_src")
+    # split each logical batch into two files (i < 2 / i >= 2) so
+    # maxFilesPerTrigger=1 delivers SIX micro-batches over THREE ordinals
+    for b in range(3):
+        for half in (0, 1):
+            df.filter(f"batch = {b} and (i >= 2) = {bool(half)}").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("batch long, i long, j string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    profiles = os.path.join(tmpdir, "sw_profiles")
+    q = run_schema_watch_stream(
+        stream.select("batch", "j"),
+        profiles,
+        os.path.join(tmpdir, "sw_ckpt"),
+        "batch",
+        "j",
+    )
+    assert q.awaitTermination(600), "stream drain timed out"
+
+    want = {
+        (1, "b", "new", None, "number"),
+        (2, "c", "kind_changed", "number", "string"),
+    }
+    got = {tuple(r) for r in read_schema_report(spark, profiles).collect()}
+    assert got == want
+    # parity with the one-shot batch report
+    batch_report = schema_evolution_report(
+        json_schema_profile(df.select("batch", "j"), "batch", "j")
+    )
+    assert {tuple(r) for r in batch_report.collect()} == want
+    # replay idempotence, on a store with a KNOWN micro-batch -> content
+    # mapping (driving the processor directly): replaying a micro-batch
+    # rewrites its deterministic dir byte-equivalently, report unchanged
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.schema_watch import (
+        _schema_watch_processor,
+    )
+
+    profiles2 = os.path.join(tmpdir, "sw_profiles2")
+    proc = _schema_watch_processor(profiles2, "lin", "batch", "j")
+    for mb, b in enumerate(range(3)):
+        proc(df.filter(f"batch = {b}").select("batch", "j"), mb)
+    assert {
+        tuple(r) for r in read_schema_report(spark, profiles2).collect()
+    } == want
+    proc(df.filter("batch = 1").select("batch", "j"), 1)  # replay mb 1
+    assert {
+        tuple(r) for r in read_schema_report(spark, profiles2).collect()
+    } == want
