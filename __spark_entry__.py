@@ -54,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (scripts/compare_oracle.py).
 _NEW_IN_R11: set[str] = {
     "q246_schema_evolution",
+    "q247_path_coverage_drift",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.

@@ -85,14 +85,16 @@ def schema_evolution_report(profile: DataFrame) -> DataFrame:
         F.col("kinds").alias("prev_kinds"),
     )
     # batches eligible for a report row: both the batch and its
-    # predecessor were observed (a broadcast-sized batch-domain relation)
+    # predecessor were observed. Batch-domain-sized, but deliberately
+    # UN-hinted (the q203/fact-scaled-broadcast rule): the relation
+    # derives from a corpus scan, so the bound is semantic, not provable
+    # from the plan — AQE converts the join to broadcast at runtime from
+    # the MEASURED size instead of trusting a hint.
     batches = profile.select("batch").distinct()
     eligible = batches.join(
         batches.selectExpr("batch + 1 AS batch"), "batch"
     )
-    j = cur.join(prev, ["batch", "path"], "full").join(
-        F.broadcast(eligible), "batch"
-    )
+    j = cur.join(prev, ["batch", "path"], "full").join(eligible, "batch")
     status = (
         F.when(F.col("prev_kinds").isNull(), "new")
         .when(F.col("cur_kinds").isNull(), "missing")

@@ -107,3 +107,95 @@ def q246(spark, sf_dir):
     )
     src = e.select(day.alias("batch"), j.alias("j"))
     return schema_evolution_report(json_schema_profile(src, "batch", "j"))
+
+
+# ---------------------------------------------------------------------------
+# q247: per-path coverage drift (the second ingest-QA face of schema watch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q247_path_coverage_drift",
+    oracle="""
+WITH src AS (
+  SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS batch,
+         '{"a":' || CAST(user_id AS VARCHAR)
+         || CASE WHEN (CASE WHEN EXTRACT(day FROM ts) < 15
+                            THEN user_id % 3 ELSE user_id % 2 END) = 0
+                 THEN ',"v":' || CAST(event_id AS VARCHAR) ELSE '' END
+         || CASE WHEN user_id % 5 = 0
+                 THEN ',"w":"s' || CAST(user_id AS VARCHAR) || '"' ELSE '' END
+         || '}' AS j
+  FROM events),
+n AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_docs FROM src GROUP BY batch),
+pv AS (
+  SELECT batch, u.path, CAST(count(*) AS BIGINT) AS n_path
+  FROM src, unnest(json_keys(src.j)) AS u(path)
+  GROUP BY batch, u.path),
+cov AS (
+  SELECT pv.batch, pv.path, n.n_docs, pv.n_path,
+         CAST(pv.n_path AS DOUBLE) / n.n_docs AS cov
+  FROM pv JOIN n USING (batch))
+SELECT c.batch, c.path, c.n_docs, c.n_path,
+       round(c.cov, 6) AS coverage,
+       round(p.cov, 6) AS prev_coverage,
+       round(c.cov - p.cov, 6) AS delta
+FROM cov c
+JOIN (SELECT batch + 1 AS batch, path, cov FROM cov) p
+  ON c.batch = p.batch AND c.path = p.path
+""",
+    doc="Per-path coverage drift: for each export day and each observed "
+    "JSON path, the fraction of documents carrying the path, its "
+    "previous-day fraction, and the day-over-day delta — the second "
+    "ingest-QA face of the schema watch (q246 reports paths that appear/"
+    "vanish/retype; this catches a path that stays present but QUIETLY "
+    "changes its population, e.g. an upstream default that stops firing "
+    "— here path 'v' jumps from ~1/3 to ~1/2 of events on day 15 while "
+    "'a' and 'w' hold flat). Inner-join pairing keeps only (day, path) "
+    "with an observed predecessor, the q246 contract. Scale: two "
+    "map-side aggregations down to the (batches x paths) relation, then "
+    "a self-join on that tiny relation; doubles divide and subtract "
+    "identically in any IEEE engine and the rounds are mirrored.",
+)
+def q247(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    uid = F.col("user_id").cast("string")
+    present_v = F.when(day < 15, F.col("user_id") % 3).otherwise(
+        F.col("user_id") % 2
+    ) == 0
+    j = F.concat(
+        F.lit('{"a":'),
+        uid,
+        F.when(present_v, F.concat(F.lit(',"v":'), F.col("event_id").cast("string"))).otherwise(""),
+        F.when(F.col("user_id") % 5 == 0, F.concat(F.lit(',"w":"s'), uid, F.lit('"'))).otherwise(""),
+        F.lit("}"),
+    )
+    src = e.select(day.cast("bigint").alias("batch"), j.alias("j"))
+    n = src.groupBy("batch").agg(F.count("*").alias("n_docs"))
+    pv = (
+        src.select(
+            "batch",
+            F.explode(F.map_keys(F.from_json("j", "map<string,string>"))).alias("path"),
+        )
+        .groupBy("batch", "path")
+        .agg(F.count("*").alias("n_path"))
+    )
+    cov = pv.join(n, "batch").withColumn(
+        "cov", F.col("n_path").cast("double") / F.col("n_docs")
+    )
+    prev = cov.select(
+        (F.col("batch") + 1).alias("batch"), "path", F.col("cov").alias("pcov")
+    )
+    return (
+        cov.join(prev, ["batch", "path"])
+        .select(
+            "batch",
+            "path",
+            "n_docs",
+            "n_path",
+            F.round("cov", 6).alias("coverage"),
+            F.round("pcov", 6).alias("prev_coverage"),
+            F.round(F.col("cov") - F.col("pcov"), 6).alias("delta"),
+        )
+    )
