@@ -78,6 +78,14 @@ def schema_evolution_report(profile: DataFrame) -> DataFrame:
     earliest batch has no predecessor and emits nothing. Batch ids must
     be consecutive integers — the contract every natural batch ordinal
     (day-of-export, micro-batch id) satisfies; gaps would mis-pair."""
+    # the profile feeds FOUR subplans below (cur, prev, and the batch
+    # domain twice); when it is derived from a corpus scan (q246's shape)
+    # Catalyst does not reuse the subplan and the corpus would be scanned
+    # once per use — at 100 TB, four full scans for a batches x paths
+    # relation. cache() is lazy (no action fires here; the repo's
+    # operators stay lazy) and the first action materializes the tiny
+    # relation once.
+    profile = profile.cache()
     cur = profile.select("batch", "path", F.col("kinds").alias("cur_kinds"))
     prev = profile.select(
         (F.col("batch") + 1).alias("batch"),

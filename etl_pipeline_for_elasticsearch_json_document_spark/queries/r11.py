@@ -181,9 +181,11 @@ def q247(spark, sf_dir):
         .groupBy("batch", "path")
         .agg(F.count("*").alias("n_path"))
     )
+    # cached: cov feeds both sides of the batch-shift self-join below —
+    # without it each side re-scans the corpus (lazy cache, tiny relation)
     cov = pv.join(n, "batch").withColumn(
         "cov", F.col("n_path").cast("double") / F.col("n_docs")
-    )
+    ).cache()
     prev = cov.select(
         (F.col("batch") + 1).alias("batch"), "path", F.col("cov").alias("pcov")
     )
