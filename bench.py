@@ -368,7 +368,7 @@ def bench_dedup_diag(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, li
 
 
 
-def bench_rollup(spark, sf_dir: str) -> dict[str, float]:
+def bench_rollup(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
     """DIAGNOSTIC: incremental rollup maintenance vs naive recompute over
     a growing history — the events table split into 8 arrival batches.
 
@@ -396,7 +396,12 @@ def bench_rollup(spark, sf_dir: str) -> dict[str, float]:
 
     On one node with warm page cache the recompute's absolute numbers
     stay small; the SLOPE is the honest signal — at 100 TB the flat line
-    is the only one that finishes."""
+    is the only one that finishes.
+
+    r11: runs in its own subprocess JVM (``--rollup-subprocess``) like
+    the other three store sections, and the small/grown pair reports its
+    run-to-run spread — the ratio wobbled 0.77-1.2 across full-bench
+    runs in the shared main JVM with no code change."""
     import shutil
     import tempfile
 
@@ -423,12 +428,22 @@ def bench_rollup(spark, sf_dir: str) -> dict[str, float]:
     measures = {"n_events": ("count", "*"), "total": ("sum", "value")}
     work = tempfile.mkdtemp(prefix="bench_rollup_")
     out: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     try:
         # untimed warm-up on a scratch path: first-call codegen + parquet
-        # writer init otherwise lands in step1 and fakes a slope
-        update_rollup(
-            spark, os.path.join(work, "warm"), events.limit(1000), keys, measures
+        # writer init otherwise lands in step1 and fakes a slope — and in
+        # the r11 fresh subprocess JVM the first jobs also pay scheduler +
+        # JIT ramp, so warm TWICE plus one read (the lsh/fp warm-cycle
+        # lesson: a single warm touch left ~5 s of ramp in the first
+        # timed entry)
+        warm_path = os.path.join(work, "warm")
+        update_rollup(spark, warm_path, events.limit(1000), keys, measures)
+        update_rollup(spark, warm_path, events.limit(1000), keys, measures)
+        from etl_pipeline_for_elasticsearch_json_document_spark.operators.rollup_maintenance import (
+            read_rollup,
         )
+
+        read_rollup(spark, warm_path).count()
         for i in range(8):
             batch = events.filter(
                 (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
@@ -466,6 +481,7 @@ def bench_rollup(spark, sf_dir: str) -> dict[str, float]:
             update_rollup(spark, small_store, b, ukeys, umeasures)
             ts.append(time.time() - t0)
         t_small = statistics.median(ts)
+        spreads["rollup_batch_small"] = [round(min(ts), 3), round(max(ts), 3)]
         grown_store = os.path.join(work, "u_grown")
         ureps = spark.range(20).select(F.col("id").alias("rep"))
         grown = uevents.crossJoin(F.broadcast(ureps)).select(
@@ -483,12 +499,13 @@ def bench_rollup(spark, sf_dir: str) -> dict[str, float]:
             update_rollup(spark, grown_store, b, ukeys, umeasures)
             ts.append(time.time() - t0)
         t_grown = statistics.median(ts)
+        spreads["rollup_batch_small_grown"] = [round(min(ts), 3), round(max(ts), 3)]
         out["rollup_batch_small"] = round(t_small, 3)
         out["rollup_batch_small_grown"] = round(t_grown, 3)
         out["rollup_small_grown_ratio"] = round(t_grown / t_small, 2)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return out
+    return out, spreads
 
 
 def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
@@ -1036,14 +1053,13 @@ def main() -> None:
         timings[name] = timed_median(lambda: force(df), label=name)
 
     timings.update(bench_dedup_close(spark, sf_dir))
-    diagnostics.update(bench_rollup(spark, sf_dir))
 
     # The store-maintenance diagnostics each run in their OWN subprocess
-    # JVM with untimed warm-up + median-of-3 cycles (r11; VERDICT r10
+    # JVM with untimed warm-up + median treatment (r11; VERDICT r10
     # item 1 — the shared-JVM single-shot numbers could not distinguish a
     # 2x regression from jitter; the ann section proved the treatment).
-    for flag in ("--ann-subprocess", "--lsh-subprocess", "--fp-subprocess",
-                 "--dedup-diag-subprocess"):
+    for flag in ("--rollup-subprocess", "--ann-subprocess", "--lsh-subprocess",
+                 "--fp-subprocess", "--dedup-diag-subprocess"):
         section = _run_isolated(flag, sf_dir)
         if "timings" in section:
             diagnostics.update(section["timings"])
@@ -1109,6 +1125,8 @@ if __name__ == "__main__":
         flatten_subprocess_main()
     elif "--ann-subprocess" in sys.argv:
         ann_subprocess_main()
+    elif "--rollup-subprocess" in sys.argv:
+        _section_subprocess_main("rollup", bench_rollup)
     elif "--lsh-subprocess" in sys.argv:
         _section_subprocess_main("lsh", bench_lsh_index)
     elif "--fp-subprocess" in sys.argv:
