@@ -987,10 +987,6 @@ def ann_subprocess_main() -> None:
     print(json.dumps(out))
 
 
-def run_ann_isolated(sf_dir: str) -> dict[str, float]:
-    return _run_isolated("--ann-subprocess", sf_dir)
-
-
 def _section_subprocess_main(name: str, fn) -> None:
     """Shared body for the r11 isolated diagnostic sections (lsh / fp /
     dedup-diag): fresh JVM, run the section (which does its own untimed

@@ -199,7 +199,16 @@ def _classify_pinned(spark, index_path, h, base_v, P):
         )
         .unionByName(no_text)
     )
-    return cls.localCheckpoint(eager=True)  # pin before the index moves
+    # pin before the index moves — persist, NOT localCheckpoint (r11
+    # review): recompute is safe (the pruned index read pins version
+    # dirs at plan time, retained while the batch's ledger marker pends)
+    # and persisted blocks are evictable/releasable, where checkpointed
+    # blocks accumulated per batch until the lazy ContextCleaner ran.
+    # The stream client unpersists per batch; batch-API callers may
+    # unpersist the returned frame when done.
+    cls = cls.persist()
+    cls.count()  # materialize before the commit advances the store
+    return cls
 
 
 def _commit_delta(

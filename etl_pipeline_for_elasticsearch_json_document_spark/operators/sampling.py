@@ -449,16 +449,33 @@ def value_domain_ranks(
     row_number within the (partition, value) tie block, whose tasks are
     tie-block-sized. ``tiebreak_cols`` must totally order rows within a
     tie block (e.g. a unique id) or the rank is nondeterministic — same
-    contract as the window spelling."""
+    contract as the window spelling.
+
+    NULL keys: the join-back is NULL-SAFE on every key (r11 review — a
+    plain equi-join never matches NULL, so rows with a NULL value or
+    partition key would silently VANISH from the output while the window
+    spelling ranks them; Spark's default NULL ordering — FIRST ascending,
+    LAST descending — matches the block relation's cumulative order, so
+    equality holds on NULL keys too)."""
+    from functools import reduce
+
     from pyspark.sql.window import Window
 
+    keys = [*part_cols, value_col]
     blocks = value_domain_rank_blocks(
         df, part_cols, value_col, descending,
         count_col="__vd_k", below_col="__vd_below",
     ).drop("__vd_k")
-    tie = Window.partitionBy(*part_cols, value_col).orderBy(*tiebreak_cols)
+    for c in keys:
+        blocks = blocks.withColumnRenamed(c, f"__vd_{c}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [df[c].eqNullSafe(blocks[f"__vd_{c}"]) for c in keys],
+    )
+    tie = Window.partitionBy(*keys).orderBy(*tiebreak_cols)
     return (
-        df.join(blocks, [*part_cols, value_col])
+        df.join(blocks, cond)
+        .drop(*[f"__vd_{c}" for c in keys])
         .withColumn(rank_col, F.col("__vd_below") + F.row_number().over(tie))
         .drop("__vd_below")
     )

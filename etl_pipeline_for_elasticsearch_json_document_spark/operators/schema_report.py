@@ -84,7 +84,10 @@ def schema_evolution_report(profile: DataFrame) -> DataFrame:
     # once per use — at 100 TB, four full scans for a batches x paths
     # relation. cache() is lazy (no action fires here; the repo's
     # operators stay lazy) and the first action materializes the tiny
-    # relation once.
+    # relation once. The entry is EVICTABLE (plain cache, not a
+    # checkpoint), so repeated calls in a long-lived session stay
+    # bounded by the cache manager; callers wanting deterministic
+    # release unpersist the profile they passed in after consuming.
     profile = profile.cache()
     cur = profile.select("batch", "path", F.col("kinds").alias("cur_kinds"))
     prev = profile.select(

@@ -96,19 +96,24 @@ def _index_batch_processor(
         result = _classify(
             spark, index_path, batch_df, base_v, id_col, text_col, n_partitions
         )
-        # exactly-once commit that survives a compact() claiming our
-        # version between marker and commit (delta_store.commit_pinned_delta
-        # — skip only when v=base_v+1 is OUR delta, never a snapshot)
-        delta_store.commit_pinned_delta(
-            index_path,
-            marker,
-            base_v,
-            lambda v: _commit_delta(result, index_path, v, reclaim_torn=True),
-        )
-        # deterministic per-(lineage, batch) dir + overwrite = idempotent
-        result.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")
-        )
+        try:
+            # exactly-once commit that survives a compact() claiming our
+            # version between marker and commit (delta_store.commit_pinned_delta
+            # — skip only when v=base_v+1 is OUR delta, never a snapshot)
+            delta_store.commit_pinned_delta(
+                index_path,
+                marker,
+                base_v,
+                lambda v: _commit_delta(result, index_path, v, reclaim_torn=True),
+            )
+            # deterministic per-(lineage, batch) dir + overwrite = idempotent
+            result.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")
+            )
+        finally:
+            # bounded per-batch executor storage (the lsh_ingest
+            # discipline): release the batch's persisted classification
+            result.unpersist()
 
     return process_batch
 
