@@ -49,33 +49,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json, record its green names as last-verified in round N
 # and empty the new-this-round set.
 
-#: Queries first registered in round 11 — ordered first (never driver-checked,
+#: Queries first registered in round 12 — ordered first (never driver-checked,
 #: newest); locally oracle-green at sf0.01 AND sf0.001 before registration
 #: (scripts/compare_oracle.py).
-_NEW_IN_R11: set[str] = {
-    "q246_schema_evolution",
-    "q247_path_coverage_drift",
+_NEW_IN_R12: set[str] = {
+    "q248_deep_schema_evolution",
+    "q249_flatten_width_contract",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {
     # round 1 (stalest — re-verified first)
-    "q54_bigram_counts": 5, "q55_language_id": 5, "q57_char_ngram_profile": 5,
-    "q58_pii_redaction": 5, "q59_train_split": 5, "q60_multimodal_meta": 5,
+    "q54_bigram_counts": 11, "q55_language_id": 11, "q57_char_ngram_profile": 11,
+    "q58_pii_redaction": 11, "q59_train_split": 11, "q60_multimodal_meta": 11,
     # round 2
     "q10_window_topk": 10, "q11_window_running": 10, "q12_rank_dense": 10,
-    "q13_sort_limit": 10, "q14_union_all": 5, "q15_intersect": 5,
-    "q16_except": 5, "q17_semi_join": 5, "q18_anti_join": 5,
-    "q19_outer_join_coalesce": 5, "q20_string_funcs": 5, "q21_date_funcs": 5,
-    "q22_case_when": 5, "q23_json_extract": 5, "q24_array_funcs": 5,
-    "q25_keyset_page": 5, "q26_asof_join": 5, "q27_range_join": 5,
-    "q28_exists_subquery_agg": 5, "q29_tumbling_window": 5,
-    "q30_dedup_exact": 5, "q31_jaccard_pairs": 5, "q32_minhash_lsh": 5,
-    "q33_simhash_pairs": 5, "q34_embedding_neardup": 5,
-    "q36_repetition_metrics": 5, "q37_shingle_jaccard": 5,
-    "q40_knn_bruteforce": 5, "q41_knn_lsh": 5, "q42_knn_ivf": 5,
-    "q43_knn_pq": 5, "q44_label_centroids": 5, "q45_ann_recall": 5,
-    "q48_pagerank": 5, "q50_token_stats": 5,
+    "q13_sort_limit": 10, "q14_union_all": 11, "q15_intersect": 11,
+    "q16_except": 11, "q17_semi_join": 11, "q18_anti_join": 11,
+    "q19_outer_join_coalesce": 11, "q20_string_funcs": 11, "q21_date_funcs": 11,
+    "q22_case_when": 11, "q23_json_extract": 11, "q24_array_funcs": 11,
+    "q25_keyset_page": 11, "q26_asof_join": 11, "q27_range_join": 11,
+    "q28_exists_subquery_agg": 11, "q29_tumbling_window": 11,
+    "q30_dedup_exact": 11, "q31_jaccard_pairs": 11, "q32_minhash_lsh": 11,
+    "q33_simhash_pairs": 11, "q34_embedding_neardup": 11,
+    "q36_repetition_metrics": 11, "q37_shingle_jaccard": 11,
+    "q40_knn_bruteforce": 11, "q41_knn_lsh": 11, "q42_knn_ivf": 11,
+    "q43_knn_pq": 11, "q44_label_centroids": 11, "q45_ann_recall": 11,
+    "q48_pagerank": 11, "q50_token_stats": 11,
     # round 3
     "q46_cdc_chunk_dedup": 8, "q47_flatten_families": 8, "q56_tfidf": 8,
     "q61_multimodal_decode": 8, "q62_frame_sample": 8, "q63_pipeline_e2e": 8,
@@ -117,16 +117,16 @@ _LAST_VERIFIED: dict[str, int] = {
     "q67_hll_sketch_distinct": 10, "q87_approx_count_distinct": 10,
     # round 5
     "q144_char_entropy": 10, "q145_winsorized_stats": 10, "q146_token_jsd": 10,
-    "q147_kmv_sketch_overlap": 5, "q148_weighted_reservoir": 5,
-    "q149_vocab_oov": 5, "q150_matryoshka_recall": 5, "q151_fd_audit": 5,
-    "q152_dup_spans": 5,
+    "q147_kmv_sketch_overlap": 11, "q148_weighted_reservoir": 11,
+    "q149_vocab_oov": 11, "q150_matryoshka_recall": 11, "q151_fd_audit": 11,
+    "q152_dup_spans": 11,
     # round 7 (CORRECTNESS_r07: 50/50 green — the 10 r7-new, the 30 r6-new,
     # and the 10 stalest re-verifications)
     "q35_dedup_clusters": 7, "q38_sentence_dedup": 7,
     "q51_quality_metrics": 7, "q52_lang_facet": 7,
-    "q53_fingerprint_groups": 7, "q101_domain_quota": 7,
-    "q102_sequence_packing": 7, "q103_lsh_star_dedup": 7,
-    "q104_text_chunks": 7, "q105_bigram_lift": 7,
+    "q53_fingerprint_groups": 7, "q101_domain_quota": 11,
+    "q102_sequence_packing": 11, "q103_lsh_star_dedup": 11,
+    "q104_text_chunks": 11, "q105_bigram_lift": 11,
     "q153_bloom_decontaminate": 7, "q154_line_dedup_rebuild": 7,
     "q155_char_lm_score": 7, "q156_zipf_slope": 7, "q157_normalized_dedup": 7,
     "q158_incremental_dedup": 7, "q159_recursive_cte": 7,
@@ -137,7 +137,7 @@ _LAST_VERIFIED: dict[str, int] = {
     "q168_lsh_param_sweep": 7, "q169_lang_confusion": 7,
     "q170_deletion_manifest": 7, "q171_temperature_mix": 7,
     "q172_degenerate_runs": 7, "q173_label_shard_balance": 7,
-    "q174_dedup_growth_curve": 7, "q175_length_calibration": 7,
+    "q174_dedup_growth_curve": 7, "q175_length_calibration": 6,
     "q176_domain_overlap": 7, "q177_code_switching": 7,
     "q178_canary_scan": 7, "q179_filter_redundancy": 7,
     "q180_event_cooccurrence": 7, "q181_false_merge_audit": 7,
@@ -163,9 +163,9 @@ _LAST_VERIFIED: dict[str, int] = {
     "q211_cheapest_supplier": 9, "q212_part_value_concentration": 9,
     "q213_order_count_distribution": 9, "q214_idle_customer_audit": 9,
     "q215_readability_scores": 9, "q216_fingerprint_bucket_health": 9,
-    "q217_scorer_rank_correlation": 9, "q218_event_burstiness": 9,
+    "q217_scorer_rank_correlation": 6, "q218_event_burstiness": 9,
     "q219_price_band_match": 9, "q220_nation_trade_volume": 9,
-    "q221_lexical_richness": 9, "q222_user_value_gini": 9,
+    "q221_lexical_richness": 9, "q222_user_value_gini": 6,
     "q223_backlog_curve": 9, "q224_shipping_delay_distribution": 9,
     "q225_repeat_purchase_interval": 9, "q226_first_word_entropy": 9,
     "q227_balance_outliers_robust": 9, "q228_crosslingual_mirror": 9,
@@ -187,14 +187,24 @@ _LAST_VERIFIED: dict[str, int] = {
     "q242_epoch_budget_plan": 10,
     "q243_contamination_cascade": 10,
     "q244_trailing_wau": 10,
-    "q245_zipf_slope": 10,
+    # q175/q217/q222/q245 were driver-green in rounds 7/9/9/10 but were
+    # REIMPLEMENTED on value_domain_rank_blocks/ranks in r11 (ADVICE r11):
+    # recorded as 6 so they re-verify ahead of the round-7 band — their
+    # last driver proof describes the pre-refactor implementation (local
+    # sf0.001 oracle gates and the bit-equality property tests do cover
+    # the rewrite).
+    "q245_zipf_slope": 6,
+    # round 11 (CORRECTNESS_r11: 50/50 green — the 2 r11-new plus the 48
+    # stalest re-verifications, whose entries above are bumped to 11)
+    "q246_schema_evolution": 11,
+    "q247_path_coverage_drift": 11,
 }
 
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
     never_checked = [
-        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R11
+        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R12
     ]
     verified = sorted(
         (n for n in names if n in _LAST_VERIFIED),
@@ -202,7 +212,7 @@ def _ordered() -> list[str]:
     )
     return (
         never_checked
-        + [n for n in names if n in _NEW_IN_R11]
+        + [n for n in names if n in _NEW_IN_R12]
         + verified
     )
 

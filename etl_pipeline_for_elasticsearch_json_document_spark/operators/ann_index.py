@@ -296,9 +296,20 @@ def ivf_upsert(
         id_col,
         vec_col,
     ).select(F.col(id_col).cast("long").alias("vec_id"), "cid", "dist")
-    asg = asg.localCheckpoint(eager=True)  # pin before the store advances
-    version = _committed_versions(index_path)[-1] + 1
-    _write_version(index_path, version, cents, asg)
+    # persist + explicit unpersist (r12; was localCheckpoint — the leak
+    # class the r11 LSH root-cause established: checkpointed blocks wait
+    # on the lazy ContextCleaner, so repeated upserts in one JVM
+    # accumulate executor storage). Recompute of the RETURNED frame is
+    # version-safe — the centroids scan pins the pre-upsert version's
+    # files at plan time, so a post-unpersist re-derivation yields the
+    # same assignment even after the store advances.
+    asg = asg.persist()
+    try:
+        asg.count()  # materialize the one assignment pass eagerly
+        version = _committed_versions(index_path)[-1] + 1
+        _write_version(index_path, version, cents, asg)
+    finally:
+        asg.unpersist()
     return asg
 
 

@@ -252,5 +252,14 @@ def ingest_with_index(
     result = _classify(
         spark, index_path, docs, base_v, id_col, text_col, n_partitions
     )
-    _commit_delta(result, index_path, base_v + 1)
+    try:
+        _commit_delta(result, index_path, base_v + 1)
+    finally:
+        # release the classify pin once the commit consumed it (r12,
+        # ADVICE: repeated batch ingests accumulated persisted frames —
+        # the executor-storage class the r11 stream fixes closed).
+        # Caller actions on the returned frame recompute version-safely:
+        # the pruned index read pinned the v<=base_v files at plan time,
+        # so the new delta dir never enters its listing.
+        result.unpersist()
     return result

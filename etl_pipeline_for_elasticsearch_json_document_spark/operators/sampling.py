@@ -461,6 +461,18 @@ def value_domain_ranks(
 
     from pyspark.sql.window import Window
 
+    # collision guard (r12, ADVICE): withColumn would silently OVERWRITE
+    # an existing rank_col, and the __vd_* working names would collide —
+    # fail loudly like value_domain_rank_blocks does for its columns
+    clashes = [
+        c for c in df.columns if c == rank_col or c.startswith("__vd_")
+    ]
+    if clashes:
+        raise ValueError(
+            f"column(s) {clashes!r} already exist in the input; pass a "
+            "rank_col that does not collide and rename __vd_-prefixed "
+            "columns before calling"
+        )
     keys = [*part_cols, value_col]
     blocks = value_domain_rank_blocks(
         df, part_cols, value_col, descending,

@@ -182,7 +182,12 @@ def q247(spark, sf_dir):
         .agg(F.count("*").alias("n_path"))
     )
     # cached: cov feeds both sides of the batch-shift self-join below —
-    # without it each side re-scans the corpus (lazy cache, tiny relation)
+    # without it each side re-scans the corpus (lazy cache, tiny relation).
+    # Caller contract (r12, VERDICT item 7): the entry is EVICTABLE and
+    # released with the session; long-lived sessions calling this query
+    # repeatedly should unpersist the returned plan's cached subrelation
+    # (spark.catalog.clearCache() between report sweeps) — one-shot
+    # driver/bench runs need nothing.
     cov = pv.join(n, "batch").withColumn(
         "cov", F.col("n_path").cast("double") / F.col("n_docs")
     ).cache()

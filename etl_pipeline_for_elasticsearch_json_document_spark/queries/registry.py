@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Query]:
         r10,
         r10b,
         r11,
+        r12,
         relational,
     )
 

@@ -98,26 +98,41 @@ def _ann_batch_processor(
             id_col,
             vec_col,
         ).select(F.col(id_col).cast("long").alias("vec_id"), "cid", "dist")
-        asg = asg.localCheckpoint(eager=True)  # pin before the store advances
+        # persist + EXPLICIT unpersist (r12; was localCheckpoint — the
+        # last store carrying the r11 leak class): checkpointed blocks
+        # are released only by the lazy ContextCleaner, so a long-running
+        # ANN ingest stream accumulated every batch's blocks in executor
+        # storage exactly like the LSH store did (build 3.2 s → 12.2 s
+        # across cycles before the lsh_ingest fix). Recompute is
+        # version-safe: the centroids read pins v={base_v} directories at
+        # plan time, so a lost block re-derives the SAME assignment even
+        # after the store advances.
+        asg = asg.persist()
+        try:
+            asg.count()  # materialize the one assignment pass eagerly
 
-        # DELTA commit (r9): the batch's own assignments, O(|batch|)
-        # written — the store's last-write-wins resolution replaces
-        # re-upserted ids at read time, so the old postings never need
-        # to be read (or rewritten) here at all. commit_pinned_delta
-        # (r10) guards the replay skip: v=base_v+1 must be OUR delta,
-        # not a snapshot compact_ann_index committed in between.
-        delta_store.commit_pinned_delta(
-            index_path,
-            marker,
-            base_v,
-            lambda v: _write_version(
-                index_path, v, cents, asg, reclaim_torn=True
-            ),
-        )
-        # deterministic per-(lineage, batch) dir + overwrite = idempotent
-        asg.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")
-        )
+            # DELTA commit (r9): the batch's own assignments, O(|batch|)
+            # written — the store's last-write-wins resolution replaces
+            # re-upserted ids at read time, so the old postings never need
+            # to be read (or rewritten) here at all. commit_pinned_delta
+            # (r10) guards the replay skip: v=base_v+1 must be OUR delta,
+            # not a snapshot compact_ann_index committed in between.
+            delta_store.commit_pinned_delta(
+                index_path,
+                marker,
+                base_v,
+                lambda v: _write_version(
+                    index_path, v, cents, asg, reclaim_torn=True
+                ),
+            )
+            # deterministic per-(lineage, batch) dir + overwrite = idempotent
+            asg.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={ckpt_id}-{batch_id}")
+            )
+        finally:
+            # bounded per-batch executor storage: release NOW, not
+            # whenever the ContextCleaner collects the dead reference
+            asg.unpersist()
 
     return process_batch
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline_for_elasticsearch_json_document_spark.operators.schema_report import (
     json_schema_profile,
+    json_schema_profile_deep,
     schema_evolution_report,
 )
 from etl_pipeline_for_elasticsearch_json_document_spark.streaming.identity import (
@@ -37,13 +38,26 @@ from etl_pipeline_for_elasticsearch_json_document_spark.streaming.identity impor
 )
 
 
-def _schema_watch_processor(profiles_path: str, ckpt_id: str, batch_col: str, json_col: str):
+def _schema_watch_processor(
+    profiles_path: str,
+    ckpt_id: str,
+    batch_col: str,
+    json_col: str,
+    deep: bool = False,
+    max_depth: int = 20,
+):
+    profile = (
+        (lambda df, b, j: json_schema_profile_deep(df, b, j, max_depth))
+        if deep
+        else json_schema_profile
+    )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # 'mb=', NOT 'batch=': partition discovery would read a 'batch='
         # dir token as a STRING partition column and clobber the data's
         # own bigint batch ordinal
         out = os.path.join(profiles_path, f"mb={ckpt_id}-{batch_id}")
-        json_schema_profile(batch_df, batch_col, json_col).write.mode(
+        profile(batch_df, batch_col, json_col).write.mode(
             "overwrite"
         ).parquet(out)
 
@@ -57,14 +71,21 @@ def run_schema_watch_stream(
     batch_col: str,
     json_col: str,
     trigger_available_now: bool = True,
+    deep: bool = False,
+    max_depth: int = 20,
 ):
     """Attach the schema watch to a streaming DataFrame carrying a batch
     ordinal column (day-of-export, epoch id — consecutive integers) and a
-    JSON document column. Returns the StreamingQuery."""
+    JSON document column. Returns the StreamingQuery. ``deep=True``
+    profiles FULL leaf paths (nested objects/arrays to ``max_depth``,
+    :func:`json_schema_profile_deep`) instead of top-level keys — the
+    per-batch append stays O(leaf paths), still corpus-independent."""
     ckpt_id = checkpoint_identity(checkpoint_dir)
     writer = (
         stream.writeStream.foreachBatch(
-            _schema_watch_processor(profiles_path, ckpt_id, batch_col, json_col)
+            _schema_watch_processor(
+                profiles_path, ckpt_id, batch_col, json_col, deep, max_depth
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
@@ -81,8 +102,20 @@ def read_schema_report(spark: SparkSession, profiles_path: str) -> DataFrame:
     the same batch ordinal from different micro-batches merge by
     re-profiling the union (kind sets re-aggregate exactly because the
     profile is a distinct relation)."""
+    import glob
+
     import pyspark.sql.functions as F
 
+    # guard (r12, ADVICE): before the first micro-batch commits a
+    # profile the path has no mb=* data and spark.read raises
+    # AnalysisException — monitoring must be able to poll the report
+    # from stream start, so return the empty report instead
+    if not glob.glob(os.path.join(profiles_path, "mb=*")):
+        return spark.createDataFrame(
+            [],
+            "batch bigint, path string, status string, "
+            "prev_kinds string, cur_kinds string",
+        )
     raw = spark.read.parquet(profiles_path).select("batch", "path", "kinds")
     # a logical batch split across micro-batches may contribute several
     # kind-set rows per (batch, path) — merge the sets before diffing
