@@ -162,13 +162,29 @@ def force(df):
 #: attributable to code vs jitter (VERDICT r10 item 9)
 SPREADS: dict[str, list[float]] = {}
 
+#: label → list of discarded outlier run times (seconds). r12 (VERDICT r11
+#: item 5): one wild run — an OS-scheduling or GC hiccup on the shared
+#: 32-thread box — landed a 22× outlier in a headline spread (q32
+#: [0.55, 12.28]) even though the bench's sections all run strictly
+#: serialized (every subprocess.run blocks). Medians absorb such runs;
+#: the SPREAD should not present them as the entry's honest band, so
+#: timed_median retries and records what it dropped here (written to
+#: BENCH_DETAIL so nothing is hidden).
+OUTLIERS: dict[str, list[float]] = {}
+
 
 def timed_median(run, n: int = 3, label: str | None = None) -> float:
     """Median of ``n`` timed runs; entries whose median lands under 1 s get
     two extra runs (median-of-5) — sub-second numbers on a shared 32-thread
     JVM otherwise swing ±30% with concurrent-load luck, which made r3→r4
     noise indistinguishable from regression (VERDICT r4 item 7).
-    ``label`` records the runs' [min, max] into :data:`SPREADS`."""
+    ``label`` records the runs' [min, max] into :data:`SPREADS`.
+
+    Outlier policy (r12): a run > 3× the median of its batch is an
+    environmental hiccup, not the entry's cost — it is replaced by ONE
+    retry run (at most two replacements per entry) and recorded in
+    :data:`OUTLIERS`; the median is computed over ALL runs including
+    outliers (robust anyway), the spread over the kept runs."""
     ts = []
     for _ in range(n):
         t0 = time.time()
@@ -179,8 +195,21 @@ def timed_median(run, n: int = 3, label: str | None = None) -> float:
             t0 = time.time()
             run()
             ts.append(time.time() - t0)
+    kept = list(ts)
+    for _ in range(2):
+        med = statistics.median(kept)
+        worst = max(kept)
+        if worst <= 3 * med or worst <= med + 0.5:
+            break
+        kept.remove(worst)
+        if label:
+            OUTLIERS.setdefault(label, []).append(round(worst, 3))
+        t0 = time.time()
+        run()
+        kept.append(time.time() - t0)
+        ts.append(kept[-1])
     if label:
-        SPREADS[label] = [round(min(ts), 3), round(max(ts), 3)]
+        SPREADS[label] = [round(min(kept), 3), round(max(kept), 3)]
     return round(statistics.median(ts), 3)
 
 
@@ -193,6 +222,35 @@ def _medians_and_spreads(
         k: [round(min(ts), 3), round(max(ts), 3)] for k, ts in runs.items()
     }
     return out, spreads
+
+
+def _is_outlier(ts: list[float], v: float) -> bool:
+    med = statistics.median(ts)
+    return v > 3 * med and v > med + 0.5
+
+
+def _retry_cycle_outliers(
+    runs: dict[str, list[float]], run_extra_cycle, max_extra: int = 1
+) -> None:
+    """r12 (VERDICT r11 item 5, cycle-level): one wild store-lifecycle
+    cycle — external machine contention; this box carries intermittent
+    load spikes that inflated single cycles 3-5x with no code change —
+    should not define a stage's reported spread. If any stage's worst
+    run is >3x its median (and >0.5 s absolute), run up to ``max_extra``
+    extra full cycles, then drop per-stage worst values still beyond the
+    threshold into :data:`OUTLIERS` (never below 3 kept runs) so medians
+    and spreads reflect the steady cycles; the dropped values are
+    reported, not hidden."""
+    extra = 0
+    while extra < max_extra and any(
+        _is_outlier(ts, max(ts)) for ts in runs.values()
+    ):
+        run_extra_cycle(f"x{extra}")
+        extra += 1
+    for k, ts in runs.items():
+        while len(ts) > 3 and _is_outlier(ts, max(ts)):
+            OUTLIERS.setdefault(k, []).append(round(max(ts), 3))
+            ts.remove(max(ts))
 
 
 def bench_flatten(spark) -> dict[str, float]:
@@ -351,24 +409,34 @@ def bench_dedup_diag(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, li
     # untimed warm-up: one star closure on a slice (JVM/codegen ramp)
     dedup_close(docs.filter(F.col("doc_id") % 23 == 0)).count()
     runs: dict[str, list[float]] = {}
-    for _ in range(3):
-        t0 = time.time()
-        pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
-        dedup_clusters(pairs, docs).filter("is_representative").count()
-        runs.setdefault("diag_allpairs_close_pairs", []).append(time.time() - t0)
     reps = spark.range(10).select(F.col("id").alias("rep"))
     big = docs.crossJoin(F.broadcast(reps)).select(
         (F.col("doc_id") + F.col("rep") * F.lit(10 * n)).alias("doc_id"), "text"
     )
-    for _ in range(3):
+
+    def run_pairs() -> None:
+        t0 = time.time()
+        pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+        dedup_clusters(pairs, docs).filter("is_representative").count()
+        runs.setdefault("diag_allpairs_close_pairs", []).append(time.time() - t0)
+
+    def run_x10() -> None:
         t0 = time.time()
         dedup_close(big).filter("is_representative").count()
         runs.setdefault("dedup_close_x10", []).append(time.time() - t0)
+
+    for _ in range(3):
+        run_pairs()
+    for _ in range(3):
+        run_x10()
+    _retry_cycle_outliers(runs, lambda tag: (run_pairs(), run_x10()))
     return _medians_and_spreads(runs)
 
 
 
-def bench_rollup(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+def bench_rollup(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]], dict]:
     """DIAGNOSTIC: incremental rollup maintenance vs naive recompute over
     a growing history — the events table split into 8 arrival batches.
 
@@ -462,7 +530,17 @@ def bench_rollup(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[f
             out[f"rollup_full_step{i + 1}"] = round(time.time() - t0, 3)
 
         # fact-scaled-key grown-store ratio (see docstring): per-user
-        # totals, same small batch against a fresh vs ~20x-grown store
+        # totals, same small batches against a fresh vs ~50x-grown store.
+        # r12 (VERDICT r11 item 2): the r11 measurement could not prove the
+        # O(batch) claim — the ratio swung 0.73-1.46 between full runs
+        # because the ~20x growth signal sat inside run noise. Three
+        # changes make it conclusive: (a) the grown store's GROUP DOMAIN is
+        # 50x the small store's (an O(|store|) term in the update path
+        # would now dominate the sub-second batch cost outright), (b)
+        # median-of-5 distinct batches per store with the spread printed,
+        # (c) the gate is asserted HERE (see ``gates`` in the section
+        # output) — ratio ≤ 1.15 passes; anything above prints the loud
+        # failure text instead of leaving the number to be noticed.
         ukeys = ["user_id"]
         umeasures = {"n_events": ("count", "*"), "total": ("sum", "value")}
         uevents = spark.read.parquet(f"{sf_dir}/events.parquet").select(
@@ -472,18 +550,9 @@ def bench_rollup(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[f
         seed = uevents.limit(5000)
         small_store = os.path.join(work, "u_small")
         update_rollup(spark, small_store, seed, ukeys, umeasures)
-        # median of 3 distinct small batches (same stability rationale as
-        # the lsh/fp small/grown pairs)
-        ts = []
-        for k in (0, 1, 2):
-            b = uevents.filter(F.col("event_id") % 97 == k)
-            t0 = time.time()
-            update_rollup(spark, small_store, b, ukeys, umeasures)
-            ts.append(time.time() - t0)
-        t_small = statistics.median(ts)
-        spreads["rollup_batch_small"] = [round(min(ts), 3), round(max(ts), 3)]
+
         grown_store = os.path.join(work, "u_grown")
-        ureps = spark.range(20).select(F.col("id").alias("rep"))
+        ureps = spark.range(50).select(F.col("id").alias("rep"))
         grown = uevents.crossJoin(F.broadcast(ureps)).select(
             (F.col("event_id") + F.col("rep") * F.lit(un)).alias("event_id"),
             F.concat(F.col("user_id").cast("string"), F.lit("_"), F.col("rep")).alias(
@@ -492,23 +561,62 @@ def bench_rollup(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[f
             "value",
         )
         update_rollup(spark, grown_store, grown, ukeys, umeasures)
-        ts = []
-        for k in (0, 1, 2):
+        # INTERLEAVED pairs (r12 second revision): the box carries
+        # intermittent external load (a sustained spike during the grown
+        # loop measured ratio 2.38 on the same code that measured 1.02 an
+        # hour earlier). Timing small/grown back-to-back per batch makes
+        # each pair share its contention window; the gate rides the
+        # MEDIAN of per-pair ratios, which a spike inside one pair can't
+        # move. Each store still gets one untimed warm batch first (the
+        # first update against a fresh store pays plan ramp — measured
+        # 11.8 s vs 2.1 s steady — which inverted the ratio pre-warm-up).
+        for store in (small_store, grown_store):
+            update_rollup(
+                spark, store, uevents.filter(F.col("event_id") % 97 == 90),
+                ukeys, umeasures,
+            )
+        ts_small, ts_grown, pair_ratios = [], [], []
+        for k in range(5):
             b = uevents.filter(F.col("event_id") % 97 == k)
             t0 = time.time()
+            update_rollup(spark, small_store, b, ukeys, umeasures)
+            ts_small.append(time.time() - t0)
+            t0 = time.time()
             update_rollup(spark, grown_store, b, ukeys, umeasures)
-            ts.append(time.time() - t0)
-        t_grown = statistics.median(ts)
-        spreads["rollup_batch_small_grown"] = [round(min(ts), 3), round(max(ts), 3)]
+            ts_grown.append(time.time() - t0)
+            pair_ratios.append(ts_grown[-1] / ts_small[-1])
+        spreads["rollup_batch_small"] = [round(min(ts_small), 3), round(max(ts_small), 3)]
+        spreads["rollup_batch_small_grown"] = [round(min(ts_grown), 3), round(max(ts_grown), 3)]
+        t_small = statistics.median(ts_small)
+        t_grown = statistics.median(ts_grown)
+        ratio = round(statistics.median(pair_ratios), 2)
         out["rollup_batch_small"] = round(t_small, 3)
         out["rollup_batch_small_grown"] = round(t_grown, 3)
-        out["rollup_small_grown_ratio"] = round(t_grown / t_small, 2)
+        out["rollup_small_grown_ratio"] = ratio
+        gates = {
+            "rollup_small_grown_ratio": {
+                "value": ratio,
+                "threshold": 1.15,
+                "pass": ratio <= 1.15,
+            }
+        }
+        if not gates["rollup_small_grown_ratio"]["pass"]:
+            print(
+                f"GATE FAIL rollup_small_grown_ratio={ratio} > 1.15: the same "
+                "batch costs more against a 50x-grown store — the update "
+                "path is paying an O(|store|) term (suspects: sidecar "
+                "validation, snapshot+delta-chain listing); profile before "
+                "trusting the O(batch) claim.",
+                file=sys.stderr,
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return out, spreads
+    return out, spreads, gates
 
 
-def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
+def bench_ann_index(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     """DIAGNOSTIC: ANN-store maintenance cost — the build (kmeans fit +
     assign + commit) vs one incremental upsert of a same-sized batch
     against the frozen codebook. The upsert should cost a small fraction
@@ -555,6 +663,7 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
     rest = emb.filter(F.col("vec_id") >= 200)
     work = tempfile.mkdtemp(prefix="bench_ann_")
     out: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     # Untimed warm-up on a scratch store: in the isolated subprocess JVM
     # the first job pays scheduler + codegen + JIT ramp; without this the
     # build entry absorbs it (~+1 s) and the sub-second entries swing
@@ -584,8 +693,8 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
         def rec(key: str, t0: float) -> None:
             runs.setdefault(key, []).append(time.time() - t0)
 
-        for i in range(3):
-            ivf = f"{work}/ivf{i}"
+        def life_cycle(tag: str) -> None:
+            ivf = f"{work}/ivf{tag}"
             t0 = time.time()
             ivf_build(spark, ivf, half, k=8)
             rec("ann_ivf_build", t0)
@@ -600,18 +709,23 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
             # service (partition-pruned scan + broadcast probes, no corpus
             # shuffle)
             t0 = time.time()
-            write_ivf_layout(spark, ivf, emb, f"{work}/layout{i}")
+            write_ivf_layout(spark, ivf, emb, f"{work}/layout{tag}")
             rec("ann_layout_write", t0)
             queries = emb.filter(F.col("vec_id") < 16)
             t0 = time.time()
             force(
                 ivf_query_layout(
-                    spark, ivf, f"{work}/layout{i}", queries, k=10, nprobe=2
+                    spark, ivf, f"{work}/layout{tag}", queries, k=10, nprobe=2
                 )
             )
             rec("ann_ivf_query", t0)
-        for key, ts in runs.items():
-            out[key] = round(statistics.median(ts), 3)
+
+        for i in range(3):
+            life_cycle(str(i))
+        _retry_cycle_outliers(runs, life_cycle)
+        cyc_out, cyc_spreads = _medians_and_spreads(runs)
+        out.update(cyc_out)
+        spreads.update(cyc_spreads)
 
         # r10 (VERDICT item 6): the replace-upsert catch-up path
         # (upsert_ivf_layout) had parity tests but no cost measurement.
@@ -628,17 +742,19 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
 
         batch = emb.filter(F.col("vec_id") < 16)  # replaces existing ids
 
-        def layout_upsert_time(corpus, k, tag, assign):
+        def layout_prepare(corpus, k, tag, assign):
             ivf = f"{work}/ivf_up_{tag}"
             layout = f"{work}/layout_up_{tag}"
             ivf_build(spark, ivf, corpus, k=k, assign=assign)
             write_ivf_layout(spark, ivf, corpus, layout)
+            # one untimed store-upsert + layout catch-up: plan/codegen
+            # ramp for this shape (the layout pin requires the pair to
+            # advance in lock-step — upsert_ivf_layout catches up exactly
+            # one store upsert)
             ivf_upsert(spark, ivf, batch, assign=assign)
-            t0 = time.time()
             upsert_ivf_layout(spark, ivf, batch, layout)
-            return time.time() - t0
+            return ivf, layout
 
-        t_small = layout_upsert_time(emb, 8, "small", "expr")
         n_emb = emb.count()
         reps = spark.range(1, 8).select(F.col("id").alias("rep"))
         grown = emb.unionByName(
@@ -650,13 +766,65 @@ def bench_ann_index(spark, sf_dir: str) -> dict[str, float]:
                 ).alias("embedding"),
             )
         )
-        t_grown = layout_upsert_time(grown, 64, "grown", "pandas")
-        out["ann_layout_upsert"] = round(t_small, 3)
-        out["ann_layout_upsert_grown"] = round(t_grown, 3)
-        out["ann_layout_upsert_grown_ratio"] = round(t_grown / t_small, 2)
+        small_ivf, small_layout = layout_prepare(emb, 8, "small", "expr")
+        grown_ivf, grown_layout = layout_prepare(grown, 64, "grown", "pandas")
+        # INTERLEAVED timed pairs (r12, same rationale as the rollup gate):
+        # re-upserting the same batch is the steady-state replace path
+        # (only the batch's old+new cells rewrite), so the pair shares its
+        # contention window and the ratio is the median of per-pair
+        # ratios. Each timed layout catch-up needs an UNTIMED store
+        # advance first (the pin contract above).
+        ts_small, ts_grown, pair_ratios = [], [], []
+        for _ in range(3):
+            ivf_upsert(spark, small_ivf, batch, assign="expr")
+            t0 = time.time()
+            upsert_ivf_layout(spark, small_ivf, batch, small_layout)
+            ts_small.append(time.time() - t0)
+            ivf_upsert(spark, grown_ivf, batch, assign="pandas")
+            t0 = time.time()
+            upsert_ivf_layout(spark, grown_ivf, batch, grown_layout)
+            ts_grown.append(time.time() - t0)
+            pair_ratios.append(ts_grown[-1] / ts_small[-1])
+        out["ann_layout_upsert"] = round(statistics.median(ts_small), 3)
+        out["ann_layout_upsert_grown"] = round(statistics.median(ts_grown), 3)
+        out["ann_layout_upsert_grown_ratio"] = round(
+            statistics.median(pair_ratios), 2
+        )
+        spreads["ann_layout_upsert"] = [round(min(ts_small), 3), round(max(ts_small), 3)]
+        spreads["ann_layout_upsert_grown"] = [round(min(ts_grown), 3), round(max(ts_grown), 3)]
+
+        # r12 (VERDICT r11 item 1): the streaming ingest's per-batch cost,
+        # measured across 12 consecutive micro-batches in ONE session —
+        # the regression this row exists to catch is per-batch pinned
+        # storage accumulating (the localCheckpoint class that degraded
+        # the LSH build 3.2→12.2 s across cycles): with the persist +
+        # finally-unpersist fix, batch N must cost what batch 1 cost.
+        # ``ann_ingest_flatness_ratio`` = median(last 3)/median(first 3).
+        from etl_pipeline_for_elasticsearch_json_document_spark.streaming.ann_ingest import (
+            _ann_batch_processor,
+        )
+
+        ingest_idx = f"{work}/ivf_ingest"
+        ivf_build(spark, ingest_idx, half, k=8)
+        proc = _ann_batch_processor(ingest_idx, f"{work}/ingest_out", "bench")
+        n_emb2 = emb.count()
+        ts = []
+        for b in range(12):
+            batch = emb.filter(F.col("vec_id") % 41 == (b % 8)).select(
+                (F.col("vec_id") + F.lit((b + 1) * 10 * n_emb2)).alias("vec_id"),
+                "embedding",
+            )
+            t0 = time.time()
+            proc(batch, b)
+            ts.append(time.time() - t0)
+        out["ann_ingest_batch"] = round(statistics.median(ts), 3)
+        spreads["ann_ingest_batch"] = [round(min(ts), 3), round(max(ts), 3)]
+        out["ann_ingest_flatness_ratio"] = round(
+            statistics.median(ts[-3:]) / statistics.median(ts[:3]), 2
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return out
+    return out, spreads
 
 
 def bench_lsh_index(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
@@ -745,6 +913,7 @@ def bench_lsh_index(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, lis
         cycle("warm", docs.filter(F.col("doc_id") % 23 == 0), timed=False)
         for i in range(3):
             cycle(f"c{i}", docs, timed=True)
+        _retry_cycle_outliers(runs, lambda tag: cycle(tag, docs, timed=True))
     finally:
         shutil.rmtree(work, ignore_errors=True)
     out, spreads = _medians_and_spreads(runs)
@@ -915,6 +1084,7 @@ def bench_fp_index(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list
         cycle("warm", docs.filter(F.col("doc_id") % 23 == 0), timed=False)
         for i in range(3):
             cycle(f"c{i}", docs, timed=True)
+        _retry_cycle_outliers(runs, lambda tag: cycle(tag, docs, timed=True))
     finally:
         shutil.rmtree(work, ignore_errors=True)
     out, spreads = _medians_and_spreads(runs)
@@ -950,10 +1120,25 @@ def _run_isolated(flag: str, sf_dir: str | None = None) -> dict:
         [sys.executable, __file__, flag],
         capture_output=True,
         text=True,
-        check=True,
         env=env,
     )
-    return json.loads(res.stdout.strip().splitlines()[-1])
+    # surface the child's own failure text (r12, ADVICE r11): a bare
+    # CalledProcessError/JSONDecodeError discarded the subprocess's stderr
+    # and the offending stdout line, making section failures undiagnosable
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"bench section {flag} exited {res.returncode}; stderr tail:\n"
+            + "\n".join(res.stderr.strip().splitlines()[-15:])
+        )
+    last = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
+    try:
+        return json.loads(last)
+    except json.JSONDecodeError as e:
+        raise RuntimeError(
+            f"bench section {flag} printed a non-JSON last line: {last!r}; "
+            "stderr tail:\n"
+            + "\n".join(res.stderr.strip().splitlines()[-15:])
+        ) from e
 
 
 def run_flatten_isolated() -> dict:
@@ -982,29 +1167,50 @@ def ann_subprocess_main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("etl-pipeline-bench-ann")
     spark.sparkContext.setLogLevel("ERROR")
-    out = bench_ann_index(spark, sf_dir)
+    out, spreads = bench_ann_index(spark, sf_dir)
     spark.stop()
-    print(json.dumps(out))
+    print(json.dumps({"timings": out, "spreads": spreads, "outliers": OUTLIERS}))
 
 
 def _section_subprocess_main(name: str, fn) -> None:
-    """Shared body for the r11 isolated diagnostic sections (lsh / fp /
-    dedup-diag): fresh JVM, run the section (which does its own untimed
-    warm-up + median-of-3 cycles), print {"timings", "spreads"} last."""
+    """Shared body for the r11 isolated diagnostic sections (rollup / lsh /
+    fp / dedup-diag): fresh JVM, run the section (which does its own
+    untimed warm-up + median cycles), print {"timings", "spreads"[,
+    "gates"]} last. A section may return a third element of asserted
+    gates (r12 — the rollup grown-ratio check lives IN the bench now)."""
     from etl_pipeline_for_elasticsearch_json_document_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(f"etl-pipeline-bench-{name}")
     spark.sparkContext.setLogLevel("ERROR")
-    out, spreads = fn(spark, sf_dir)
+    res = fn(spark, sf_dir)
+    out, spreads = res[0], res[1]
+    payload = {"timings": out, "spreads": spreads, "outliers": OUTLIERS}
+    if len(res) > 2:
+        payload["gates"] = res[2]
     spark.stop()
-    print(json.dumps({"timings": out, "spreads": spreads}))
+    print(json.dumps(payload))
 
+
+
+def _calibration() -> float:
+    """Fixed single-core CPU spin (~0.3 s on an idle core): run at bench
+    start and end, stamped into env. Cross-round drift on a FIXED pure-
+    python workload is external machine contention by definition — it
+    lets a reader separate 'the box was slow that hour' (calib moved
+    with the entries; r12 saw whole runs inflate ~2x with no code
+    change) from a real regression (entries moved, calib didn't)."""
+    t0 = time.time()
+    x = 0
+    for i in range(5_000_000):
+        x += i * i
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    calib_start = _calibration()
 
     # In-process pandas rows FIRST, in a subprocess untouched by the JVM.
     timings: dict[str, float] = dict(bench_inmem())
@@ -1054,14 +1260,15 @@ def main() -> None:
     # JVM with untimed warm-up + median treatment (r11; VERDICT r10
     # item 1 — the shared-JVM single-shot numbers could not distinguish a
     # 2x regression from jitter; the ann section proved the treatment).
+    gates: dict = {}
     for flag in ("--rollup-subprocess", "--ann-subprocess", "--lsh-subprocess",
                  "--fp-subprocess", "--dedup-diag-subprocess"):
         section = _run_isolated(flag, sf_dir)
-        if "timings" in section:
-            diagnostics.update(section["timings"])
-            spreads.update(section.get("spreads", {}))
-        else:  # ann main predates the spreads envelope
-            diagnostics.update(section)
+        diagnostics.update(section["timings"])
+        spreads.update(section.get("spreads", {}))
+        gates.update(section.get("gates", {}))
+        for k, v in section.get("outliers", {}).items():
+            OUTLIERS.setdefault(k, []).extend(v)
 
     # x10 scale ladder for the top headliners (VERDICT r8 item 2); the
     # dedup and flatten rungs reuse entries measured above.
@@ -1096,6 +1303,23 @@ def main() -> None:
         "diagnostics": diagnostics,
         "scale_ladder": ladder,
         "spreads": spreads,
+        "gates": gates,
+        "outliers": OUTLIERS,
+        # provenance stamp (r12, VERDICT r11 item 4): the r11 working tree
+        # and HEAD disagreed 2-3x on every grown ratio with no way to tell
+        # whose environment produced which number
+        "env": {
+            "cpu_count": os.cpu_count(),
+            "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "sf_dir": sf_dir,
+            "python": sys.version.split()[0],
+            "sections_serialized": True,
+            "provenance": os.environ.get("SPARK_GRAFT_BENCH_PROVENANCE",
+                                         "unspecified"),
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "calib_spin_start_s": calib_start,
+            "calib_spin_end_s": _calibration(),
+        },
         "sf": float(sf),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
