@@ -224,6 +224,30 @@ def _medians_and_spreads(
     return out, spreads
 
 
+def _ratio_gate(name: str, ratio: float, threshold: float = 1.25) -> dict:
+    """r12: every O(batch)/O(touched-cells) store claim carries an
+    asserted gate IN the bench (the rollup treatment, applied uniformly):
+    ratio ≤ threshold passes; a failure prints loud text to stderr so it
+    cannot sit unnoticed in a JSON artifact.
+
+    Threshold calibration: this box runs on a shared host with bursty
+    CPU steal (load average 8-10 with zero local consumers) — interleaved
+    pairs measured 1.16-1.20 on designs whose ratios read 0.8-1.1 on
+    quiet runs, so 1.15 flapped on noise. 1.25 sits above that floor
+    while still being unmistakably below what a real O(|store|) term
+    would produce at these growth factors (the stores grow 8-50x, so a
+    per-batch cost scaling with the store would gate at 8-50, not 1.2)."""
+    ok = ratio <= threshold
+    if not ok:
+        print(
+            f"GATE FAIL {name}={ratio} > {threshold}: the same batch costs "
+            "more against the grown store — an O(|store|) term is leaking "
+            "into the per-batch path; profile before trusting the claim.",
+            file=sys.stderr,
+        )
+    return {name: {"value": ratio, "threshold": threshold, "pass": ok}}
+
+
 def _is_outlier(ts: list[float], v: float) -> bool:
     med = statistics.median(ts)
     return v > 3 * med and v > med + 0.5
@@ -593,22 +617,7 @@ def bench_rollup(
         out["rollup_batch_small"] = round(t_small, 3)
         out["rollup_batch_small_grown"] = round(t_grown, 3)
         out["rollup_small_grown_ratio"] = ratio
-        gates = {
-            "rollup_small_grown_ratio": {
-                "value": ratio,
-                "threshold": 1.15,
-                "pass": ratio <= 1.15,
-            }
-        }
-        if not gates["rollup_small_grown_ratio"]["pass"]:
-            print(
-                f"GATE FAIL rollup_small_grown_ratio={ratio} > 1.15: the same "
-                "batch costs more against a 50x-grown store — the update "
-                "path is paying an O(|store|) term (suspects: sidecar "
-                "validation, snapshot+delta-chain listing); profile before "
-                "trusting the O(batch) claim.",
-                file=sys.stderr,
-            )
+        gates = _ratio_gate("rollup_small_grown_ratio", ratio)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out, spreads, gates
@@ -616,7 +625,7 @@ def bench_rollup(
 
 def bench_ann_index(
     spark, sf_dir: str
-) -> tuple[dict[str, float], dict[str, list[float]]]:
+) -> tuple[dict[str, float], dict[str, list[float]], dict]:
     """DIAGNOSTIC: ANN-store maintenance cost — the build (kmeans fit +
     assign + commit) vs one incremental upsert of a same-sized batch
     against the frozen codebook. The upsert should cost a small fraction
@@ -822,12 +831,20 @@ def bench_ann_index(
         out["ann_ingest_flatness_ratio"] = round(
             statistics.median(ts[-3:]) / statistics.median(ts[:3]), 2
         )
+        gates = _ratio_gate(
+            "ann_layout_upsert_grown_ratio", out["ann_layout_upsert_grown_ratio"]
+        )
+        gates.update(
+            _ratio_gate("ann_ingest_flatness_ratio", out["ann_ingest_flatness_ratio"])
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return out, spreads
+    return out, spreads, gates
 
 
-def bench_lsh_index(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+def bench_lsh_index(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]], dict]:
     """DIAGNOSTIC: streaming near-dup index maintenance cost, measured as
     THREE full store lifecycles into fresh paths after an untimed warm-up
     mini-cycle — per-stage median + [min, max] spread (the ann-section
@@ -920,7 +937,9 @@ def bench_lsh_index(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, lis
     out["lsh_small_grown_ratio"] = round(
         out["lsh_index_batch_small_grown"] / out["lsh_index_batch_small"], 2
     )
-    return out, spreads
+    return out, spreads, _ratio_gate(
+        "lsh_small_grown_ratio", out["lsh_small_grown_ratio"]
+    )
 
 
 
@@ -1007,12 +1026,32 @@ def bench_scale_ladder(spark, sf_dir: str, x1: dict[str, float]) -> dict:
             force(d10)
             t10 = timed_median(lambda: force(d10))
             out[name] = {"x1": t1, "x10": t10, "ratio": round(t10 / t1, 2)}
+        # r12: the deep schema walk on the ladder — 20 chained Generates
+        # over a x10 corpus, batch domain constant (day ordinals survive
+        # replication), so the slope should be the scan+explode's, never
+        # the diff's (path-domain-sized). The query caches its profile
+        # internally, so each timed run REBUILDS the frame and clears the
+        # session cache — re-forcing one frame would time the cached
+        # path-domain re-read, not the walk.
+        name = "q248_deep_schema_evolution"
+
+        def run_deep(dirpath: str) -> None:
+            spark.catalog.clearCache()
+            force(queries[name].fn(spark, dirpath))
+
+        run_deep(sf_dir)  # warm-up (codegen for the 20-generate chain)
+        t1 = timed_median(lambda: run_deep(sf_dir))
+        run_deep(work)
+        t10 = timed_median(lambda: run_deep(work))
+        out[name] = {"x1": t1, "x10": t10, "ratio": round(t10 / t1, 2)}
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
 
 
-def bench_fp_index(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+def bench_fp_index(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]], dict]:
     """DIAGNOSTIC: fingerprint-index maintenance cost — the second
     delta-store consumer, measured exactly like bench_lsh_index since
     r11: untimed warm-up mini-cycle, then THREE full store lifecycles
@@ -1091,7 +1130,9 @@ def bench_fp_index(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list
     out["fp_small_grown_ratio"] = round(
         out["fp_index_batch_small_grown"] / out["fp_index_batch_small"], 2
     )
-    return out, spreads
+    return out, spreads, _ratio_gate(
+        "fp_small_grown_ratio", out["fp_small_grown_ratio"]
+    )
 
 
 
@@ -1167,9 +1208,11 @@ def ann_subprocess_main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("etl-pipeline-bench-ann")
     spark.sparkContext.setLogLevel("ERROR")
-    out, spreads = bench_ann_index(spark, sf_dir)
+    out, spreads, gates = bench_ann_index(spark, sf_dir)
     spark.stop()
-    print(json.dumps({"timings": out, "spreads": spreads, "outliers": OUTLIERS}))
+    print(json.dumps({
+        "timings": out, "spreads": spreads, "outliers": OUTLIERS, "gates": gates,
+    }))
 
 
 def _section_subprocess_main(name: str, fn) -> None:
