@@ -610,10 +610,20 @@ def ivf_query_layout(
         )
     cents, _ = read_ann_index(spark, index_path)
     probes = _probe_cells(queries, cents, id_col, vec_col, nprobe)
-    probes = probes.localCheckpoint(eager=True)  # probe once, reuse twice
-    probed_cids = sorted(r["cid"] for r in probes.select("cid").distinct().collect())
+    # probe once, reuse twice WITHOUT a pin (r13; was a one-shot
+    # localCheckpoint — the storage-accumulation class the r11/r12 store
+    # fixes closed: checkpointed blocks wait on the lazy ContextCleaner,
+    # and this is exactly the API a serving loop calls forever). The
+    # probe relation is |queries| x nprobe rows by definition of a
+    # serving call and was ALREADY collected for the cid literal below —
+    # collect it once, derive both the pruning list and the broadcast
+    # side from the same local rows: one probe job, zero executor
+    # storage left behind.
+    probe_rows = probes.collect()
+    probed_cids = sorted({int(r["cid"]) for r in probe_rows})
+    probes = spark.createDataFrame(probe_rows, probes.schema)
     corpus = spark.read.parquet(layout_path).filter(
-        F.col("cid").isin([int(c) for c in probed_cids])
+        F.col("cid").isin(probed_cids)
     )
     scored = (
         corpus.join(F.broadcast(probes), "cid")
@@ -680,46 +690,63 @@ def append_ivf_layout(
             "catches up exactly one upsert — apply batches in order, or "
             "re-run write_ivf_layout"
         )
+    # persist + EXPLICIT unpersist (r13; was a one-shot localCheckpoint —
+    # bounded per call, but this is exactly the API a ledger-ordered
+    # catch-up loop calls per batch forever, and checkpointed blocks wait
+    # on the lazy ContextCleaner: the accumulation class the r11/r12
+    # store fixes closed). The eager count below still makes guards and
+    # write see ONE materialized frame; a post-eviction recompute
+    # re-derives from the caller's frame, which the store contract
+    # already requires to be the deterministic batch handed to ivf_upsert.
     batch = new_vectors.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
-    ).localCheckpoint(eager=True)  # pin: guards and write see ONE frame
-    # the only question asked of the pinned postings is "does any batch id
-    # already exist?" — prune the resolution read to the batch ids' own
-    # hash partitions (exact: all versions of one vec_id share a partition)
-    meta = delta_store.load_or_init_meta(index_path, delta_store.DEFAULT_PARTITIONS)
-    touched = delta_store.touched_partitions(
-        batch.select("vec_id"), ["vec_id"], meta["n_partitions"]
-    )
-    prev_ids = _read_postings(
-        spark, index_path, pinned, touched_p=touched
-    ).select("vec_id")
-    n_replaced = batch.join(prev_ids, "vec_id", "left_semi").count()
-    if n_replaced:
-        raise ValueError(
-            f"{n_replaced} batch ids already exist in the pinned layout — "
-            "an append cannot retract their stale rows; use "
-            "upsert_ivf_layout (partition-scoped rewrite) for "
-            "replace-upserts"
+    ).persist()
+    try:
+        batch.count()  # materialize the pin eagerly
+        # the only question asked of the pinned postings is "does any batch
+        # id already exist?" — prune the resolution read to the batch ids'
+        # own hash partitions (exact: all versions of one vec_id share a
+        # partition)
+        meta = delta_store.load_or_init_meta(
+            index_path, delta_store.DEFAULT_PARTITIONS
         )
-    # cells come from the committed truth, probed by batch id only —
-    # the same pruned resolution read as the replaced-id check above
-    postings = _read_postings(spark, index_path, latest, touched_p=touched)
-    # a batch id absent from the latest postings would vanish silently
-    # (dropped by the inner join while the pin still advances, and the
-    # pin contract forbids re-appending it later) — the caller passed a
-    # batch that differs from the one given to ivf_upsert. Refuse, the
-    # same guard upsert_ivf_layout carries.
-    n_missing = batch.join(postings.select("vec_id"), "vec_id", "left_anti").count()
-    if n_missing:
-        raise ValueError(
-            f"{n_missing} batch id(s) are absent from the latest postings "
-            f"(v={latest}); append_ivf_layout must receive exactly the "
-            "batch given to ivf_upsert — otherwise those vectors would "
-            "silently disappear from the serving layout"
+        touched = delta_store.touched_partitions(
+            batch.select("vec_id"), ["vec_id"], meta["n_partitions"]
         )
-    laid = batch.join(postings.select("vec_id", "cid"), "vec_id")
-    laid.write.mode("append").partitionBy("cid").parquet(layout_path)
+        prev_ids = _read_postings(
+            spark, index_path, pinned, touched_p=touched
+        ).select("vec_id")
+        n_replaced = batch.join(prev_ids, "vec_id", "left_semi").count()
+        if n_replaced:
+            raise ValueError(
+                f"{n_replaced} batch ids already exist in the pinned layout — "
+                "an append cannot retract their stale rows; use "
+                "upsert_ivf_layout (partition-scoped rewrite) for "
+                "replace-upserts"
+            )
+        # cells come from the committed truth, probed by batch id only —
+        # the same pruned resolution read as the replaced-id check above
+        postings = _read_postings(spark, index_path, latest, touched_p=touched)
+        # a batch id absent from the latest postings would vanish silently
+        # (dropped by the inner join while the pin still advances, and the
+        # pin contract forbids re-appending it later) — the caller passed a
+        # batch that differs from the one given to ivf_upsert. Refuse, the
+        # same guard upsert_ivf_layout carries.
+        n_missing = batch.join(
+            postings.select("vec_id"), "vec_id", "left_anti"
+        ).count()
+        if n_missing:
+            raise ValueError(
+                f"{n_missing} batch id(s) are absent from the latest postings "
+                f"(v={latest}); append_ivf_layout must receive exactly the "
+                "batch given to ivf_upsert — otherwise those vectors would "
+                "silently disappear from the serving layout"
+            )
+        laid = batch.join(postings.select("vec_id", "cid"), "vec_id")
+        laid.write.mode("append").partitionBy("cid").parquet(layout_path)
+    finally:
+        batch.unpersist()
     tmp = pin_file + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(latest))
@@ -774,73 +801,143 @@ def upsert_ivf_layout(
             "catches up exactly one store upsert — apply batches in order, "
             "or re-run write_ivf_layout"
         )
+    import shutil
+
+    # persist + EXPLICIT unpersist (r13; was a one-shot localCheckpoint —
+    # this is exactly the API a per-micro-batch serving-layout catch-up
+    # loop calls forever, so the bounded-per-call argument did not close
+    # the storage-accumulation class the r11/r12 store fixes established).
     batch = new_vectors.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
-    ).localCheckpoint(eager=True)  # pin: guards and write see ONE frame
-    batch_ids = batch.select("vec_id")
-    # both the pinned and the latest postings are only probed BY BATCH ID
-    # here — prune both resolution reads to the ids' hash partitions
-    meta = delta_store.load_or_init_meta(index_path, delta_store.DEFAULT_PARTITIONS)
-    touched = delta_store.touched_partitions(
-        batch_ids, ["vec_id"], meta["n_partitions"]
-    )
-    postings = _read_postings(spark, index_path, latest, touched_p=touched)
-    prev = _read_postings(spark, index_path, pinned, touched_p=touched)
-    # a batch id absent from the latest postings would vanish silently:
-    # dropped from `fresh` (inner join below) while still anti-joined out
-    # of `existing` — the caller passed a batch that differs from the one
-    # given to ivf_upsert. Refuse, mirroring append_ivf_layout's
-    # n_replaced guard (ADVICE r9).
-    n_missing = batch_ids.join(postings.select("vec_id"), "vec_id", "left_anti").count()
-    if n_missing:
-        raise ValueError(
-            f"{n_missing} batch id(s) are absent from the latest postings "
-            f"(v={latest}); upsert_ivf_layout must receive exactly the "
-            "batch given to ivf_upsert — otherwise those vectors would "
-            "silently disappear from the serving layout"
-        )
-    # affected = old cells of replaced ids ∪ new cells of the whole batch;
-    # both sides are |batch|-bounded joins against 24-byte posting rows
-    old_cells = prev.join(batch_ids, "vec_id").select("cid")
-    new_cells = postings.join(batch_ids, "vec_id").select("cid")
-    affected = sorted(
-        r["cid"] for r in old_cells.unionByName(new_cells).distinct().collect()
-    )
-    if not affected:
-        raise ValueError("batch assigns to no committed cell; run ivf_upsert first")
-    # rebuild exactly the affected partitions: survivors (existing layout
-    # rows in those cells, minus the batch's ids) plus the batch at its
-    # committed cells. localCheckpoint pins the survivors BEFORE the
-    # overwrite touches the directories they were read from.
-    existing = (
-        spark.read.parquet(layout_path)
-        .filter(F.col("cid").isin([int(c) for c in affected]))
-        .join(batch_ids, "vec_id", "left_anti")
-        .select("vec_id", "embedding", "cid")
-        .localCheckpoint(eager=True)
-    )
-    fresh = batch.join(postings.select("vec_id", "cid"), "vec_id").select(
-        "vec_id", "embedding", "cid"
-    )
-    content = existing.unionByName(fresh).localCheckpoint(eager=True)
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    old_mode = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
+    ).persist()
+    staging = os.path.join(layout_path, "_staging")
     try:
-        content.write.mode("overwrite").partitionBy("cid").parquet(layout_path)
+        batch.count()  # materialize: guards and write see ONE frame
+        batch_ids = batch.select("vec_id")
+        # both the pinned and the latest postings are only probed BY BATCH
+        # ID here — prune both resolution reads to the ids' hash partitions
+        meta = delta_store.load_or_init_meta(
+            index_path, delta_store.DEFAULT_PARTITIONS
+        )
+        touched = delta_store.touched_partitions(
+            batch_ids, ["vec_id"], meta["n_partitions"]
+        )
+        postings = _read_postings(spark, index_path, latest, touched_p=touched)
+        prev = _read_postings(spark, index_path, pinned, touched_p=touched)
+        # a batch id absent from the latest postings would vanish silently:
+        # dropped from `fresh` (inner join below) while still anti-joined
+        # out of `existing` — the caller passed a batch that differs from
+        # the one given to ivf_upsert. Refuse, mirroring append_ivf_layout's
+        # n_replaced guard (ADVICE r9).
+        n_missing = batch_ids.join(
+            postings.select("vec_id"), "vec_id", "left_anti"
+        ).count()
+        if n_missing:
+            raise ValueError(
+                f"{n_missing} batch id(s) are absent from the latest postings "
+                f"(v={latest}); upsert_ivf_layout must receive exactly the "
+                "batch given to ivf_upsert — otherwise those vectors would "
+                "silently disappear from the serving layout"
+            )
+        # affected = old cells of replaced ids ∪ new cells of the whole
+        # batch; both sides are |batch|-bounded joins against 24-byte
+        # posting rows
+        old_cells = prev.join(batch_ids, "vec_id").select("cid")
+        new_cells = postings.join(batch_ids, "vec_id").select("cid")
+        affected = sorted(
+            r["cid"] for r in old_cells.unionByName(new_cells).distinct().collect()
+        )
+        if not affected:
+            raise ValueError(
+                "batch assigns to no committed cell; run ivf_upsert first"
+            )
+        # rebuild exactly the affected partitions: survivors (existing
+        # layout rows in those cells, minus the batch's ids) plus the batch
+        # at its committed cells. The rebuilt content is STAGED as parquet
+        # OUTSIDE the live cid= dirs before the overwrite touches the
+        # directories the survivors were read from — a true lineage sever
+        # (the re-read's source is the staging files), strictly safer than
+        # the former localCheckpoint pin: staged files survive executor
+        # loss mid-overwrite, checkpoint blocks do not. Cost is one extra
+        # O(touched cells) write, the same order as the overwrite itself.
+        existing = (
+            spark.read.parquet(layout_path)
+            .filter(F.col("cid").isin([int(c) for c in affected]))
+            .join(batch_ids, "vec_id", "left_anti")
+            .select("vec_id", "embedding", "cid")
+        )
+        fresh = batch.join(postings.select("vec_id", "cid"), "vec_id").select(
+            "vec_id", "embedding", "cid"
+        )
+        existing.unionByName(fresh).write.mode("overwrite").parquet(staging)
+        content = spark.read.parquet(staging)
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            content.write.mode("overwrite").partitionBy("cid").parquet(
+                layout_path
+            )
+        finally:
+            spark.conf.set(mode_key, old_mode)
+        present = {r["cid"] for r in content.select("cid").distinct().collect()}
+        for cid in set(affected) - present:
+            shutil.rmtree(
+                os.path.join(layout_path, f"cid={int(cid)}"), ignore_errors=True
+            )
     finally:
-        spark.conf.set(mode_key, old_mode)
-    present = {r["cid"] for r in content.select("cid").distinct().collect()}
-    for cid in set(affected) - present:
-        import shutil
-
-        shutil.rmtree(os.path.join(layout_path, f"cid={int(cid)}"), ignore_errors=True)
+        batch.unpersist()
+        shutil.rmtree(staging, ignore_errors=True)
     tmp = pin_file + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(latest))
     os.replace(tmp, pin_file)
     return latest
+
+
+def repin_ivf_layout(index_path: str, layout_path: str) -> int:
+    """Advance a serving layout's ``_STORE_VERSION`` pin across
+    COMPACTION versions without touching the layout data — sound because
+    every snapshot committed at a version k>0 IS the resolved postings at
+    k-1 (:func:`compact_ann_index` is the only snapshot writer after
+    build; ``ivf_build`` refuses to bury a live store's lineage), so a
+    layout derived at k-1 serves version k byte-identically.
+
+    This closes the loop the per-micro-batch catch-up pattern needs at
+    scale (r13): ``upsert_ivf_layout`` resolves postings through the
+    snapshot+delta chain, so its per-batch cost grows with the DELTA
+    TAIL until a compact folds it (measured: a 12-batch catch-up loop
+    drifted 1.6× with no compaction; flat with compact-every-4 —
+    bench.py ann_layout_flatness_ratio). A compact alone, though,
+    strands the layout: the pin falls two behind and every later
+    catch-up is refused. compact + repin (both scheduled maintenance,
+    driver-side file ops only) keeps the pair in lock-step with the
+    read amplification bounded.
+
+    Advances one version at a time while the next committed version is a
+    snapshot; stops at the first delta (content actually moved — catch
+    up with :func:`upsert_ivf_layout`/:func:`append_ivf_layout`, or
+    rewrite). Returns the new pinned version (unchanged if no snapshot
+    follows the pin)."""
+    pin_file = os.path.join(layout_path, "_STORE_VERSION")
+    if not os.path.exists(pin_file):
+        raise ValueError(
+            f"{layout_path} has no _STORE_VERSION pin; build it with "
+            "write_ivf_layout before repinning"
+        )
+    with open(pin_file) as f:
+        pinned = int(f.read())
+    versions = set(_committed_versions(index_path))
+    advanced = pinned
+    while advanced + 1 in versions and _is_snapshot(index_path, advanced + 1):
+        advanced += 1
+    if advanced != pinned:
+        tmp = pin_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(advanced))
+        os.replace(tmp, pin_file)
+    return advanced
 
 
 def compact_ann_index(spark: SparkSession, index_path: str) -> int:

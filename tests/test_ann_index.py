@@ -5,6 +5,7 @@ health-report drift/imbalance triggers, and GC interop.
 
 from __future__ import annotations
 
+import glob
 import os
 
 import pytest
@@ -822,3 +823,54 @@ def test_health_drift_sees_reupserted_ids(spark, emb, tmp_path):
     ivf_upsert(spark, path, drifted)  # same ids, drifted vectors
     h = ivf_health(spark, path).first()
     assert h["drift_ratio"] is not None and h["drift_ratio"] > 1.0
+
+
+def test_layout_repin_rides_through_compaction(spark, emb, tmp_path):
+    """r13: the per-micro-batch catch-up loop's scheduled-maintenance
+    step. upsert_ivf_layout resolves postings through the snapshot+delta
+    chain, so the delta tail must be compacted periodically — but a
+    compact alone strands the layout (pin falls two behind). repin
+    advances the pin across snapshot versions WITHOUT touching layout
+    data (a compact snapshot at k IS the resolution at k-1), after which
+    catch-ups resume and the layout still serves exactly the semi-join
+    answer. repin refuses to cross a DELTA (content actually moved)."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        compact_ann_index,
+        ivf_query,
+        ivf_query_layout,
+        repin_ivf_layout,
+        upsert_ivf_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    build = emb.filter(F.col("vec_id") < 100)
+    ivf_build(spark, path, build, k=4)                       # v=0 snapshot
+    write_ivf_layout(spark, path, build, layout)             # pin=0
+
+    b1 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    ivf_upsert(spark, path, b1)                              # v=1 delta
+    assert upsert_ivf_layout(spark, path, b1, layout) == 1   # pin=1
+
+    assert compact_ann_index(spark, path) == 2               # v=2 snapshot
+    # the pin is now one behind a SNAPSHOT whose content equals what the
+    # layout already holds — repin advances without any data movement
+    files_before = sorted(glob.glob(f"{layout}/cid=*/*.parquet"))
+    assert repin_ivf_layout(path, layout) == 2
+    assert sorted(glob.glob(f"{layout}/cid=*/*.parquet")) == files_before
+
+    # catch-ups resume against the compacted store
+    b2 = emb.filter((F.col("vec_id") >= 120) & (F.col("vec_id") < 140))
+    ivf_upsert(spark, path, b2)                              # v=3 delta
+    assert upsert_ivf_layout(spark, path, b2, layout) == 3
+    corpus = build.unionByName(b1).unionByName(b2).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 2)
+    semi = ivf_query(spark, path, queries, corpus, k=5, nprobe=4)
+    laid = ivf_query_layout(spark, path, layout, queries, k=5, nprobe=4)
+    assert {tuple(r) for r in laid.collect()} == {tuple(r) for r in semi.collect()}
+
+    # a delta version is never crossed: v=4 is a delta the layout has not
+    # absorbed, so repin is a no-op at pin=3 and the pin contract holds
+    ivf_upsert(spark, path, emb.filter(F.col("vec_id") < 5))  # v=4 delta
+    assert repin_ivf_layout(path, layout) == 3
