@@ -42,6 +42,41 @@ from pyspark.sql import functions as F
 
 _NUMBER_RE = r"^-?[0-9]+(\.[0-9]+)?$"
 
+#: operator slot → the one live cached relation that slot holds. Each
+#: report call RELEASES its own previous call's cache before persisting
+#: the new one (r13, ADVICE r12: repeated report sweeps in a long-lived
+#: monitoring session accumulated evictable cache entries — the soft
+#: variant of the storage-accumulation class the stores closed), so a
+#: poll loop holds at most ONE profile cache per operator at any time.
+#: :func:`release_report_caches` releases the remainder deterministically.
+_LIVE_CACHES: dict[str, DataFrame] = {}
+
+
+def _swap_cache(slot: str, df: DataFrame) -> DataFrame:
+    prev = _LIVE_CACHES.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session of the old frame may already be stopped
+    _LIVE_CACHES[slot] = df.persist()
+    return _LIVE_CACHES[slot]
+
+
+def release_report_caches() -> None:
+    """Release every cache a report call in this process still holds —
+    the deterministic end-of-sweep hook for long-lived sessions (the
+    swap-on-next-call policy already bounds the steady state at one
+    entry per operator; this takes it to zero without clearCache()'s
+    collateral). Reports already returned stay CORRECT afterwards —
+    forcing one again just recomputes its profile from source."""
+    for slot in list(_LIVE_CACHES):
+        df = _LIVE_CACHES.pop(slot)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
 
 def _kind(value):
     return (
@@ -215,7 +250,19 @@ def flatten_width_report(
     everything after the distinct path-domain-sized. ``widened`` also
     fires when fan-out appears from zero (a scalar field turning into an
     array). The earliest batch has no predecessor and emits nothing —
-    the q246 pairing contract (consecutive integer batch ids)."""
+    the q246 pairing contract (consecutive integer batch ids).
+
+    Contract (r13, ADVICE r12): the counting assumes the reference's own
+    array shapes — arrays are homogeneous, dispatching on their FIRST
+    element exactly like ``ElasticSearch ETL.py:61-71`` (dict-arrays
+    pivot, primitive arrays collapse). A mixed array whose first element
+    is a list (array-of-arrays ``m[0][1]``) or a dict-array slot holding
+    a bare scalar flattens to fewer columns than the trailing-``[i]``
+    collapse counts here; such feeds are exactly what the reference
+    serializes as one JSON cell via its ``v[0]`` dispatch, and the width
+    CONTRACT tracks the reference's rules, not arbitrary JSON. The
+    equality test against ``len(flatten_plan)``
+    (tests/test_schema_report.py) pins the homogeneous case."""
     paths = json_schema_profile_deep(df, batch_col, json_col, max_depth).select(
         "batch", "path"
     )
@@ -243,16 +290,25 @@ def flatten_width_report(
         "n_cols",
         F.coalesce("max_fanout", F.lit(0)).cast("bigint").alias("max_fanout"),
     )
-    # w feeds both sides of the batch-shift self-join; when it derives
-    # from a corpus scan Catalyst does not reuse the subplan (the q247
-    # lesson) — cache the tiny batches-sized relation. Evictable; callers
-    # running long-lived sessions may unpersist after the action.
-    w = w.cache()
-    prev = w.select(
-        (F.col("batch") + 1).alias("batch"),
-        F.col("n_cols").alias("prev_n_cols"),
-        F.col("max_fanout").alias("prev_max_fanout"),
-    )
+    # batch-shift via LAG + a consecutiveness filter instead of the r12
+    # self-join (ADVICE r12): the join consumed w TWICE, which forced an
+    # internal cache with no release path when w derives from a corpus
+    # scan. lag(batch)==batch-1 emits exactly the join's rows for ANY
+    # input (a gap makes the difference >1, the join's miss), w is
+    # consumed ONCE, and no cache exists to leak. The unpartitioned
+    # window is safe by construction: w is the batch-domain relation
+    # (days/epochs — tiny at any corpus size).
+    from pyspark.sql.window import Window
+
+    bw = Window.orderBy("batch")
+    shifted = w.select(
+        "batch",
+        "n_cols",
+        "max_fanout",
+        F.lag("batch").over(bw).alias("__prev_batch"),
+        F.lag("n_cols").over(bw).alias("prev_n_cols"),
+        F.lag("max_fanout").over(bw).alias("prev_max_fanout"),
+    ).filter(F.col("batch") - F.col("__prev_batch") == 1)
     widened = (
         (2 * F.col("n_cols") >= 3 * F.col("prev_n_cols"))
         | ((F.col("prev_max_fanout") == 0) & (F.col("max_fanout") > 0))
@@ -261,7 +317,7 @@ def flatten_width_report(
             & (2 * F.col("max_fanout") >= 3 * F.col("prev_max_fanout"))
         )
     )
-    return w.join(prev, "batch").select(
+    return shifted.select(
         "batch",
         "n_cols",
         "prev_n_cols",
@@ -283,13 +339,14 @@ def schema_evolution_report(profile: DataFrame) -> DataFrame:
     # domain twice); when it is derived from a corpus scan (q246's shape)
     # Catalyst does not reuse the subplan and the corpus would be scanned
     # once per use — at 100 TB, four full scans for a batches x paths
-    # relation. cache() is lazy (no action fires here; the repo's
+    # relation. The persist is lazy (no action fires here; the repo's
     # operators stay lazy) and the first action materializes the tiny
-    # relation once. The entry is EVICTABLE (plain cache, not a
-    # checkpoint), so repeated calls in a long-lived session stay
-    # bounded by the cache manager; callers wanting deterministic
-    # release unpersist the profile they passed in after consuming.
-    profile = profile.cache()
+    # relation once. Release discipline (r13, ADVICE r12): each call
+    # swaps out the PREVIOUS call's cache, so a long-lived poll loop
+    # holds at most one profile cache instead of accumulating evictable
+    # entries; :func:`release_report_caches` drops the last one
+    # deterministically when the sweep ends.
+    profile = _swap_cache("schema_evolution_profile", profile)
     cur = profile.select("batch", "path", F.col("kinds").alias("cur_kinds"))
     prev = profile.select(
         (F.col("batch") + 1).alias("batch"),
@@ -316,4 +373,94 @@ def schema_evolution_report(profile: DataFrame) -> DataFrame:
         j.withColumn("status", status)
         .filter(F.col("status").isNotNull())
         .select("batch", "path", "status", "prev_kinds", "cur_kinds")
+    )
+
+
+def batch_volume_profile(
+    df: DataFrame, batch_col: str, json_col: str
+) -> DataFrame:
+    """One row per batch: document count and byte mass of ``json_col`` —
+    the corpus-sized half of the VOLUME contract (one map-side partial
+    aggregate, shuffled on the tiny batch domain). The streaming twin
+    appends exactly this relation per micro-batch; partial profiles for
+    the same batch ordinal re-aggregate by summing."""
+    return df.groupBy(F.col(batch_col).cast("bigint").alias("batch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.octet_length(F.col(json_col))), F.lit(0)
+        ).cast("bigint").alias("n_bytes"),
+    )
+
+
+def volume_contract_report(
+    profile: DataFrame, trailing: int = 7
+) -> DataFrame:
+    """Per-batch VOLUME contract over a :func:`batch_volume_profile`
+    relation — the fifth face of the ingest-QA watch (q246 kinds, q247
+    coverage, q248 deep paths, q249 width): each batch's doc count and
+    byte mass against the SUM over the trailing ``trailing`` batches,
+    with integer-exact alarms any engine reproduces bit-for-bit:
+
+    - ``dropped`` (1/0): the batch carries ≤ half the trailing MEAN —
+      cross-multiplied as ``2·cur·w_batches ≤ w_sum`` so no division
+      ever happens — on docs OR bytes. The reference's audit row records
+      ``record_count_loaded`` per batch (`ElasticSearch ETL.py:271-282`)
+      but nothing ever alarms on it; a feed that silently half-empties
+      (an upstream filter deployed wrong, a shard gone dark) is exactly
+      this signal.
+    - ``surged`` (1/0): ≥ 2× the trailing mean (``cur·w_batches ≥
+      2·w_sum``) on docs or bytes — the duplicate-replay / runaway-
+      producer direction.
+
+    The trailing window is ``RANGE BETWEEN trailing PRECEDING AND 1
+    PRECEDING`` over the batch ordinal, so a gap in batch ids shrinks
+    the baseline instead of mis-pairing (the q246 consecutive-id
+    contract relaxes here: a range frame is ordinal-aware by itself).
+    Batches with an empty baseline (the earliest) emit nothing. The
+    unpartitioned window is safe by construction — the profile is the
+    batch-domain relation, tiny at any corpus size."""
+    from pyspark.sql.window import Window
+
+    vw = (
+        Window.orderBy(F.col("batch").cast("long"))
+        .rangeBetween(-trailing, -1)
+    )
+    ann = profile.select(
+        "batch",
+        "n_docs",
+        "n_bytes",
+        F.count(F.lit(1)).over(vw).cast("bigint").alias("baseline_batches"),
+        F.sum("n_docs").over(vw).cast("bigint").alias("baseline_docs"),
+        F.sum("n_bytes").over(vw).cast("bigint").alias("baseline_bytes"),
+    ).filter(F.col("baseline_batches") > 0)
+    dropped = (
+        (2 * F.col("n_docs") * F.col("baseline_batches") <= F.col("baseline_docs"))
+        | (2 * F.col("n_bytes") * F.col("baseline_batches") <= F.col("baseline_bytes"))
+    )
+    surged = (
+        (F.col("n_docs") * F.col("baseline_batches") >= 2 * F.col("baseline_docs"))
+        | (F.col("n_bytes") * F.col("baseline_batches") >= 2 * F.col("baseline_bytes"))
+    )
+    return ann.select(
+        "batch",
+        "n_docs",
+        "n_bytes",
+        "baseline_batches",
+        "baseline_docs",
+        "baseline_bytes",
+        F.when(dropped, 1).otherwise(0).cast("bigint").alias("dropped"),
+        F.when(surged, 1).otherwise(0).cast("bigint").alias("surged"),
+    )
+
+
+def batch_volume_report(
+    df: DataFrame, batch_col: str, json_col: str, trailing: int = 7
+) -> DataFrame:
+    """:func:`volume_contract_report` over :func:`batch_volume_profile` —
+    the one-call batch face (q250). One corpus scan (map-side count/sum
+    partials), then everything is batch-domain-sized; the profile is
+    consumed once (window functions, no self-join), so no cache exists
+    to manage."""
+    return volume_contract_report(
+        batch_volume_profile(df, batch_col, json_col), trailing
     )

@@ -31,25 +31,33 @@ def _t(spark, sf_dir, name):
 # COALESCE(.., 'null') mirrors Spark's variant-null token ('json_extract'
 # of a JSON null returns SQL NULL); the leaf predicate mirrors "non-empty
 # containers below the depth cap descend, everything else surfaces".
+# r13 (ADVICE r12): array steps carry an explicit ``arr`` flag instead of
+# the former LIKE '[%' sniff, and object keys are quote-escaped in the
+# extract path — so an object key that STARTS with '[' or CONTAINS '"'
+# now replays identically to the Spark walk for arbitrary corpora, not
+# just the fixtures (keys containing '.' remain display-ambiguous in the
+# path STRING in both engines equally, so parity holds there too).
 _DEEP_WALK = r"""
 walk(batch, path, tok, depth) AS (
   SELECT batch, '', j::JSON, 0 FROM src
   UNION ALL
   SELECT batch,
-         CASE WHEN c.nm LIKE '[%' THEN path || c.nm
-              WHEN path = '' THEN c.nm
-              ELSE path || '.' || c.nm END,
+         CASE WHEN c.e.arr THEN path || c.e.nm
+              WHEN path = '' THEN c.e.nm
+              ELSE path || '.' || c.e.nm END,
          COALESCE(json_extract(tok,
-           CASE WHEN c.nm LIKE '[%' THEN '$' || c.nm
-                ELSE '$."' || c.nm || '"' END), 'null'::JSON),
+           CASE WHEN c.e.arr THEN '$' || c.e.nm
+                ELSE '$."' || replace(c.e.nm, '"', '\"') || '"' END),
+           'null'::JSON),
          depth + 1
   FROM walk, unnest(
-    CASE WHEN depth >= 20 THEN []
-         WHEN json_type(tok) = 'OBJECT' THEN json_keys(tok)
+    CASE WHEN depth >= 20 THEN CAST([] AS STRUCT(nm VARCHAR, arr BOOLEAN)[])
+         WHEN json_type(tok) = 'OBJECT' THEN list_transform(
+           json_keys(tok), k -> {'nm': k, 'arr': false})
          WHEN json_type(tok) = 'ARRAY' THEN list_transform(
            generate_series(0, CAST(json_array_length(tok) AS BIGINT) - 1),
-           x -> '[' || x || ']')
-         ELSE [] END) AS c(nm)),
+           x -> {'nm': '[' || x || ']', 'arr': true})
+         ELSE CAST([] AS STRUCT(nm VARCHAR, arr BOOLEAN)[]) END) AS c(e)),
 leaves AS (
   SELECT batch, path, CAST(tok AS VARCHAR) AS t FROM walk
   WHERE NOT (depth < 20 AND (

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Query]:
         r10b,
         r11,
         r12,
+        r13,
         relational,
     )
 

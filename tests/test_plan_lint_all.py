@@ -275,6 +275,17 @@ ALLOWANCES: dict[str, dict[str, str]] = {
         "single-partition": "cumulative backlog window over the calendar-"
         "month relation (bounded: decades ≈ hundreds of rows)"
     },
+    "q249_flatten_width_contract": {
+        "single-partition": "batch-shift LAG window over the batch-domain "
+        "relation (export days/epochs — tiny at any corpus size); r13 "
+        "replaced the r12 self-join, whose double consumption forced an "
+        "unreleasable internal cache (ADVICE r12)"
+    },
+    "q250_volume_contract": {
+        "single-partition": "trailing-RANGE window over the batch-domain "
+        "relation (one row per export day — tiny at any corpus size; the "
+        "corpus-sized work is the map-side count/sum partial agg before it)"
+    },
     "q227_balance_outliers_robust": {
         "fact-scaled-broadcast": BOUNDED_DOMAIN_AGG + " — the median/MAD "
         "relations are keyed on nationkey, a 25-value domain at EVERY SF"

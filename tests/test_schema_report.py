@@ -230,3 +230,125 @@ def test_width_steady_feed_never_alarms(spark):
     df = spark.createDataFrame(docs, "batch long, j string")
     out = flatten_width_report(df, "batch", "j").collect()
     assert len(out) == 3 and all(r["widened"] == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# volume contract (q250)
+# ---------------------------------------------------------------------------
+
+
+def _vol_docs(counts: dict[int, int]) -> list[tuple[int, str]]:
+    return [
+        (b, '{"u":%d,"pad":"xxxxxxxx"}' % i)
+        for b, n in counts.items()
+        for i in range(n)
+    ]
+
+
+def test_volume_drop_alarm_fires_on_half_empty_batch(spark):
+    """VERDICT r12 item 7's done-criterion: a half-empty batch fires the
+    alarm. Batches 1-8 carry 10 docs; batch 9 carries 4 (≤ half the
+    trailing mean of 10) → dropped=1; the steady batches never alarm."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.schema_report import (
+        batch_volume_report,
+    )
+
+    counts = {b: 10 for b in range(1, 9)}
+    counts[9] = 4
+    df = spark.createDataFrame(_vol_docs(counts), "batch long, j string")
+    rows = {r["batch"]: r for r in batch_volume_report(df, "batch", "j").collect()}
+    assert set(rows) == set(range(2, 10))  # batch 1 has no baseline
+    assert rows[9]["dropped"] == 1 and rows[9]["surged"] == 0
+    assert all(rows[b]["dropped"] == 0 for b in range(2, 9))
+    assert all(rows[b]["surged"] == 0 for b in range(2, 9))
+    # the baseline is the trailing-7 window, not all history
+    assert rows[9]["baseline_batches"] == 7 and rows[9]["baseline_docs"] == 70
+
+
+def test_volume_surge_alarm_and_byte_axis(spark):
+    """surged fires at ≥2× the trailing mean; the BYTE axis alarms on its
+    own even when doc counts hold steady (a feed whose documents silently
+    balloon)."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.schema_report import (
+        batch_volume_report,
+    )
+
+    counts = {b: 10 for b in range(1, 6)}
+    counts[6] = 25  # ≥ 2x the mean of 10
+    df = spark.createDataFrame(_vol_docs(counts), "batch long, j string")
+    rows = {r["batch"]: r for r in batch_volume_report(df, "batch", "j").collect()}
+    assert rows[6]["surged"] == 1 and rows[6]["dropped"] == 0
+
+    docs = [(b, '{"u":1}') for b in range(1, 6) for _ in range(10)]
+    docs += [(6, '{"u":1,"blob":"' + "x" * 50 + '"}') for _ in range(10)]
+    df2 = spark.createDataFrame(docs, "batch long, j string")
+    rows2 = {r["batch"]: r for r in batch_volume_report(df2, "batch", "j").collect()}
+    assert rows2[6]["n_docs"] == 10  # same count...
+    assert rows2[6]["surged"] == 1  # ...but the byte mass alarms
+
+
+def test_volume_gap_shrinks_baseline_instead_of_mispairing(spark):
+    """A RANGE frame is ordinal-aware: a missing batch id shrinks the
+    trailing window rather than pairing batch 9 with batch 5's stats."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.schema_report import (
+        batch_volume_report,
+    )
+
+    counts = {1: 10, 2: 10, 3: 10, 9: 10, 10: 10}
+    df = spark.createDataFrame(_vol_docs(counts), "batch long, j string")
+    rows = {r["batch"]: r for r in batch_volume_report(df, "batch", "j").collect()}
+    # batch 9's trailing-7 window is batches 2..8 → only 2,3 observed
+    assert rows[9]["baseline_batches"] == 2 and rows[9]["baseline_docs"] == 20
+    assert 1 not in rows  # nothing precedes batch 1 in range
+
+
+def test_volume_watch_stream_matches_batch(spark, tmpdir):
+    """Streaming twin parity — including a logical batch SPLIT across
+    micro-batches, whose count/byte partials must re-sum exactly."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.schema_report import (
+        batch_volume_report,
+    )
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.schema_watch import (
+        read_volume_report,
+        run_volume_watch_stream,
+    )
+
+    counts = {1: 10, 2: 12, 3: 3, 4: 11}
+    df = spark.createDataFrame(_vol_docs(counts), "batch long, j string")
+    src = os.path.join(tmpdir, "vol_src")
+    # one file per batch, PLUS batch 2 split over two files → with
+    # maxFilesPerTrigger=1 its profile arrives as two partials
+    df.filter("batch = 1").coalesce(1).write.mode("append").parquet(src)
+    df.filter("batch = 2 AND j LIKE '%u\":1,%' ").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    df.filter("batch = 2 AND NOT j LIKE '%u\":1,%' ").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    df.filter("batch >= 3").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("batch long, j string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    profiles = os.path.join(tmpdir, "vol_profiles")
+    q = run_volume_watch_stream(
+        stream, profiles, os.path.join(tmpdir, "vol_ckpt"), "batch", "j"
+    )
+    assert q.awaitTermination(600), "stream drain timed out"
+    got = {tuple(r) for r in read_volume_report(spark, profiles).collect()}
+    want = {tuple(r) for r in batch_volume_report(df, "batch", "j").collect()}
+    assert got == want and len(want) == 3
+
+
+def test_read_volume_report_before_first_batch_is_empty(spark, tmpdir):
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.schema_watch import (
+        read_volume_report,
+    )
+
+    rep = read_volume_report(spark, os.path.join(tmpdir, "no_volume_here"))
+    assert rep.columns == [
+        "batch", "n_docs", "n_bytes", "baseline_batches",
+        "baseline_docs", "baseline_bytes", "dropped", "surged",
+    ]
+    assert rep.count() == 0
