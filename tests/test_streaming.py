@@ -935,3 +935,81 @@ def test_schema_watch_stream_entry_point(spark, tmpdir):
     assert {
         tuple(r) for r in read_schema_report(spark, profiles2).collect()
     } == want
+
+
+def test_export_watch_flags_widened_batch_in_audit(spark, tmpdir):
+    """VERDICT r12 item 2's done-criterion: a widened batch lands an
+    audit row with the alarm SET while the TSV still writes
+    (flag-and-continue — the watch gates by flagging, never by
+    crashing), and a kind flip (a: number → string) sets kind_changed.
+    The first batch has no predecessor → both flags null."""
+    inp = os.path.join(tmpdir, "in")
+    os.makedirs(inp)
+    with open(os.path.join(inp, "a.json"), "w") as f:
+        f.write(json.dumps({"claimRequestId": 1, "a": 7, "b": {"c": 2}}) + "\n")
+    out = os.path.join(tmpdir, "out")
+    kw = dict(
+        checkpoint_dir=os.path.join(tmpdir, "ckpt"),
+        audit_path=os.path.join(tmpdir, "audit"),
+        watch_dir=os.path.join(tmpdir, "watch"),
+    )
+    run_export_stream(spark, inp, out, **kw).awaitTermination(600)
+    # the feed widens (5 new fields, ~3x the columns) AND 'a' retypes
+    with open(os.path.join(inp, "b.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "claimRequestId": 2, "a": "x", "b": {"c": 3},
+                    "d": 1, "e": 2, "f": 3, "g": 4, "h": 5,
+                }
+            )
+            + "\n"
+        )
+    run_export_stream(spark, inp, out, **kw).awaitTermination(600)
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import AuditLog
+
+    rows = sorted(
+        AuditLog(spark, os.path.join(tmpdir, "audit")).read().collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert [r["job_status"] for r in rows] == ["SUCCESS", "SUCCESS"]
+    first, second = rows
+    assert first["widened"] is None and first["kind_changed"] is None
+    assert second["widened"] == 1
+    assert second["kind_changed"] == 1
+    # flag-and-continue: the widened batch's TSV was still written
+    dirs = sorted(glob.glob(os.path.join(out, "rta_claim_headers_*")))
+    assert len(dirs) == 2
+    tsv = spark.read.option("sep", "\t").option("header", True).csv(dirs[-1])
+    assert tsv.count() == 1 and "H" in tsv.columns
+
+
+def test_export_watch_steady_feed_never_alarms(spark, tmpdir):
+    """Same schema across batches → widened=0/kind_changed=0 on the
+    second batch (flags are VERDICTS once a predecessor exists, null only
+    before one)."""
+    inp = os.path.join(tmpdir, "in")
+    os.makedirs(inp)
+    doc = {"claimRequestId": 1, "a": 7, "b": {"c": 2}}
+    with open(os.path.join(inp, "a.json"), "w") as f:
+        f.write(json.dumps(doc) + "\n")
+    out = os.path.join(tmpdir, "out")
+    kw = dict(
+        checkpoint_dir=os.path.join(tmpdir, "ckpt"),
+        audit_path=os.path.join(tmpdir, "audit"),
+        watch_dir=os.path.join(tmpdir, "watch"),
+        schema="claimRequestId long, a long, b struct<c: long>",
+    )
+    run_export_stream(spark, inp, out, **kw).awaitTermination(600)
+    with open(os.path.join(inp, "b.json"), "w") as f:
+        f.write(json.dumps({**doc, "claimRequestId": 2}) + "\n")
+    run_export_stream(spark, inp, out, **kw).awaitTermination(600)
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import AuditLog
+
+    rows = sorted(
+        AuditLog(spark, os.path.join(tmpdir, "audit")).read().collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert rows[1]["widened"] == 0 and rows[1]["kind_changed"] == 0
