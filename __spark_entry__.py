@@ -49,12 +49,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json, record its green names as last-verified in round N
 # and empty the new-this-round set.
 
-#: Queries first registered in round 12 — ordered first (never driver-checked,
+#: Queries first registered in round 13 — ordered first (never driver-checked,
 #: newest); locally oracle-green at sf0.01 AND sf0.001 before registration
 #: (scripts/compare_oracle.py).
-_NEW_IN_R12: set[str] = {
-    "q248_deep_schema_evolution",
-    "q249_flatten_width_contract",
+_NEW_IN_R13: set[str] = {
+    "q250_volume_contract",
 }
 
 #: name → round whose driver CORRECTNESS run last proved it green.
@@ -122,31 +121,31 @@ _LAST_VERIFIED: dict[str, int] = {
     "q152_dup_spans": 11,
     # round 7 (CORRECTNESS_r07: 50/50 green — the 10 r7-new, the 30 r6-new,
     # and the 10 stalest re-verifications)
-    "q35_dedup_clusters": 7, "q38_sentence_dedup": 7,
-    "q51_quality_metrics": 7, "q52_lang_facet": 7,
-    "q53_fingerprint_groups": 7, "q101_domain_quota": 11,
+    "q35_dedup_clusters": 12, "q38_sentence_dedup": 12,
+    "q51_quality_metrics": 12, "q52_lang_facet": 12,
+    "q53_fingerprint_groups": 12, "q101_domain_quota": 11,
     "q102_sequence_packing": 11, "q103_lsh_star_dedup": 11,
     "q104_text_chunks": 11, "q105_bigram_lift": 11,
-    "q153_bloom_decontaminate": 7, "q154_line_dedup_rebuild": 7,
-    "q155_char_lm_score": 7, "q156_zipf_slope": 7, "q157_normalized_dedup": 7,
-    "q158_incremental_dedup": 7, "q159_recursive_cte": 7,
-    "q160_lateral_topn": 7, "q161_hard_negatives": 7,
-    "q162_quality_funnel": 7, "q163_key_skew_audit": 7,
-    "q164_epoch_shards": 7, "q165_vocab_coverage": 7,
-    "q166_source_overlap": 7, "q167_truncation_loss": 7,
-    "q168_lsh_param_sweep": 7, "q169_lang_confusion": 7,
-    "q170_deletion_manifest": 7, "q171_temperature_mix": 7,
-    "q172_degenerate_runs": 7, "q173_label_shard_balance": 7,
-    "q174_dedup_growth_curve": 7, "q175_length_calibration": 6,
-    "q176_domain_overlap": 7, "q177_code_switching": 7,
-    "q178_canary_scan": 7, "q179_filter_redundancy": 7,
-    "q180_event_cooccurrence": 7, "q181_false_merge_audit": 7,
-    "q182_watermark_audit": 7, "q183_gopher_rules": 7,
-    "q184_dup_ngram_mass": 7, "q185_dsir_importance": 7,
-    "q186_best_of_cluster": 7, "q187_blocking_audit": 7,
-    "q188_embedding_qa": 7, "q189_label_margin_audit": 7,
-    "q190_split_leakage": 7, "q191_rare_ngram_loss": 7,
-    "q192_dedup_signal_agreement": 7,
+    "q153_bloom_decontaminate": 12, "q154_line_dedup_rebuild": 12,
+    "q155_char_lm_score": 12, "q156_zipf_slope": 12, "q157_normalized_dedup": 12,
+    "q158_incremental_dedup": 12, "q159_recursive_cte": 12,
+    "q160_lateral_topn": 12, "q161_hard_negatives": 12,
+    "q162_quality_funnel": 12, "q163_key_skew_audit": 12,
+    "q164_epoch_shards": 12, "q165_vocab_coverage": 12,
+    "q166_source_overlap": 12, "q167_truncation_loss": 12,
+    "q168_lsh_param_sweep": 12, "q169_lang_confusion": 12,
+    "q170_deletion_manifest": 12, "q171_temperature_mix": 12,
+    "q172_degenerate_runs": 12, "q173_label_shard_balance": 12,
+    "q174_dedup_growth_curve": 12, "q175_length_calibration": 12,
+    "q176_domain_overlap": 12, "q177_code_switching": 12,
+    "q178_canary_scan": 12, "q179_filter_redundancy": 12,
+    "q180_event_cooccurrence": 12, "q181_false_merge_audit": 12,
+    "q182_watermark_audit": 12, "q183_gopher_rules": 12,
+    "q184_dup_ngram_mass": 12, "q185_dsir_importance": 12,
+    "q186_best_of_cluster": 12, "q187_blocking_audit": 12,
+    "q188_embedding_qa": 12, "q189_label_margin_audit": 12,
+    "q190_split_leakage": 12, "q191_rare_ngram_loss": 12,
+    "q192_dedup_signal_agreement": 12,
     # round 8 (CORRECTNESS_r08: 50/50 green — the 18 r8-new plus the 32
     # stalest re-verifications, whose entries above are bumped to 8)
     "q193_contamination_fraction": 8, "q194_dedup_pareto": 8,
@@ -163,9 +162,9 @@ _LAST_VERIFIED: dict[str, int] = {
     "q211_cheapest_supplier": 9, "q212_part_value_concentration": 9,
     "q213_order_count_distribution": 9, "q214_idle_customer_audit": 9,
     "q215_readability_scores": 9, "q216_fingerprint_bucket_health": 9,
-    "q217_scorer_rank_correlation": 6, "q218_event_burstiness": 9,
+    "q217_scorer_rank_correlation": 12, "q218_event_burstiness": 9,
     "q219_price_band_match": 9, "q220_nation_trade_volume": 9,
-    "q221_lexical_richness": 9, "q222_user_value_gini": 6,
+    "q221_lexical_richness": 9, "q222_user_value_gini": 12,
     "q223_backlog_curve": 9, "q224_shipping_delay_distribution": 9,
     "q225_repeat_purchase_interval": 9, "q226_first_word_entropy": 9,
     "q227_balance_outliers_robust": 9, "q228_crosslingual_mirror": 9,
@@ -193,18 +192,20 @@ _LAST_VERIFIED: dict[str, int] = {
     # last driver proof describes the pre-refactor implementation (local
     # sf0.001 oracle gates and the bit-equality property tests do cover
     # the rewrite).
-    "q245_zipf_slope": 6,
+    "q245_zipf_slope": 12,
     # round 11 (CORRECTNESS_r11: 50/50 green — the 2 r11-new plus the 48
     # stalest re-verifications, whose entries above are bumped to 11)
     "q246_schema_evolution": 11,
     "q247_path_coverage_drift": 11,
+    "q248_deep_schema_evolution": 12,
+    "q249_flatten_width_contract": 12,
 }
 
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
     never_checked = [
-        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R12
+        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R13
     ]
     verified = sorted(
         (n for n in names if n in _LAST_VERIFIED),
@@ -212,7 +213,7 @@ def _ordered() -> list[str]:
     )
     return (
         never_checked
-        + [n for n in names if n in _NEW_IN_R12]
+        + [n for n in names if n in _NEW_IN_R13]
         + verified
     )
 
