@@ -34,6 +34,7 @@ def _split(emb):
     return build, batch
 
 
+@pytest.mark.slow
 def test_build_assigns_every_vector(spark, emb, tmp_path):
     path = str(tmp_path / "ivf")
     build, _ = _split(emb)
@@ -100,6 +101,7 @@ def test_upsert_without_build_raises(spark, emb, tmp_path):
         ivf_upsert(spark, str(tmp_path / "missing"), emb)
 
 
+@pytest.mark.slow
 def test_health_report_shape_and_drift(spark, emb, tmp_path):
     path = str(tmp_path / "ivf")
     build, batch = _split(emb)
@@ -113,6 +115,7 @@ def test_health_report_shape_and_drift(spark, emb, tmp_path):
     assert h1["drift_ratio"] is not None and h1["drift_ratio"] > 0
 
 
+@pytest.mark.slow
 def test_health_flags_imbalance(spark, emb, tmp_path):
     """Upserting a pile of copies of one build vector floods one cell —
     occupancy imbalance crosses the threshold and needs_refit flips."""
@@ -130,6 +133,7 @@ def test_health_flags_imbalance(spark, emb, tmp_path):
     assert h["needs_refit"]
 
 
+@pytest.mark.slow
 def test_compact_and_prune_ann_versions(spark, emb, tmp_path):
     """Delta-store GC discipline (r9): deltas after the last snapshot
     are load-bearing, so nothing behind them is deletable until a
@@ -158,6 +162,7 @@ def test_compact_and_prune_ann_versions(spark, emb, tmp_path):
     assert ivf_health(spark, path).collect()[0]["version"] == 4
 
 
+@pytest.mark.slow
 def test_refit_resets_drift(spark, emb, tmp_path):
     """The refit loop: when health says refit, rebuilding on the full
     postings' vectors yields a fresh v=0 store in a new path whose
@@ -318,6 +323,7 @@ def test_ivf_build_refuses_live_store(spark, emb, tmp_path):
         ivf_build(spark, path, build.unionByName(batch), k=4)
 
 
+@pytest.mark.slow
 def test_health_baseline_shifts_after_gc(spark, emb, tmp_path):
     """GC'ing the pre-snapshot lineage makes the drift baseline the
     earliest RETAINED version — the documented intent: the 'build set'
@@ -485,6 +491,7 @@ def test_layout_append_refuses_replaces_and_gaps(spark, emb, tmp_path):
         append_ivf_layout(spark, path, b2, layout)
 
 
+@pytest.mark.slow
 def test_large_k_store_serves_through_layout(spark, emb, tmp_path):
     """The large-k regime end to end: a k=32 store FITTED and BUILT on
     the Arrow/BLAS path (inline expressions would be un-plannable at
@@ -520,6 +527,7 @@ def test_large_k_store_serves_through_layout(spark, emb, tmp_path):
     assert m and len((m.group(1) or m.group(2)).split(",")) <= 12
 
 
+@pytest.mark.slow
 def test_read_as_of_version(spark, emb, tmp_path):
     """Time travel over the v=N lineage: reading AS OF v=0 reproduces the
     pre-upsert postings exactly; a GC'd version raises instead of
@@ -551,6 +559,7 @@ def test_read_as_of_version(spark, emb, tmp_path):
     assert {tuple(r) for r in read_ann_index(spark, path, version=2)[1].collect()} == latest
 
 
+@pytest.mark.slow
 def test_layout_append_three_cycles_stays_rewrite_equivalent(spark, emb, tmp_path):
     """Three successive upsert+append cycles: after each catch-up the
     appended layout serves exactly what a from-scratch rewrite of the
@@ -583,6 +592,7 @@ def test_layout_append_three_cycles_stays_rewrite_equivalent(spark, emb, tmp_pat
         }
 
 
+@pytest.mark.slow
 def test_layout_upsert_replaces_in_place(spark, emb, tmp_path):
     """r9 (VERDICT item 5): a REPLACE-upsert catches the serving layout
     up through upsert_ivf_layout — only the affected cid= partitions are
@@ -825,6 +835,7 @@ def test_health_drift_sees_reupserted_ids(spark, emb, tmp_path):
     assert h["drift_ratio"] is not None and h["drift_ratio"] > 1.0
 
 
+@pytest.mark.slow
 def test_layout_repin_rides_through_compaction(spark, emb, tmp_path):
     """r13: the per-micro-batch catch-up loop's scheduled-maintenance
     step. upsert_ivf_layout resolves postings through the snapshot+delta

@@ -4,6 +4,8 @@ safety (marker-first ledger), and stream-vs-batch equivalence."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -127,6 +129,7 @@ def test_pandas_store_stream_uses_pandas_assignment(spark, sf_dir, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_refit_and_repoint_loses_no_batch(spark, sf_dir, tmp_path):
     """The ivf_health refit runbook end to end: while store A keeps
     absorbing stream batches, a refit store B is built at a FRESH path
@@ -217,6 +220,7 @@ def test_crashed_batch_survives_interleaved_compact(spark, sf_dir, tmp_path):
     assert got == set(range(40))  # build + the recovered batch, no loss
 
 
+@pytest.mark.slow
 def test_ingest_batches_leave_no_pinned_storage(spark, sf_dir, tmp_path):
     """r12 (VERDICT r11 wrong #1): the per-batch pin is persist +
     finally-unpersist, NOT localCheckpoint — checkpointed blocks wait on

@@ -437,6 +437,7 @@ def test_scan_or_push_scan_branch_handles_cardinality(
     }
 
 
+@pytest.mark.slow
 def test_scan_or_push_date_histogram_chooser_parity(
     spark, sf_dir, fake_es, tmp_path
 ):
@@ -497,6 +498,7 @@ def test_scan_or_push_date_histogram_chooser_parity(
         )
 
 
+@pytest.mark.slow
 def test_scan_or_push_range_chooser_parity(spark, sf_dir, fake_es, tmp_path):
     """The range chooser (r9, VERDICT item 6): a 3-band facet over
     hundreds of docs pushes (scan must not run); banding a 2-doc corpus

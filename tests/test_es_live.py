@@ -104,6 +104,7 @@ def test_es_live_matches_sequential_keyset_scan(spark, sf_dir, fake_es, tmp_path
     assert live_docs == seq_docs
 
 
+@pytest.mark.slow
 def test_es_live_flatten_parity_with_sequential_path(spark, fake_es):
     """Golden-document byte parity: flatten(sliced live read) must equal
     flatten(sequential keyset scan) cell-for-cell on the reference's own

@@ -68,6 +68,7 @@ def test_parquet_to_bulk_to_rescan_round_trip(spark, sf_dir, fake_es, tmp_path):
     assert have == want
 
 
+@pytest.mark.slow
 def test_golden_document_flatten_parity_through_fake_es(spark, fake_es):
     """Index the golden document's _source into the fake cluster, re-scan
     it with search_after, and flatten — the result must be column-for-
@@ -316,6 +317,7 @@ def test_search_retries_throttled_cluster(spark, tmp_path):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_es_bulk_stream_writer_end_to_end(spark, fake_es, tmp_path):
     """df.writeStream.format('es_bulk'): per-epoch bulk NDJSON dirs with
     _SUCCESS-last commits; every epoch's files replay into the fake

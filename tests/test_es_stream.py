@@ -155,6 +155,7 @@ def test_start_after_skips_bulk_backlog(fake_es, tmp_path, spark):
     assert [json.loads(r[2])[0] for r in rows] == [25, 26, 27, 28, 29]
 
 
+@pytest.mark.slow
 def test_es_tail_export_job_end_to_end(spark, fake_es, tmp_path):
     """The reference's full pipeline continuously: es_tail source →
     per-batch dynamic-schema parse → flatten → TSV + audit, exactly-once

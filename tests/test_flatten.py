@@ -235,6 +235,7 @@ def test_flatten_families_partition_and_values(spark):
     assert fam_row == wide_row
 
 
+@pytest.mark.slow
 def test_flatten_families_scan_is_pruned(spark, tmp_path):
     """A family's parquet scan must read only its subtree, not the whole
     document — the I/O win that motivates the split. (Parquet only: JSON
@@ -425,6 +426,7 @@ def test_probe_name_collision_keeps_separate_ranges(spark):
     assert got[_probe_key(("x_0", "y"))] == (3, 3)
 
 
+@pytest.mark.slow
 def test_dedup_close_default_star(spark):
     """dedup_close (the production closer) must produce the same clusters
     as the scored-pair path at threshold 0, and honor a custom id column."""

@@ -4,6 +4,8 @@ exactly-once semantics under foreachBatch replay (marker-first ledger)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -23,6 +25,7 @@ def _write_batch(spark, path, rows):
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").json(path)
 
 
+@pytest.mark.slow
 def test_stream_classifies_and_advances_index(spark, tmp_path):
     src = str(tmp_path / "src")
     idx = str(tmp_path / "idx")
@@ -165,6 +168,7 @@ def test_crashed_batch_survives_interleaved_compact(spark, tmp_path):
     assert read_fingerprint_index(spark, idx).count() == 2
 
 
+@pytest.mark.slow
 def test_es_tail_feeds_index_ingest(spark, tmp_path):
     """The full live-dedup story: tail the (fake) ES cluster as a stream
     and classify every arriving document against the persistent

@@ -119,6 +119,7 @@ def test_es_source_stub_gating(spark):
     assert df.count() == 1 and "claimRequestId" in df.columns
 
 
+@pytest.mark.slow
 def test_cli_main_exports_golden_doc(tmp_path, capsys):
     """`python -m etl_pipeline_for_elasticsearch_json_document_spark IN OUT`
     — the reference's script entry point (E1): envelope in, per-batch TSV +
@@ -155,6 +156,7 @@ def test_cli_main_reads_jsonl_fully(tmp_path, capsys):
     assert "exported 5 documents" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_audit_jdbc_tier_round_trip(spark, tmpdir):
     """The reference's actual audit target is an RDBMS (log_to_sql_db,
     ElasticSearch ETL.py:271-299): the JDBC tier appends SUCCESS and

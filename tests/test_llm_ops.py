@@ -236,6 +236,7 @@ def test_connected_components_chain_converges(spark):
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10, 20: 20, 21: 20}
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain_log_rounds(spark):
     # Worst case for plain min-label propagation: a 128-node path graph
     # (diameter 127 would need 127 rounds). Pointer jumping halves the
@@ -514,6 +515,7 @@ def test_jaccard_pairs_construction_is_lazy(spark):
         out.count()
 
 
+@pytest.mark.slow
 def test_minhash_ops_accept_any_id_column_name(spark):
     """id_col is honored, not assumed to be 'doc_id': minhash_signatures
     aliases it internally and every downstream LSH op must keep working
@@ -546,6 +548,7 @@ def test_triangle_counts_k4_plus_pendant(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+@pytest.mark.slow
 def test_triangle_orientation_kills_hub_wedges(spark):
     """The skew guarantee behind triangle_counts: a 2,000-leaf star hub
     produces ZERO wedges under degree-ordered orientation (every edge
@@ -562,6 +565,7 @@ def test_triangle_orientation_kills_hub_wedges(spark):
     assert graph.oriented_wedges(graph.orient_edges(k4)).count() == 4
 
 
+@pytest.mark.slow
 def test_kmeans_fit_monotone_and_feeds_ivf(spark, sf_dir):
     """Lloyd's algorithm must not increase inertia with more iterations,
     the fit must be run-to-run deterministic, and its output table must
@@ -604,6 +608,7 @@ def test_prefix_filter_jaccard_equals_naive_join(spark, sf_dir):
     assert pf == naive and len(pf) > 0
 
 
+@pytest.mark.slow
 def test_prefix_filter_jaccard_property_random_corpora(spark):
     """Property check on randomized corpora and thresholds: prefix
     filtering must give EXACTLY the naive join's pairs (the prefix lemma

@@ -4,6 +4,8 @@ and anchor behavior when smaller ids arrive late."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -33,6 +35,7 @@ def _clusters(spark, edges, docs):
     }
 
 
+@pytest.mark.slow
 def test_streamed_edges_close_to_batch_clusters(spark, sf_dir, tmp_path):
     """Two micro-batches split by id PARITY (so the second batch holds
     ids smaller than already-indexed anchors — the hard case): the union
@@ -56,6 +59,7 @@ def test_streamed_edges_close_to_batch_clusters(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_classification_and_replay(spark, tmp_path):
     t = "the quick brown fox jumps over the lazy dog again and again"
     b1 = spark.createDataFrame([(10, t), (11, t), (12, "completely different words here nothing shared at all")], SCHEMA)
@@ -121,6 +125,7 @@ def test_stream_entry_point_end_to_end(spark, sf_dir, tmp_path):
     ).collect()[0][0] == 1
 
 
+@pytest.mark.slow
 def test_compact_and_prune_gc(spark, tmp_path):
     """Delta-store GC contract: deltas after the last snapshot are
     load-bearing (every later version resolves through them), so prune
@@ -168,6 +173,7 @@ def test_compact_and_prune_gc(spark, tmp_path):
     assert _committed_versions(idx) == [3, 4]
 
 
+@pytest.mark.slow
 def test_compact_is_resolution_invariant(spark, sf_dir, tmp_path):
     """Two stores fed the same two batches, one with a compact in
     between: the resolved index and the second batch's classification
@@ -246,6 +252,7 @@ def test_delta_commit_is_batch_sized(spark, tmp_path):
     assert v1.count() <= 4  # bands=4: one row per band bucket of THE batch
 
 
+@pytest.mark.slow
 def test_live_es_tail_feeds_near_dup_index(spark, tmp_path):
     """The switch-from-the-reference showcase: tail a LIVE (fake) ES
     index with the es_tail streaming source, parse _source per batch,
@@ -314,6 +321,7 @@ def test_live_es_tail_feeds_near_dup_index(spark, tmp_path):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_crashed_batch_survives_interleaved_compact(spark, tmp_path):
     """ADVICE r9 through the LSH client: a batch pins its base version,
     crashes pre-commit, compact() claims the version with its snapshot —

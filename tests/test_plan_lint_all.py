@@ -296,6 +296,7 @@ ALLOWANCES: dict[str, dict[str, str]] = {
 }
 
 
+@pytest.mark.slow
 def test_every_query_plan_is_clean_or_allowed(spark, sf_dir):
     unexpected: dict[str, list[str]] = {}
     stale: dict[str, list[str]] = {}

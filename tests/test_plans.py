@@ -393,6 +393,7 @@ def test_kmeans_assign_is_map_only(spark):
     assert "Join" not in plan and "Exchange" not in plan  # pure projection
 
 
+@pytest.mark.slow
 def test_semantic_dedup_pairs_are_cluster_blocked(spark):
     # the pair join must be an equi-join (on cid) — never a cross product
     plan = plan_text(Q["q139_semantic_dedup"].fn(spark, SF_DIR))

@@ -5,6 +5,8 @@ aggregate — batch boundaries must be semantically invisible."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -35,6 +37,7 @@ def _batches(rows, cuts):
 
 @settings(max_examples=8, deadline=None)
 @given(texts=_corpora, cuts=_cuts)
+@pytest.mark.slow
 def test_index_converges_to_one_shot_dedup(spark, tmp_path_factory, texts, cuts):
     rows = [(i, t) for i, t in enumerate(texts)]
     idx_path = str(tmp_path_factory.mktemp("fpidx"))
@@ -83,6 +86,7 @@ _MEASURES = {
 
 @settings(max_examples=8, deadline=None)
 @given(rows=_vals, cuts=_cuts)
+@pytest.mark.slow
 def test_rollup_split_invariance(spark, tmp_path_factory, rows, cuts):
     path = str(tmp_path_factory.mktemp("rollup"))
     for batch in _batches(rows, cuts):

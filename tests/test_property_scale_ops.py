@@ -7,6 +7,8 @@ order values, ties on the order column, and chunk widths of 1."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -46,6 +48,7 @@ def _df(spark, rows):
 
 @settings(max_examples=8, deadline=None)
 @given(rows=_rows, k=st.integers(1, 6), n_salts=st.integers(1, 5))
+@pytest.mark.slow
 def test_per_key_topk_equals_window(spark, rows, k, n_salts):
     df = _df(spark, rows)
     w = Window.partitionBy("g").orderBy("v", "rid")
@@ -67,6 +70,7 @@ def test_per_key_topk_equals_window(spark, rows, k, n_salts):
 # NULL-tie equivalence class is asserted on every run, not by luck
 @example(rows=[("a", 0, None), ("a", 0, 0)], width=1, inclusive=False)
 @example(rows=[("a", 0, None), ("a", 0, 0)], width=1, inclusive=True)
+@pytest.mark.slow
 def test_grouped_prefix_sum_equals_window(spark, rows, width, inclusive):
     df = _df(spark, rows)
     lo, hi = (0, 0) if inclusive else (0, -1)
@@ -225,6 +229,7 @@ def _before(u, v, descending):
 @given(rows=_rows_nullable_v, descending=st.booleans())
 @example(rows=[("a", None, 0), ("a", 0, 1)], descending=False)
 @example(rows=[("a", None, 0), ("a", 0, 1)], descending=True)
+@pytest.mark.slow
 def test_value_domain_ranks_equals_window(spark, rows, descending):
     """For ANY dataset the decomposed rank (count-strictly-below over the
     distinct-value relation + tie-block row_number) is BIT-EQUAL to the

@@ -88,7 +88,24 @@ def duck_type_class(dt: str) -> str:
 
 
 QUERIES = all_queries()
-ORACLED = [n for n, q in sorted(QUERIES.items()) if q.oracle]
+#: Oracle comparisons that individually cost >= ~8 s (closure loops, LSH
+#: banding, the 20-generate deep walk) — marked slow so the pre-commit
+#: fast subset (-m "not slow", README) stays usable; CI runs everything.
+SLOW_ORACLES = {
+    "q35_dedup_clusters",
+    "q41_knn_lsh",
+    "q46_cdc_chunk_dedup",
+    "q103_lsh_star_dedup",
+    "q128_dedup_cluster_stats",
+    "q139_semantic_dedup",
+    "q243_contamination_cascade",
+    "q248_deep_schema_evolution",
+}
+ORACLED = [
+    pytest.param(n, marks=[pytest.mark.slow] if n in SLOW_ORACLES else [])
+    for n, q in sorted(QUERIES.items())
+    if q.oracle
+]
 ROWS_ONLY = [n for n, q in sorted(QUERIES.items()) if not q.oracle]
 
 

@@ -144,6 +144,7 @@ def test_compact_bounds_read_and_prune_respects_floor(spark, tmp_path):
     assert _rows(read_rollup(spark, path)) == _rows(oneshot)
 
 
+@pytest.mark.slow
 def test_streamed_rollup_matches_batch_and_survives_replay(spark, tmp_path):
     """File-fed stream (one file per micro-batch) builds the same rollup
     as the one-shot aggregate; a crash-replay of a batch neither

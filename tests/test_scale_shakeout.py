@@ -40,6 +40,7 @@ def corpus(spark, sf_dir):
     ), n
 
 
+@pytest.mark.slow
 def test_dedup_closer_end_to_end(corpus):
     docs, n_orig = corpus
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4).cache()

@@ -18,6 +18,8 @@ These tests pin:
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -100,6 +102,7 @@ def test_nested_retype_caught_deep_missed_by_top_level(spark):
     assert shallow == []  # the top-level watch is blind to it
 
 
+@pytest.mark.slow
 def test_deep_schema_watch_stream_catches_nested_drift(spark, tmpdir):
     """Streaming twin: run_schema_watch_stream(deep=True) appends deep
     profiles per micro-batch; read_schema_report surfaces the nested
@@ -302,6 +305,7 @@ def test_volume_gap_shrinks_baseline_instead_of_mispairing(spark):
     assert 1 not in rows  # nothing precedes batch 1 in range
 
 
+@pytest.mark.slow
 def test_volume_watch_stream_matches_batch(spark, tmpdir):
     """Streaming twin parity — including a logical batch SPLIT across
     micro-batches, whose count/byte partials must re-sum exactly."""
