@@ -29,14 +29,15 @@ AUDIT_SCHEMA = (
     "batch_id string, table_name string, record_count_loaded long, "
     # r13 ingest-QA flags (VERDICT r12 missing #1): the reference's audit
     # row records record_count_loaded but nothing ever alarms; the export
-    # watch (streaming/export_job.py) writes its per-batch width/kind
-    # verdicts HERE so the table that already tracks every batch also
-    # carries the contract state. Nullable by design: null = watch not
-    # enabled for the job (or first batch — no predecessor), 0/1 = the
-    # batch was checked. Appended at the END so the reference's own
-    # column prefix (log_to_sql_db's signature) is preserved; parquet
-    # rows from older rounds read as null under the explicit schema.
-    "widened long, kind_changed long"
+    # watch (streaming/export_job.py) writes its per-batch width/kind/
+    # volume verdicts HERE so the table that already tracks every batch
+    # also carries the contract state. Nullable by design: null = watch
+    # not enabled for the job (or no baseline yet — first batch for
+    # width/kind, no trailing history for volume), 0/1 = the batch was
+    # checked. Appended at the END so the reference's own column prefix
+    # (log_to_sql_db's signature) is preserved; parquet rows from older
+    # rounds read as null under the explicit schema.
+    "widened long, kind_changed long, volume_dropped long, volume_surged long"
 )
 
 #: Spark's bundled embedded-Derby driver — the zero-install JDBC target
@@ -79,6 +80,8 @@ class AuditLog:
         error_log_file: Optional[str] = None,
         widened: Optional[int] = None,
         kind_changed: Optional[int] = None,
+        volume_dropped: Optional[int] = None,
+        volume_surged: Optional[int] = None,
     ) -> None:
         row = [
             (
@@ -95,6 +98,8 @@ class AuditLog:
                 record_count_loaded,
                 widened,
                 kind_changed,
+                volume_dropped,
+                volume_surged,
             )
         ]
         df = self.spark.createDataFrame(row, AUDIT_SCHEMA)
@@ -106,7 +111,14 @@ class AuditLog:
             df.write.mode("append").parquet(self.path)
 
     def success(
-        self, start_ts, batch_id, record_count, widened=None, kind_changed=None
+        self,
+        start_ts,
+        batch_id,
+        record_count,
+        widened=None,
+        kind_changed=None,
+        volume_dropped=None,
+        volume_surged=None,
     ):
         self.log(
             start_ts,
@@ -116,6 +128,8 @@ class AuditLog:
             record_count_loaded=record_count,
             widened=widened,
             kind_changed=kind_changed,
+            volume_dropped=volume_dropped,
+            volume_surged=volume_surged,
         )
 
     def failure(self, start_ts, batch_id, error: Exception):

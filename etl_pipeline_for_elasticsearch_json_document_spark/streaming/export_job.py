@@ -111,15 +111,22 @@ def run_export_stream(
 
 
 def _watch_flags(
-    batch_df: DataFrame, flat: DataFrame, watch_dir: str, ckpt_id: str
+    batch_df: DataFrame,
+    flat: DataFrame,
+    watch_dir: str,
+    ckpt_id: str,
+    batch_id: int,
+    n_docs: int,
+    trailing: int = 7,
 ) -> tuple:
     """Per-batch ingest-QA verdict for the export stream (r13, VERDICT
-    r12 missing #1): the engine could already DIFF width (q249) and kinds
-    (q246/q248), but the always-on export never consulted either — a feed
-    that doubles its array fan-out still wrote the 50k-column TSV with no
-    trace (the reference's TSV width is silently data-driven,
-    `ElasticSearch ETL.py:63-65`). This computes, against the PREVIOUS
-    batch's state:
+    r12 missing #1): the engine could already DIFF width (q249), kinds
+    (q246/q248) and volume (q250), but the always-on export never
+    consulted any of them — a feed that doubles its array fan-out still
+    wrote the 50k-column TSV with no trace (the reference's TSV width is
+    silently data-driven, `ElasticSearch ETL.py:63-65`), and a feed that
+    half-emptied still audited a small record_count nobody alarms on.
+    This computes, against the previous batches' state:
 
     - ``widened`` (1/0): the flatten output's column count grew ≥1.5×
       (integer-exact ``2·cur ≥ 3·prev``, the q249 rule). The count is
@@ -130,12 +137,21 @@ def _watch_flags(
       whose scalar-kind set moved (the q246 rule; new/missing paths are
       schema-union growth, not kind drift). One map-side aggregate over
       the batch; the collected profile is top-level-key-domain-sized.
+    - ``volume_dropped`` / ``volume_surged`` (1/0): this batch's doc
+      count vs the trailing ≤``trailing``-batch counts, the q250
+      integer-exact rules (≤ half / ≥ 2× the trailing mean,
+      cross-multiplied). ``n_docs`` rides in from the write's own
+      Observation — no extra count job.
 
     State rides a tiny JSON file under ``watch_dir`` keyed by checkpoint
     lineage (the exactly-once scoping: a fresh checkpoint restarts the
-    contract rather than diffing across lineages), written atomically.
-    The first batch of a lineage has no predecessor → ``(None, None)``,
-    the q246/q249 pairing contract. Callers treat any failure here as
+    contract rather than diffing across lineages), written atomically,
+    and is REPLAY-IDEMPOTENT: the file keeps (prev, cur) epochs, so a
+    batch replayed after the state advanced but before its audit row
+    committed re-compares against the same baseline the first attempt
+    saw instead of diffing itself against itself. A flag with no
+    baseline yet is None (first batch for width/kind; empty trailing
+    history for volume). Callers treat any failure here as
     flag-and-continue — the watch must never block the export."""
     from etl_pipeline_for_elasticsearch_json_document_spark.operators.schema_report import (
         json_schema_profile,
@@ -151,24 +167,50 @@ def _watch_flags(
         for r in json_schema_profile(jdf, "b", "j").collect()
     }
     state_file = os.path.join(watch_dir, f"state-{ckpt_id}.json")
-    widened = kind_changed = None
+    state = None
     if os.path.exists(state_file):
         with open(state_file) as f:
-            prev = json.load(f)
-        widened = int(2 * n_cols >= 3 * prev["n_cols"])
+            state = json.load(f)
+    if state is not None and state.get("cur", {}).get("epoch") == batch_id:
+        base = state.get("prev")  # replay: same baseline as the first try
+        advance = False
+    else:
+        base = state.get("cur") if state is not None else None
+        advance = True
+    widened = kind_changed = volume_dropped = volume_surged = None
+    if base is not None:
+        widened = int(2 * n_cols >= 3 * base["n_cols"])
         kind_changed = int(
             any(
                 kinds[p] != k
-                for p, k in prev["kinds"].items()
+                for p, k in base["kinds"].items()
                 if p in kinds
             )
         )
-    os.makedirs(watch_dir, exist_ok=True)
-    tmp = state_file + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"n_cols": n_cols, "kinds": kinds}, f)
-    os.replace(tmp, state_file)
-    return widened, kind_changed
+        recent = base.get("recent_docs", [])
+        if recent:
+            w, s = len(recent), sum(recent)
+            volume_dropped = int(2 * n_docs * w <= s)
+            volume_surged = int(n_docs * w >= 2 * s)
+    if advance:
+        recent = (base.get("recent_docs", []) if base else []) + [n_docs]
+        os.makedirs(watch_dir, exist_ok=True)
+        tmp = state_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "prev": base,
+                    "cur": {
+                        "epoch": batch_id,
+                        "n_cols": n_cols,
+                        "kinds": kinds,
+                        "recent_docs": recent[-trailing:],
+                    },
+                },
+                f,
+            )
+        os.replace(tmp, state_file)
+    return widened, kind_changed, volume_dropped, volume_surged
 
 
 def _export_batch_processor(
@@ -234,23 +276,6 @@ def _export_batch_processor(
             obs = Observation(f"export_batch_{batch_id}")
             observed = batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
             flat = flatten(observed, bug_compat=bug_compat)
-            # ingest-QA verdict BEFORE the write so an alarmed batch is
-            # already flagged even if the job dies mid-write — but
-            # flag-and-continue: the TSV writes either way, and a watch
-            # failure is reported on stderr, never raised (the export
-            # must not gain a new crash mode from its own monitoring).
-            widened = kind_changed = None
-            if watch_dir is not None:
-                try:
-                    widened, kind_changed = _watch_flags(
-                        batch_df, flat, watch_dir, ckpt_id
-                    )
-                except Exception as we:
-                    print(
-                        f"export watch failed on batch {batch_id} "
-                        f"(flag-and-continue): {we}",
-                        file=sys.stderr,
-                    )
             # small micro-batches collapse to one TSV file; wide ones keep
             # their partitioning (decided from partition count — no scan)
             one_file = batch_df.rdd.getNumPartitions() <= 8
@@ -265,12 +290,34 @@ def _export_batch_processor(
                 path = batch_tsv_path(output_dir, last_id)
             write_tsv(flat, path, coalesce=1 if one_file else None)
             n = obs.get["n"]  # filled: the write above materialized the batch
+            # ingest-QA verdict between the write and its audit row —
+            # flag-and-continue: the TSV is already written whatever the
+            # flags say, the volume axis reuses the write's own observed
+            # count (no extra job), and a failure inside the watch is
+            # reported on stderr, never raised (the export must not gain
+            # a new crash mode from its own monitoring).
+            widened = kind_changed = vol_dropped = vol_surged = None
+            if watch_dir is not None:
+                try:
+                    widened, kind_changed, vol_dropped, vol_surged = (
+                        _watch_flags(
+                            batch_df, flat, watch_dir, ckpt_id, batch_id, n
+                        )
+                    )
+                except Exception as we:
+                    print(
+                        f"export watch failed on batch {batch_id} "
+                        f"(flag-and-continue): {we}",
+                        file=sys.stderr,
+                    )
             audit.success(
                 start_ts,
                 batch_id=_epoch_key(batch_id),
                 record_count=n,
                 widened=widened,
                 kind_changed=kind_changed,
+                volume_dropped=vol_dropped,
+                volume_surged=vol_surged,
             )
         except Exception as e:  # FAILED audit row, then re-raise (A20)
             audit.failure(start_ts, batch_id=_epoch_key(batch_id), error=e)

@@ -175,6 +175,7 @@ def test_streaming_dedup(spark, tmpdir):
     assert sorted(r["event_id"] for r in got.collect()) == [1, 2]
 
 
+@pytest.mark.slow
 def test_stateful_sessionize(spark, tmpdir):
     from etl_pipeline_for_elasticsearch_json_document_spark.streaming.stateful import sessionize_stream
 
@@ -224,6 +225,7 @@ def test_stateful_sessionize(spark, tmpdir):
     assert (1, 1704103200000000, 2) in rows, rows  # 2024-01-01 12:00 UTC session
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_late_events(spark, tmpdir):
     """Late-but-admitted events (within watermark) that precede the open
     session's start must extend it backwards when within gap, and form their
@@ -291,6 +293,7 @@ def test_stateful_sessionize_late_events(spark, tmpdir):
     }, user9
 
 
+@pytest.mark.slow
 def test_session_window_stream_matches_batch(spark, sf_dir, tmpdir):
     """Every session the stream emits (append mode: closed sessions only)
     must byte-match the batch sessionize_batch result — the lambda-architecture
@@ -320,6 +323,7 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmpdir):
     assert got <= batch, f"{len(got - batch)} streamed sessions differ from batch"
 
 
+@pytest.mark.slow
 def test_interval_join_stream_matches_batch(spark, sf_dir, tmpdir):
     """Stream-stream interval join drains to the same pairs as the
     equivalent batch range join (click→purchase attribution within 30m)."""
@@ -461,6 +465,7 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmpdir):
     assert got.exceptAll(batch).isEmpty()
 
 
+@pytest.mark.slow
 def test_interval_join_stream_left_outer(spark, sf_dir, tmpdir):
     """leftOuter stream-stream join: inner pairs match the batch join
     exactly, and unmatched clicks surface as null-padded rows once the
@@ -795,6 +800,7 @@ def test_export_stream_exactly_once_single_audit_row(spark, tmpdir):
     assert len(rows) == 1 and rows[0]["job_status"] == "SUCCESS"
 
 
+@pytest.mark.slow
 def test_schema_evolution_stream_matches_batch(spark, tmpdir):
     """Streaming twin of q246 (VERDICT r10 item 8): micro-batches append
     their json_schema_profile rows to a standing store; after the drain,
@@ -858,6 +864,7 @@ def test_schema_evolution_stream_matches_batch(spark, tmpdir):
     assert {tuple(r) for r in batch_report.collect()} == want
 
 
+@pytest.mark.slow
 def test_schema_watch_stream_entry_point(spark, tmpdir):
     """run_schema_watch_stream end-to-end: micro-batches (split so one
     LOGICAL batch ordinal spans two micro-batches — the merge path) feed
@@ -1013,3 +1020,85 @@ def test_export_watch_steady_feed_never_alarms(spark, tmpdir):
         key=lambda r: r["batch_id"],
     )
     assert rows[1]["widened"] == 0 and rows[1]["kind_changed"] == 0
+
+
+def test_export_watch_volume_contract_in_audit(spark, tmpdir):
+    """VERDICT r12 item 7's streaming face: the export watch applies the
+    q250 volume rules to each micro-batch's observed doc count — a
+    half-emptied feed (<= half the trailing mean) lands an audit row with
+    ``volume_dropped`` SET while the TSV still writes, a runaway feed
+    (>= 2x) sets ``volume_surged``, and the first batch (no trailing
+    history) leaves both null. Doc counts ride the write's own
+    Observation — the watch adds no count job."""
+    inp = os.path.join(tmpdir, "in")
+    os.makedirs(inp)
+
+    def feed(name, n, start):
+        with open(os.path.join(inp, name), "w") as f:
+            for i in range(n):
+                f.write(
+                    json.dumps({"claimRequestId": start + i, "a": i}) + "\n"
+                )
+
+    out = os.path.join(tmpdir, "out")
+    kw = dict(
+        checkpoint_dir=os.path.join(tmpdir, "ckpt"),
+        audit_path=os.path.join(tmpdir, "audit"),
+        watch_dir=os.path.join(tmpdir, "watch"),
+        schema="claimRequestId long, a long",
+    )
+    feed("a.json", 4, 0)  # batch 0: no baseline -> nulls
+    run_export_stream(spark, inp, out, **kw).awaitTermination(600)
+    feed("b.json", 1, 100)  # batch 1 vs trailing [4]: 2*1*1 <= 4 -> dropped
+    run_export_stream(spark, inp, out, **kw).awaitTermination(600)
+    feed("c.json", 20, 200)  # batch 2 vs [4, 1]: 20*2 >= 2*5 -> surged
+    run_export_stream(spark, inp, out, **kw).awaitTermination(600)
+
+    from etl_pipeline_for_elasticsearch_json_document_spark.sinks.audit import AuditLog
+
+    rows = sorted(
+        AuditLog(spark, os.path.join(tmpdir, "audit")).read().collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert [r["job_status"] for r in rows] == ["SUCCESS"] * 3
+    assert [r["record_count_loaded"] for r in rows] == [4, 1, 20]
+    first, second, third = rows
+    assert first["volume_dropped"] is None and first["volume_surged"] is None
+    assert (second["volume_dropped"], second["volume_surged"]) == (1, 0)
+    assert (third["volume_dropped"], third["volume_surged"]) == (0, 1)
+    # steady schema throughout: the width/kind axes never alarm
+    assert second["widened"] == 0 and third["kind_changed"] == 0
+    # flag-and-continue: all three batches' TSVs written regardless
+    assert len(glob.glob(os.path.join(out, "rta_claim_headers_*"))) == 3
+
+
+def test_export_watch_replay_recomputes_against_same_baseline(spark, tmpdir):
+    """The watch state is replay-idempotent: a micro-batch re-run after
+    the state advanced (crash between state write and audit commit, the
+    foreachBatch at-least-once window) must diff against the SAME
+    baseline the first attempt saw — not against itself — and must not
+    double-append its count into the trailing volume history."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.streaming.export_job import (
+        _watch_flags,
+    )
+
+    wd = os.path.join(tmpdir, "watch")
+    df4 = spark.range(4).select(
+        F.col("id").alias("claimRequestId"), F.lit(7).alias("a")
+    )
+    flat = df4  # only len(columns) is consulted
+    assert _watch_flags(df4, flat, wd, "lin", 0, 4) == (None,) * 4
+    first = _watch_flags(df4, flat, wd, "lin", 1, 4)
+    assert first == (0, 0, 0, 0)
+    # replay of batch 1: identical verdicts, not a self-diff
+    assert _watch_flags(df4, flat, wd, "lin", 1, 4) == first
+    # ... and the replay did NOT advance the state: batch 1's count sits
+    # in the trailing history exactly once (epoch guard held)
+    with open(os.path.join(wd, "state-lin.json")) as f:
+        state = json.load(f)
+    assert state["cur"]["epoch"] == 1
+    assert state["cur"]["recent_docs"] == [4, 4]
+    df3 = spark.range(3).select(
+        F.col("id").alias("claimRequestId"), F.lit(7).alias("a")
+    )
+    assert _watch_flags(df3, df3, wd, "lin", 2, 3) == (0, 0, 0, 0)
