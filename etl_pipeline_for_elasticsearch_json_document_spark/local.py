@@ -46,7 +46,9 @@ from etl_pipeline_for_elasticsearch_json_document_spark.plans.naming import (
 )
 
 
-def _doc_column_names(doc: dict, sep: str, max_depth: int) -> set:
+def _doc_column_names(
+    doc: dict, sep: str, max_depth: int, pcache: Optional[dict] = None
+) -> set:
     """All flattened column names present in one document (pass 1).
 
     Iterative worklist over (mapping, name-prefix, depth); mirrors the
@@ -54,16 +56,25 @@ def _doc_column_names(doc: dict, sep: str, max_depth: int) -> set:
     than ``max_depth`` contributes its whole subtree as one JSON-cell
     column, arrays of objects fan out one subtree per element index, and
     empty or primitive arrays are single columns.
+
+    ``pcache`` memoizes ``to_pascal_case`` per key — shared across a
+    batch's documents, whose key sets overlap almost entirely (a 100-doc
+    batch otherwise pays ~5k redundant case conversions per document).
     """
     names: set = set()
     todo: list = [(doc, "", 0)]
+    if pcache is None:
+        pcache = {}
     while todo:
         node, prefix, depth = todo.pop()
         if depth > max_depth:
             names.add(prefix)
             continue
         for k, v in node.items():
-            name = f"{prefix}{sep}{to_pascal_case(k)}" if prefix else to_pascal_case(k)
+            seg = pcache.get(k)
+            if seg is None:
+                seg = pcache[k] = to_pascal_case(k)
+            name = f"{prefix}{sep}{seg}" if prefix else seg
             if isinstance(v, dict):
                 todo.append((v, name, depth + 1))
             elif isinstance(v, list) and v and isinstance(v[0], dict):
@@ -94,6 +105,73 @@ def _parse_column(column: str, sep: str, vcache: dict) -> list:
                 v = vcache[p] = tuple(dict.fromkeys(key_variants(p)))
             parts.append(v)
     return parts
+
+
+def _build_trie(parsed: list) -> tuple:
+    """Shared-prefix extraction trie over the batch's parsed columns.
+
+    Flattened columns overwhelmingly share path prefixes (every
+    ``Lines_3_*`` column re-walks ``doc['lines'][3]``), so per-cell
+    extraction (columns × depth dict probes per document) re-resolves the
+    same step thousands of times. The trie resolves each distinct step
+    ONCE per document node and fans out: node = (terminal column indices —
+    columns whose path ends here — and child (part, subtrie) pairs). Parts
+    are hashable (ints / case-variant tuples) so building it is one dict
+    pass per column. Extraction semantics are IDENTICAL to the per-column
+    walk (``_extract``): the resolution of one step depends only on the
+    part and the current node, never on sibling columns — parity with the
+    reference is pinned in tests/test_local_flatten.py."""
+    root: dict = {}
+    terminals: dict = {}
+    for ci, (_, parts) in enumerate(parsed):
+        node = root
+        for part in parts:
+            node = node.setdefault(part, {})
+        terminals.setdefault(id(node), (node, []))[1].append(ci)
+
+    def freeze(node: dict) -> tuple:
+        term = terminals.get(id(node))
+        return (
+            tuple(term[1]) if term else (),
+            tuple((part, freeze(child)) for part, child in node.items()),
+        )
+
+    return freeze(root)
+
+
+def _extract_rows(sources: list, trie: tuple, n_cols: int) -> list:
+    """Pass 2 over the whole batch: one trie walk per document. Misses are
+    free — rows start as ``''`` (the miss/None default) and only hits are
+    written, matching ``_stringify(_extract(...))`` cell for cell."""
+    dumps = json.dumps
+    rows: list = []
+    for source in sources:
+        row = [""] * n_cols
+        stack = [(trie, source)]
+        while stack:
+            (term, children), cur = stack.pop()
+            for ci in term:
+                # _stringify inlined (the batch's hottest loop: one call
+                # per non-miss cell), most-frequent type first
+                if isinstance(cur, str):
+                    row[ci] = cur
+                elif isinstance(cur, bool):
+                    row[ci] = "True" if cur else "False"
+                elif isinstance(cur, (dict, list)):
+                    row[ci] = dumps(cur)
+                elif cur is not None:
+                    row[ci] = str(cur)
+            for part, child in children:
+                if isinstance(part, int):
+                    if isinstance(cur, list) and part < len(cur):
+                        stack.append((child, cur[part]))
+                elif isinstance(cur, dict):
+                    for key in part:  # pre-expanded case-variant tuple
+                        if key in cur:
+                            stack.append((child, cur[key]))
+                            break
+        rows.append(row)
+    return rows
 
 
 def _extract(doc: dict, parts: list) -> Any:
@@ -163,17 +241,18 @@ def json_to_tsv_in_memory(
 
     if columns is None:
         discovered: set = set()
+        pcache: dict = {}
         for source in sources:
             if source:
-                discovered |= _doc_column_names(source, sep, max_depth)
+                discovered |= _doc_column_names(source, sep, max_depth, pcache)
         names = sorted(discovered)
     else:
         names = sorted(columns)
 
     vcache: dict = {}
     parsed = [(n, _parse_column(n, sep, vcache)) for n in names]
-    rows = [
-        {name: _stringify(_extract(source, parts)) for name, parts in parsed}
-        for source in sources
-    ]
-    return pd.DataFrame(rows, columns=names)
+    # Extraction via the shared-prefix trie (see _build_trie) — same cells
+    # as the per-column _extract walk, built column-list-wise (a list-of-
+    # dicts DataFrame constructor re-hashes every column name per row).
+    rows = _extract_rows(sources, _build_trie(parsed), len(parsed))
+    return pd.DataFrame(rows, columns=names, dtype=object)
