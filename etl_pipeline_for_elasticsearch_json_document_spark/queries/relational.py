@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_pipeline_for_elasticsearch_json_document_spark.queries.registry import query
-from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import load_table
+from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import (
+    fan_out_undersplit_scan,
+    load_table,
+)
 
 
 def _t(spark, sf_dir, name):
@@ -55,6 +58,17 @@ GROUP BY l_returnflag, l_linestatus
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    # All eight aggregates are exact decimal sums / counts (partition-order
+    # independent), so an under-split input — a few large single-row-group
+    # files that would serialize the partial aggregation onto as many cores
+    # as there are row groups — can be fanned out after projecting to the
+    # six columns the aggregation reads. No-op on properly split inputs.
+    l = fan_out_undersplit_scan(
+        l.select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
     )
     n = F.count("*")
     return l.groupBy("l_returnflag", "l_linestatus").agg(

@@ -547,3 +547,35 @@ def test_q240_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     # the quarter filter must prune the orders scan before the joins
     assert "GreaterThanOrEqual(o_orderdate" in plan.replace(" ", "")
+
+
+def test_fan_out_undersplit_scan_gate(spark, tmp_path):
+    """The under-split fan-out (q01, r13) must stay silent on small or
+    well-split inputs and fire — adding exactly one round-robin exchange,
+    preserving the row multiset — on a few-files/many-rows scan."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.sources.tables import (
+        fan_out_undersplit_scan,
+    )
+
+    path = str(tmp_path / "t.parquet")
+    spark.range(0, 5000, 1, 1).withColumn("v", F.col("id") % 7).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    # silent: 5k rows/file is far under the 1M default
+    assert fan_out_undersplit_scan(df) is df
+
+    # fires when the per-file row threshold is met (lowered for the test)
+    out = fan_out_undersplit_scan(df, min_rows_per_file=1000)
+    assert out is not df
+    assert "RoundRobinPartitioning" in plan_text(out)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # row multiset unchanged
+    assert out.count() == 5000
+    assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+    # silent again on a well-split input (>= target/2 files)
+    many = str(tmp_path / "many.parquet")
+    target = spark.sparkContext.defaultParallelism
+    spark.range(0, 5000, 1, target).write.parquet(many)
+    dfm = spark.read.parquet(many)
+    assert fan_out_undersplit_scan(dfm, min_rows_per_file=1) is dfm
