@@ -49,12 +49,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r{N}.json, record its green names as last-verified in round N
 # and empty the new-this-round set.
 
-#: Queries first registered in round 13 — ordered first (never driver-checked,
+#: Queries first registered this round — ordered first (never driver-checked,
 #: newest); locally oracle-green at sf0.01 AND sf0.001 before registration
-#: (scripts/compare_oracle.py).
-_NEW_IN_R13: set[str] = {
-    "q250_volume_contract",
-}
+#: (scripts/compare_oracle.py). r14 registers no new queries (optimization
+#: round); CORRECTNESS_r13 proved all 50 of its rotation green (including
+#: q250), folded into _LAST_VERIFIED below per the round-maintenance note.
+_NEW_IN_R14: set[str] = set()
 
 #: name → round whose driver CORRECTNESS run last proved it green.
 _LAST_VERIFIED: dict[str, int] = {
@@ -76,23 +76,27 @@ _LAST_VERIFIED: dict[str, int] = {
     "q43_knn_pq": 11, "q44_label_centroids": 11, "q45_ann_recall": 11,
     "q48_pagerank": 11, "q50_token_stats": 11,
     # round 3
-    "q46_cdc_chunk_dedup": 8, "q47_flatten_families": 8, "q56_tfidf": 8,
-    "q61_multimodal_decode": 8, "q62_frame_sample": 8, "q63_pipeline_e2e": 8,
-    "q64_sessionize": 8, "q65_outlink_domains": 8, "q66_audio_chunks": 8,
-    "q68_ntile_deciles": 8, "q69_group_concat": 8, "q70_flatten_events": 8,
-    "q71_winnowing_fingerprints": 8, "q72_bpe_token_stats": 8,
-    "q73_zorder_key": 8, "q74_binned_quantile_sketch": 8,
-    "q75_top_tokens_per_lang": 8, "q76_variant_json": 8,
-    "q77_latest_by_key": 8, "q78_mode_per_group": 8, "q79_histogram": 8,
-    "q80_math_funcs": 8, "q81_null_handling": 8, "q82_string_more": 8,
-    "q83_date_more": 8, "q84_scalar_subquery": 8, "q85_in_subquery": 8,
-    "q86_literal_dim_join": 8, "q88_posexplode": 8, "q89_full_outer_join": 8,
-    "q90_map_functions": 8, "q91_pivot": 8, "q92_unpivot": 9,
+    "q46_cdc_chunk_dedup": 13, "q47_flatten_families": 13, "q56_tfidf": 13,
+    "q61_multimodal_decode": 13, "q62_frame_sample": 13, "q63_pipeline_e2e": 13,
+    "q64_sessionize": 13, "q65_outlink_domains": 13, "q66_audio_chunks": 13,
+    "q68_ntile_deciles": 13, "q69_group_concat": 13, "q70_flatten_events": 13,
+    "q71_winnowing_fingerprints": 13, "q72_bpe_token_stats": 13,
+    "q73_zorder_key": 13, "q74_binned_quantile_sketch": 13,
+    "q75_top_tokens_per_lang": 13, "q76_variant_json": 13,
+    "q77_latest_by_key": 13, "q78_mode_per_group": 13, "q79_histogram": 13,
+    "q80_math_funcs": 13, "q81_null_handling": 13, "q82_string_more": 13,
+    "q83_date_more": 13, "q84_scalar_subquery": 13, "q85_in_subquery": 13,
+    "q86_literal_dim_join": 13, "q88_posexplode": 13, "q89_full_outer_join": 13,
+    "q90_map_functions": 13, "q91_pivot": 8, "q92_unpivot": 9,
     "q93_stats_agg": 9, "q94_window_distribution": 9, "q95_sessionize": 9,
     "q96_regexp_extract_all": 9, "q97_rolling_time_window": 9,
     "q98_nth_value": 9, "q99_bool_bit_agg": 9,
-    # round 4 (entries re-verified by CORRECTNESS_r09's stalest band are 9)
-    "q01_pricing_summary": 9, "q02_filter_predicates": 9,
+    # round 4 (entries re-verified by CORRECTNESS_r09's stalest band are 9).
+    # q01 was driver-green in r9 but its PLAN changed in r13 (gated
+    # under-split fan-out exchange, commit ac7fd57): recorded as 7 so it
+    # re-verifies ahead of the round-8 band (the q175/q217 precedent);
+    # locally oracle-green at sf0.01 + sf0.001 after the change.
+    "q01_pricing_summary": 7, "q02_filter_predicates": 9,
     "q03_revenue_topn": 9, "q04_join_region_rollup": 9,
     "q05_count_distinct": 9, "q06_rollup": 9, "q07_cube": 9,
     "q08_grouping_sets": 9, "q09_median_percentile": 9,
@@ -148,15 +152,15 @@ _LAST_VERIFIED: dict[str, int] = {
     "q192_dedup_signal_agreement": 12,
     # round 8 (CORRECTNESS_r08: 50/50 green — the 18 r8-new plus the 32
     # stalest re-verifications, whose entries above are bumped to 8)
-    "q193_contamination_fraction": 8, "q194_dedup_pareto": 8,
-    "q195_source_dup_matrix": 8, "q196_prefix_template_groups": 8,
-    "q197_embedding_dim_clip": 8, "q198_packing_boundary_curve": 8,
-    "q199_gram_df_spectrum": 8, "q200_label_silhouette": 8,
-    "q201_basket_lift": 8, "q202_supply_concentration": 8,
-    "q203_tpch_q5_local_volume": 8, "q204_large_order_customers": 8,
-    "q205_lang_source_chi2": 8, "q206_langid_kappa": 8,
-    "q207_sorted_neighborhood": 8, "q208_benford_price_audit": 8,
-    "q209_embedding_cov_probe": 8, "q210_budget_selection": 8,
+    "q193_contamination_fraction": 13, "q194_dedup_pareto": 13,
+    "q195_source_dup_matrix": 13, "q196_prefix_template_groups": 13,
+    "q197_embedding_dim_clip": 13, "q198_packing_boundary_curve": 13,
+    "q199_gram_df_spectrum": 13, "q200_label_silhouette": 13,
+    "q201_basket_lift": 13, "q202_supply_concentration": 13,
+    "q203_tpch_q5_local_volume": 13, "q204_large_order_customers": 13,
+    "q205_lang_source_chi2": 13, "q206_langid_kappa": 13,
+    "q207_sorted_neighborhood": 13, "q208_benford_price_audit": 13,
+    "q209_embedding_cov_probe": 13, "q210_budget_selection": 13,
     # round 9 (CORRECTNESS_r09: 50/50 green — the 18 r9-new plus the 32
     # stalest re-verifications, whose entries above are bumped to 9)
     "q211_cheapest_supplier": 9, "q212_part_value_concentration": 9,
@@ -199,13 +203,16 @@ _LAST_VERIFIED: dict[str, int] = {
     "q247_path_coverage_drift": 11,
     "q248_deep_schema_evolution": 12,
     "q249_flatten_width_contract": 12,
+    # round 13 (CORRECTNESS_r13: 50/50 green — q250 new, the 18 r8-vintage
+    # and 31 r3-vintage stalest re-verifications, bumped to 13 above)
+    "q250_volume_contract": 13,
 }
 
 
 def _ordered() -> list[str]:
     names = sorted(all_queries())
     never_checked = [
-        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R13
+        n for n in names if n not in _LAST_VERIFIED and n not in _NEW_IN_R14
     ]
     verified = sorted(
         (n for n in names if n in _LAST_VERIFIED),
@@ -213,7 +220,7 @@ def _ordered() -> list[str]:
     )
     return (
         never_checked
-        + [n for n in names if n in _NEW_IN_R13]
+        + [n for n in names if n in _NEW_IN_R14]
         + verified
     )
 
