@@ -825,21 +825,6 @@ def upsert_ivf_layout(
         )
         postings = _read_postings(spark, index_path, latest, touched_p=touched)
         prev = _read_postings(spark, index_path, pinned, touched_p=touched)
-        # a batch id absent from the latest postings would vanish silently:
-        # dropped from `fresh` (inner join below) while still anti-joined
-        # out of `existing` — the caller passed a batch that differs from
-        # the one given to ivf_upsert. Refuse, mirroring append_ivf_layout's
-        # n_replaced guard (ADVICE r9).
-        n_missing = batch_ids.join(
-            postings.select("vec_id"), "vec_id", "left_anti"
-        ).count()
-        if n_missing:
-            raise ValueError(
-                f"{n_missing} batch id(s) are absent from the latest postings "
-                f"(v={latest}); upsert_ivf_layout must receive exactly the "
-                "batch given to ivf_upsert — otherwise those vectors would "
-                "silently disappear from the serving layout"
-            )
         # affected = old cells of replaced ids ∪ new cells of the whole
         # batch; both sides are |batch|-bounded joins against 24-byte
         # posting rows
@@ -861,16 +846,57 @@ def upsert_ivf_layout(
         # the former localCheckpoint pin: staged files survive executor
         # loss mid-overwrite, checkpoint blocks do not. Cost is one extra
         # O(touched cells) write, the same order as the overwrite itself.
+        #
+        # r14 (guide §5 — per-call job count IS this path's steady-state
+        # cost; it is what the bench's grown-ratio/flatness gates time):
+        # two of the former six driver jobs are folded into the staging
+        # write via ONE Observation on the staged content. (a) The
+        # missing-id guard: the batch side joins the postings LEFT, so an
+        # id absent from the latest postings surfaces as a null cid
+        # counted by the observation (survivor rows always carry a cid),
+        # checked after the staging write but BEFORE anything visible
+        # mutates — the staging dir is internal and removed in `finally`,
+        # so the refuse-without-mutation contract is unchanged. (b)
+        # `present` (which cells survived — needed to delete emptied cid=
+        # dirs, because dynamic overwrite only replaces partitions present
+        # in the written frame) rides the same observation as a
+        # collect_set over cid: per-task state is a set bounded by the
+        # touched-cell count, never the row count, so nothing
+        # corpus-sized ever reaches the driver.
+        from pyspark.sql import Observation
+
         existing = (
             spark.read.parquet(layout_path)
             .filter(F.col("cid").isin([int(c) for c in affected]))
             .join(batch_ids, "vec_id", "left_anti")
             .select("vec_id", "embedding", "cid")
         )
-        fresh = batch.join(postings.select("vec_id", "cid"), "vec_id").select(
+        fresh = batch.join(postings.select("vec_id", "cid"), "vec_id", "left").select(
             "vec_id", "embedding", "cid"
         )
-        existing.unionByName(fresh).write.mode("overwrite").parquet(staging)
+        obs = Observation("upsert_layout_guard")
+        staged = existing.unionByName(fresh).observe(
+            obs,
+            F.sum(F.col("cid").isNull().cast("int")).alias("n_missing"),
+            F.collect_set("cid").alias("present_cids"),
+        )
+        staged.write.mode("overwrite").parquet(staging)
+        n_missing = obs.get["n_missing"] or 0
+        if n_missing:
+            # a batch id absent from the latest postings would vanish
+            # silently: null-cid in `fresh` while still anti-joined out of
+            # `existing` — the caller passed a batch that differs from the
+            # one given to ivf_upsert. Refuse, mirroring
+            # append_ivf_layout's n_replaced guard (ADVICE r9). Nothing
+            # visible has mutated: only the staging dir exists, and
+            # `finally` removes it.
+            raise ValueError(
+                f"{n_missing} batch id(s) are absent from the latest postings "
+                f"(v={latest}); upsert_ivf_layout must receive exactly the "
+                "batch given to ivf_upsert — otherwise those vectors would "
+                "silently disappear from the serving layout"
+            )
+        present = {int(c) for c in (obs.get["present_cids"] or [])}
         content = spark.read.parquet(staging)
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         old_mode = spark.conf.get(mode_key, "static")
@@ -881,7 +907,6 @@ def upsert_ivf_layout(
             )
         finally:
             spark.conf.set(mode_key, old_mode)
-        present = {r["cid"] for r in content.select("cid").distinct().collect()}
         for cid in set(affected) - present:
             shutil.rmtree(
                 os.path.join(layout_path, f"cid={int(cid)}"), ignore_errors=True
