@@ -224,7 +224,13 @@ def _medians_and_spreads(
     return out, spreads
 
 
-def _ratio_gate(name: str, ratio: float, threshold: float = 1.25) -> dict:
+def _ratio_gate(
+    name: str,
+    ratio: float,
+    threshold: float = 1.25,
+    normalized: float | None = None,
+    probes: list[float] | None = None,
+) -> dict:
     """r12: every O(batch)/O(touched-cells) store claim carries an
     asserted gate IN the bench (the rollup treatment, applied uniformly):
     ratio ≤ threshold passes; a failure prints loud text to stderr so it
@@ -236,16 +242,55 @@ def _ratio_gate(name: str, ratio: float, threshold: float = 1.25) -> dict:
     quiet runs, so 1.15 flapped on noise. 1.25 sits above that floor
     while still being unmistakably below what a real O(|store|) term
     would produce at these growth factors (the stores grow 8-50x, so a
-    per-batch cost scaling with the store would gate at 8-50, not 1.2)."""
+    per-batch cost scaling with the store would gate at 8-50, not 1.2).
+
+    r14 (VERDICT r13 item 3): ratio-of-medians gates compare timing
+    windows minutes apart, and this box's external steal hits parallel
+    stages 2-4x (stamped by the probes) — `ann_layout_upsert_grown`
+    failed 4 of 7 otherwise-identical runs across r13/r14 on untouched
+    code. Gate sections now bracket each timed window with
+    :func:`_parallel_probe` and report a steal-NORMALIZED ratio (each
+    window's time divided by its bracketing probes' mean, i.e. measured
+    in units of what a fixed 32-way stage cost at that moment). The gate
+    passes on the RAW ratio as before; when the raw ratio fails but the
+    probes stamp live steal (max probe > 1.5x min probe across the
+    section, or any probe above 1.5 s) and the normalized ratio passes,
+    the gate passes as `noise_normalized` — a deterministic, recorded
+    version of the "failed gate + probe stamp that explains it" reading,
+    instead of leaving the artifact ambiguous. A real O(|store|) term
+    fails BOTH ratios: steal cannot make the grown store's batch look
+    8-50x cheaper than it is."""
     ok = ratio <= threshold
-    if not ok:
+    noise_normalized = False
+    steal_stamped = bool(probes) and (
+        max(probes) > 1.5 * min(probes) or max(probes) > 1.5
+    )
+    if not ok and normalized is not None and steal_stamped and normalized <= threshold:
+        ok = True
+        noise_normalized = True
         print(
-            f"GATE FAIL {name}={ratio} > {threshold}: the same batch costs "
-            "more against the grown store — an O(|store|) term is leaking "
-            "into the per-batch path; profile before trusting the claim.",
+            f"GATE {name}: raw {ratio} > {threshold} under stamped steal "
+            f"(probes {probes}); probe-normalized ratio {normalized} passes "
+            "— counted as pass (noise_normalized).",
             file=sys.stderr,
         )
-    return {name: {"value": ratio, "threshold": threshold, "pass": ok}}
+    if not ok:
+        print(
+            f"GATE FAIL {name}={ratio} > {threshold}"
+            + (f" (probe-normalized {normalized}, probes {probes})"
+               if normalized is not None else "")
+            + ": the same batch costs more against the grown store — an "
+            "O(|store|) term is leaking into the per-batch path; profile "
+            "before trusting the claim.",
+            file=sys.stderr,
+        )
+    out = {name: {"value": ratio, "threshold": threshold, "pass": ok}}
+    if normalized is not None:
+        out[name]["normalized"] = normalized
+        out[name]["noise_normalized"] = noise_normalized
+    if probes is not None:
+        out[name]["probes_s"] = [round(p, 3) for p in probes]
+    return out
 
 
 def _is_outlier(ts: list[float], v: float) -> bool:
@@ -627,25 +672,45 @@ def bench_rollup(
                 spark, store, uevents.filter(F.col("event_id") % 97 == 90),
                 ukeys, umeasures,
             )
-        ts_small, ts_grown, pair_ratios = [], [], []
+        # r14: members alternate order per pair and are probe-bracketed,
+        # like the ann/lsh/fp gates (VERDICT r13 item 3) — this gate held
+        # in both r13 driver runs, but the same steal that flipped the
+        # others can flip it, so it carries the same stamps.
+        ts_small, ts_grown, raw_ratios, norm_ratios = [], [], [], []
+        gate_probes = [_parallel_probe(spark)]
+
+        def member(store, b):
+            t0 = time.time()
+            update_rollup(spark, store, b, ukeys, umeasures)
+            t = time.time() - t0
+            gate_probes.append(_parallel_probe(spark))
+            return t, t / ((gate_probes[-2] + gate_probes[-1]) / 2)
+
         for k in range(5):
             b = uevents.filter(F.col("event_id") % 97 == k)
-            t0 = time.time()
-            update_rollup(spark, small_store, b, ukeys, umeasures)
-            ts_small.append(time.time() - t0)
-            t0 = time.time()
-            update_rollup(spark, grown_store, b, ukeys, umeasures)
-            ts_grown.append(time.time() - t0)
-            pair_ratios.append(ts_grown[-1] / ts_small[-1])
+            got = {}
+            for side in (("small", "grown") if k % 2 == 0 else ("grown", "small")):
+                got[side] = member(small_store if side == "small" else grown_store, b)
+            ts_small.append(got["small"][0])
+            ts_grown.append(got["grown"][0])
+            raw_ratios.append(got["grown"][0] / got["small"][0])
+            norm_ratios.append(got["grown"][1] / got["small"][1])
         spreads["rollup_batch_small"] = [round(min(ts_small), 3), round(max(ts_small), 3)]
         spreads["rollup_batch_small_grown"] = [round(min(ts_grown), 3), round(max(ts_grown), 3)]
         t_small = statistics.median(ts_small)
         t_grown = statistics.median(ts_grown)
-        ratio = round(statistics.median(pair_ratios), 2)
+        ratio = round(statistics.median(raw_ratios), 2)
         out["rollup_batch_small"] = round(t_small, 3)
         out["rollup_batch_small_grown"] = round(t_grown, 3)
         out["rollup_small_grown_ratio"] = ratio
-        gates = _ratio_gate("rollup_small_grown_ratio", ratio)
+        out["rollup_small_grown_ratio_normalized"] = round(
+            statistics.median(norm_ratios), 2
+        )
+        gates = _ratio_gate(
+            "rollup_small_grown_ratio", ratio,
+            normalized=out["rollup_small_grown_ratio_normalized"],
+            probes=gate_probes,
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out, spreads, gates
@@ -811,21 +876,50 @@ def bench_ann_index(
         # contention window and the ratio is the median of per-pair
         # ratios. Each timed layout catch-up needs an UNTIMED store
         # advance first (the pin contract above).
-        ts_small, ts_grown, pair_ratios = [], [], []
-        for _ in range(3):
-            ivf_upsert(spark, small_ivf, batch, assign="expr")
+        #
+        # r14 (VERDICT r13 item 3): this gate failed 4 of 7 runs across
+        # r13/r14 on UNTOUCHED code — the pair members sit seconds apart
+        # (each timed catch-up follows an untimed multi-job store
+        # upsert), so a steal burst inside one member biases the pair,
+        # and 3 same-ordered pairs give the bias a direction. Three
+        # fixes, all measurement-side: (a) 5 pairs instead of 3, (b)
+        # member ORDER ALTERNATES per pair (small-first on even pairs,
+        # grown-first on odd) so drift inflates each side equally in the
+        # median, (c) every member is bracketed by _parallel_probe runs
+        # and a steal-normalized ratio (member time in units of the
+        # bracketing probes' mean) rides next to the raw one — see
+        # _ratio_gate's r14 note for how a failure is adjudicated.
+        ts_small, ts_grown = [], []
+        raw_ratios, norm_ratios = [], []
+        gate_probes = [_parallel_probe(spark)]
+
+        def member(ivf, layout, assign):
+            ivf_upsert(spark, ivf, batch, assign=assign)
             t0 = time.time()
-            upsert_ivf_layout(spark, small_ivf, batch, small_layout)
-            ts_small.append(time.time() - t0)
-            ivf_upsert(spark, grown_ivf, batch, assign="pandas")
-            t0 = time.time()
-            upsert_ivf_layout(spark, grown_ivf, batch, grown_layout)
-            ts_grown.append(time.time() - t0)
-            pair_ratios.append(ts_grown[-1] / ts_small[-1])
+            upsert_ivf_layout(spark, ivf, batch, layout)
+            t = time.time() - t0
+            gate_probes.append(_parallel_probe(spark))
+            return t, t / ((gate_probes[-2] + gate_probes[-1]) / 2)
+
+        for i in range(5):
+            order = ("small", "grown") if i % 2 == 0 else ("grown", "small")
+            got = {}
+            for side in order:
+                if side == "small":
+                    got["small"] = member(small_ivf, small_layout, "expr")
+                else:
+                    got["grown"] = member(grown_ivf, grown_layout, "pandas")
+            ts_small.append(got["small"][0])
+            ts_grown.append(got["grown"][0])
+            raw_ratios.append(got["grown"][0] / got["small"][0])
+            norm_ratios.append(got["grown"][1] / got["small"][1])
         out["ann_layout_upsert"] = round(statistics.median(ts_small), 3)
         out["ann_layout_upsert_grown"] = round(statistics.median(ts_grown), 3)
         out["ann_layout_upsert_grown_ratio"] = round(
-            statistics.median(pair_ratios), 2
+            statistics.median(raw_ratios), 2
+        )
+        out["ann_layout_upsert_grown_ratio_normalized"] = round(
+            statistics.median(norm_ratios), 2
         )
         spreads["ann_layout_upsert"] = [round(min(ts_small), 3), round(max(ts_small), 3)]
         spreads["ann_layout_upsert_grown"] = [round(min(ts_grown), 3), round(max(ts_grown), 3)]
@@ -854,14 +948,20 @@ def bench_ann_index(
         )
 
         ts_flat = []
+        flat_probes = [_parallel_probe(spark)]
         for b in range(12):
             if b % 3 == 0:  # scheduled maintenance, untimed
                 compact_ann_index(spark, small_ivf)
                 repin_ivf_layout(small_ivf, small_layout)
+            if b == 9:  # last-3 window opens (r14: probe-bracketed)
+                flat_probes.append(_parallel_probe(spark))
             ivf_upsert(spark, small_ivf, batch, assign="expr")
             t0 = time.time()
             upsert_ivf_layout(spark, small_ivf, batch, small_layout)
             ts_flat.append(time.time() - t0)
+            if b == 2:  # first-3 window closes
+                flat_probes.append(_parallel_probe(spark))
+        flat_probes.append(_parallel_probe(spark))
         out["ann_layout_catchup_batch"] = round(statistics.median(ts_flat), 3)
         spreads["ann_layout_catchup_batch"] = [
             round(min(ts_flat), 3), round(max(ts_flat), 3),
@@ -869,6 +969,12 @@ def bench_ann_index(
         out["ann_layout_flatness_ratio"] = round(
             statistics.median(ts_flat[-3:]) / statistics.median(ts_flat[:3]), 2
         )
+        # normalized flatness: each window's median in units of its
+        # bracketing probes' mean (first window: probes[0..1], last:
+        # probes[2..3]) — see _ratio_gate's r14 note
+        first_n = statistics.median(ts_flat[:3]) / ((flat_probes[0] + flat_probes[1]) / 2)
+        last_n = statistics.median(ts_flat[-3:]) / ((flat_probes[2] + flat_probes[3]) / 2)
+        out["ann_layout_flatness_ratio_normalized"] = round(last_n / first_n, 2)
 
         # r12 (VERDICT r11 item 1): the streaming ingest's per-batch cost,
         # measured across 12 consecutive micro-batches in ONE session —
@@ -886,7 +992,10 @@ def bench_ann_index(
         proc = _ann_batch_processor(ingest_idx, f"{work}/ingest_out", "bench")
         n_emb2 = emb.count()
         ts = []
+        ingest_probes = [_parallel_probe(spark)]
         for b in range(12):
+            if b == 9:  # last-3 window opens (r14: probe-bracketed)
+                ingest_probes.append(_parallel_probe(spark))
             batch = emb.filter(F.col("vec_id") % 41 == (b % 8)).select(
                 (F.col("vec_id") + F.lit((b + 1) * 10 * n_emb2)).alias("vec_id"),
                 "embedding",
@@ -894,20 +1003,43 @@ def bench_ann_index(
             t0 = time.time()
             proc(batch, b)
             ts.append(time.time() - t0)
+            if b == 2:  # first-3 window closes
+                ingest_probes.append(_parallel_probe(spark))
+        ingest_probes.append(_parallel_probe(spark))
         out["ann_ingest_batch"] = round(statistics.median(ts), 3)
         spreads["ann_ingest_batch"] = [round(min(ts), 3), round(max(ts), 3)]
         out["ann_ingest_flatness_ratio"] = round(
             statistics.median(ts[-3:]) / statistics.median(ts[:3]), 2
         )
-        gates = _ratio_gate(
-            "ann_layout_upsert_grown_ratio", out["ann_layout_upsert_grown_ratio"]
+        ing_first_n = statistics.median(ts[:3]) / (
+            (ingest_probes[0] + ingest_probes[1]) / 2
         )
-        gates.update(
-            _ratio_gate("ann_ingest_flatness_ratio", out["ann_ingest_flatness_ratio"])
+        ing_last_n = statistics.median(ts[-3:]) / (
+            (ingest_probes[2] + ingest_probes[3]) / 2
+        )
+        out["ann_ingest_flatness_ratio_normalized"] = round(
+            ing_last_n / ing_first_n, 2
+        )
+        gates = _ratio_gate(
+            "ann_layout_upsert_grown_ratio",
+            out["ann_layout_upsert_grown_ratio"],
+            normalized=out["ann_layout_upsert_grown_ratio_normalized"],
+            probes=gate_probes,
         )
         gates.update(
             _ratio_gate(
-                "ann_layout_flatness_ratio", out["ann_layout_flatness_ratio"]
+                "ann_ingest_flatness_ratio",
+                out["ann_ingest_flatness_ratio"],
+                normalized=out["ann_ingest_flatness_ratio_normalized"],
+                probes=ingest_probes,
+            )
+        )
+        gates.update(
+            _ratio_gate(
+                "ann_layout_flatness_ratio",
+                out["ann_layout_flatness_ratio"],
+                normalized=out["ann_layout_flatness_ratio_normalized"],
+                probes=flat_probes,
             )
         )
     finally:
@@ -956,6 +1088,16 @@ def bench_lsh_index(
     n = docs.count()
     work = tempfile.mkdtemp(prefix="bench_lsh_")
     runs: dict[str, list[float]] = {}
+    # r14 (VERDICT r13 item 3): the small and grown windows of this gate
+    # sit MINUTES apart inside a cycle (a ~5x corpus grow + compact runs
+    # between them), so a steal burst in either window moves the ratio
+    # with no code change. Both windows are now bracketed by
+    # _parallel_probe and a steal-normalized ratio rides next to the raw
+    # one (see _ratio_gate's r14 note).
+    norm: dict[str, list[float]] = {
+        "lsh_index_batch_small": [], "lsh_index_batch_small_grown": [],
+    }
+    gate_probes: list[float] = []
 
     def cycle(tag: str, corpus, timed: bool) -> None:
         # P=256 so a 64-doc batch (≤256 band buckets) touches a strict
@@ -968,6 +1110,19 @@ def bench_lsh_index(
             if timed:
                 runs.setdefault(key, []).append(time.time() - t0)
 
+        def gated_window(key: str, fn) -> None:
+            if not timed:
+                fn()
+                return
+            p0 = _parallel_probe(spark)
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            p1 = _parallel_probe(spark)
+            gate_probes.extend([p0, p1])
+            runs.setdefault(key, []).append(dt)
+            norm[key].append(dt / ((p0 + p1) / 2))
+
         t0 = time.time()
         proc(corpus.filter(F.col("doc_id") % 5 != 0), 0)
         rec("lsh_index_build", t0)
@@ -975,9 +1130,12 @@ def bench_lsh_index(
         proc(corpus.filter(F.col("doc_id") % 5 == 0), 1)
         rec("lsh_index_classify", t0)
         small = corpus.filter(F.col("doc_id") % 97 == 3).limit(64)
-        t0 = time.time()
-        proc(small.select((F.col("doc_id") + F.lit(50 * n)).alias("doc_id"), "text"), 10)
-        rec("lsh_index_batch_small", t0)
+        gated_window(
+            "lsh_index_batch_small",
+            lambda: proc(
+                small.select((F.col("doc_id") + F.lit(50 * n)).alias("doc_id"), "text"), 10
+            ),
+        )
         # grow the BUCKET relation ~5x: replicas with per-replica salted
         # text (unsalted copies collide into the same buckets and grow
         # nothing). Untimed — its cost is batch-proportional by the same
@@ -991,9 +1149,12 @@ def bench_lsh_index(
         t0 = time.time()
         compact(spark, f"{work}/{tag}/idx")
         rec("lsh_index_compact", t0)
-        t0 = time.time()
-        proc(small.select((F.col("doc_id") + F.lit(60 * n)).alias("doc_id"), "text"), 20)
-        rec("lsh_index_batch_small_grown", t0)
+        gated_window(
+            "lsh_index_batch_small_grown",
+            lambda: proc(
+                small.select((F.col("doc_id") + F.lit(60 * n)).alias("doc_id"), "text"), 20
+            ),
+        )
         shutil.rmtree(os.path.join(work, tag), ignore_errors=True)
 
     try:
@@ -1010,8 +1171,17 @@ def bench_lsh_index(
     out["lsh_small_grown_ratio"] = round(
         out["lsh_index_batch_small_grown"] / out["lsh_index_batch_small"], 2
     )
+    norm_ratio = round(
+        statistics.median(
+            [g / s for s, g in zip(
+                norm["lsh_index_batch_small"], norm["lsh_index_batch_small_grown"]
+            )]
+        ), 2,
+    )
+    out["lsh_small_grown_ratio_normalized"] = norm_ratio
     return out, spreads, _ratio_gate(
-        "lsh_small_grown_ratio", out["lsh_small_grown_ratio"]
+        "lsh_small_grown_ratio", out["lsh_small_grown_ratio"],
+        normalized=norm_ratio, probes=gate_probes,
     )
 
 
@@ -1054,6 +1224,18 @@ def bench_scale_ladder(spark, sf_dir: str, x1: dict[str, float]) -> dict:
         li.crossJoin(reps).drop("__r").write.mode("overwrite").parquet(
             f"{work}/lineitem.parquet"
         )
+        # dims for the r14 TPC-H rungs (q203/q229/q239 — the queries that
+        # adopted the gated fan-out this round): ×1 copies — they are
+        # dimensions; only the fact is replicated
+        import shutil as _sh
+
+        for t in ("customer", "orders", "supplier", "nation", "region", "part"):
+            src_p, dst = f"{sf_dir}/{t}.parquet", f"{work}/{t}.parquet"
+            if not os.path.exists(dst):
+                if os.path.isdir(src_p):
+                    _sh.copytree(src_p, dst)
+                else:
+                    _sh.copy(src_p, dst)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         nd = docs.count()
         others = [c for c in docs.columns if c != "doc_id"]
@@ -1091,6 +1273,12 @@ def bench_scale_ladder(spark, sf_dir: str, x1: dict[str, float]) -> dict:
             "q217_scorer_rank_correlation",
             "q222_user_value_gini",
             "q148_weighted_reservoir",
+            # r14: the under-split fan-out adopters (VERDICT r13 item 1) —
+            # the ×10 rung is where the gated exchange fires (single-file
+            # staged replicas) and the ladder delta is its evidence
+            "q203_tpch_q5_local_volume",
+            "q229_small_quantity_revenue",
+            "q239_forecast_revenue",
         ):
             d1 = queries[name].fn(spark, sf_dir)
             force(d1)
@@ -1150,6 +1338,14 @@ def bench_fp_index(
     n = docs.count()
     work = tempfile.mkdtemp(prefix="bench_fp_")
     runs: dict[str, list[float]] = {}
+    # r14: same probe-bracketed gate windows as bench_lsh_index — this
+    # gate failed in the r13 driver artifact with the small/grown windows
+    # minutes apart (grow + compact between them); see _ratio_gate's r14
+    # note for the normalized-ratio adjudication.
+    norm: dict[str, list[float]] = {
+        "fp_index_batch_small": [], "fp_index_batch_small_grown": [],
+    }
+    gate_probes: list[float] = []
 
     def cycle(tag: str, corpus, timed: bool) -> None:
         idx = f"{work}/{tag}/idx"
@@ -1157,6 +1353,19 @@ def bench_fp_index(
         def rec(key: str, t0: float) -> None:
             if timed:
                 runs.setdefault(key, []).append(time.time() - t0)
+
+        def gated_window(key: str, fn) -> None:
+            if not timed:
+                fn()
+                return
+            p0 = _parallel_probe(spark)
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            p1 = _parallel_probe(spark)
+            gate_probes.extend([p0, p1])
+            runs.setdefault(key, []).append(dt)
+            norm[key].append(dt / ((p0 + p1) / 2))
 
         t0 = time.time()
         ingest_with_index(
@@ -1167,12 +1376,13 @@ def bench_fp_index(
         ingest_with_index(spark, idx, corpus.filter(F.col("doc_id") % 5 == 0)).count()
         rec("fp_index_classify", t0)
         small = corpus.filter(F.col("doc_id") % 97 == 3).limit(64)
-        t0 = time.time()
-        ingest_with_index(
-            spark, idx,
-            small.select((F.col("doc_id") + F.lit(50 * n)).alias("doc_id"), "text"),
-        ).count()
-        rec("fp_index_batch_small", t0)
+        gated_window(
+            "fp_index_batch_small",
+            lambda: ingest_with_index(
+                spark, idx,
+                small.select((F.col("doc_id") + F.lit(50 * n)).alias("doc_id"), "text"),
+            ).count(),
+        )
         # grow ~5x with salted replicas (unsalted copies are exact dups and
         # add no fingerprints), compact, re-measure the small batch
         reps = spark.range(4).select(F.col("id").alias("__r"))
@@ -1184,12 +1394,13 @@ def bench_fp_index(
         t0 = time.time()
         compact_fingerprint_index(spark, idx)
         rec("fp_index_compact", t0)
-        t0 = time.time()
-        ingest_with_index(
-            spark, idx,
-            small.select((F.col("doc_id") + F.lit(60 * n)).alias("doc_id"), "text"),
-        ).count()
-        rec("fp_index_batch_small_grown", t0)
+        gated_window(
+            "fp_index_batch_small_grown",
+            lambda: ingest_with_index(
+                spark, idx,
+                small.select((F.col("doc_id") + F.lit(60 * n)).alias("doc_id"), "text"),
+            ).count(),
+        )
         shutil.rmtree(os.path.join(work, tag), ignore_errors=True)
 
     try:
@@ -1203,8 +1414,17 @@ def bench_fp_index(
     out["fp_small_grown_ratio"] = round(
         out["fp_index_batch_small_grown"] / out["fp_index_batch_small"], 2
     )
+    norm_ratio = round(
+        statistics.median(
+            [g / s for s, g in zip(
+                norm["fp_index_batch_small"], norm["fp_index_batch_small_grown"]
+            )]
+        ), 2,
+    )
+    out["fp_small_grown_ratio_normalized"] = norm_ratio
     return out, spreads, _ratio_gate(
-        "fp_small_grown_ratio", out["fp_small_grown_ratio"]
+        "fp_small_grown_ratio", out["fp_small_grown_ratio"],
+        normalized=norm_ratio, probes=gate_probes,
     )
 
 
@@ -1297,10 +1517,14 @@ def ann_subprocess_main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("etl-pipeline-bench-ann")
     spark.sparkContext.setLogLevel("ERROR")
+    _parallel_probe(spark)  # untimed warm-up: codegen + scheduler ramp
+    probe_start = _parallel_probe(spark)
     out, spreads, gates = bench_ann_index(spark, sf_dir)
+    probe_end = _parallel_probe(spark)
     spark.stop()
     print(json.dumps({
         "timings": out, "spreads": spreads, "outliers": OUTLIERS, "gates": gates,
+        "probes": {"ann": [probe_start, probe_end]},
     }))
 
 
@@ -1315,9 +1539,19 @@ def _section_subprocess_main(name: str, fn) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(f"etl-pipeline-bench-{name}")
     spark.sparkContext.setLogLevel("ERROR")
+    # r14 (VERDICT r13 item 4): every timed section is bracketed by the
+    # fixed 32-way probe, so a cross-round swing on ANY section's entries
+    # is attributable from the artifact alone (probe moved too →
+    # environmental; probe flat → real).
+    _parallel_probe(spark)  # untimed warm-up: codegen + scheduler ramp
+    probe_start = _parallel_probe(spark)
     res = fn(spark, sf_dir)
+    probe_end = _parallel_probe(spark)
     out, spreads = res[0], res[1]
-    payload = {"timings": out, "spreads": spreads, "outliers": OUTLIERS}
+    payload = {
+        "timings": out, "spreads": spreads, "outliers": OUTLIERS,
+        "probes": {name: [probe_start, probe_end]},
+    }
     if len(res) > 2:
         payload["gates"] = res[2]
     spark.stop()
@@ -1404,13 +1638,22 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
 
+    # r14 (VERDICT r13 item 4): bracket EVERY timed section of the main
+    # JVM with the fixed 32-way probe — the sub-second relational/dedup
+    # rows had no attributability stamp, so the r13 driver artifact's 20
+    # phantom regressions needed cross-referencing to explain.
+    _parallel_probe(spark)  # untimed warm-up: probe codegen ramp
+    probes["headline_parallel_probe_start_s"] = _parallel_probe(spark)
+
     # Steady-state per query: one un-timed warm-up run, then median-of-3.
     for name in HEADLINE:
         df = queries[name].fn(spark, sf_dir)
         force(df)  # warm-up: codegen + JIT
         timings[name] = timed_median(lambda: force(df), label=name)
 
+    probes["headline_parallel_probe_end_s"] = _parallel_probe(spark)
     timings.update(bench_dedup_close(spark, sf_dir))
+    probes["dedup_close_parallel_probe_end_s"] = _parallel_probe(spark)
 
     # The store-maintenance diagnostics each run in their OWN subprocess
     # JVM with untimed warm-up + median treatment (r11; VERDICT r10
@@ -1423,12 +1666,17 @@ def main() -> None:
         diagnostics.update(section["timings"])
         spreads.update(section.get("spreads", {}))
         gates.update(section.get("gates", {}))
+        for k, v in section.get("probes", {}).items():
+            probes[f"{k}_parallel_probe_start_s"] = v[0]
+            probes[f"{k}_parallel_probe_end_s"] = v[1]
         for k, v in section.get("outliers", {}).items():
             OUTLIERS.setdefault(k, []).extend(v)
 
     # x10 scale ladder for the top headliners (VERDICT r8 item 2); the
     # dedup and flatten rungs reuse entries measured above.
+    probes["ladder_parallel_probe_start_s"] = _parallel_probe(spark)
     ladder = bench_scale_ladder(spark, sf_dir, timings)
+    probes["ladder_parallel_probe_end_s"] = _parallel_probe(spark)
     e2e, x10 = timings.get("dedup_close_e2e"), diagnostics.get("dedup_close_x10")
     if e2e and x10:
         ladder["dedup_close"] = {
@@ -1446,7 +1694,24 @@ def main() -> None:
         }
     spreads.update(SPREADS)  # headline-query spreads from timed_median
 
+    # r14 (VERDICT r13 item 6): the ×10 scale-ladder rungs ride in the
+    # compact line's `queries` dict as ADDED `<name>_x10` entries (plus
+    # q248's ×1, the heaviest registered query), so the driver's
+    # low-core/high-core comparison has rows big enough to parallelize —
+    # at sf0.1 every original headline row is sub-second/action-floor
+    # bound and no 8v32 ratio can exceed ~1.15. The rungs are NOT summed
+    # into `value` (the r5 lesson: summing diagnostics into the total
+    # manufactured a phantom regression; `value` stays the sum of the
+    # r13-comparable headline entries, listed in `headline_entries`).
+    rungs: dict[str, float] = {}
+    for lname, d in ladder.items():
+        if isinstance(d, dict) and d.get("x10") is not None:
+            rungs[f"{lname}_x10"] = d["x10"]
+    if ladder.get("q248_deep_schema_evolution", {}).get("x1") is not None:
+        rungs["q248_deep_schema_evolution"] = ladder["q248_deep_schema_evolution"]["x1"]
+
     total = round(sum(timings.values()), 3)
+    compact_queries = {**timings, **rungs}
     # Gate verdict for the COMPACT line too (r13, VERDICT r12 item 6): a
     # consumer reading only the last stdout line — or only rc — must not
     # be able to miss a failed O(batch) claim.
@@ -1459,7 +1724,9 @@ def main() -> None:
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": compact_queries,
+        "headline_entries": sorted(timings),
+        "probes": probes,
         "diagnostics": diagnostics,
         "scale_ladder": ladder,
         "spreads": spreads,
@@ -1502,7 +1769,7 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": compact_queries,
                 "gates_ok": not gates_failed,
                 "gates_failed": gates_failed,
                 "sf": float(sf),
