@@ -1780,6 +1780,11 @@ def q113(spark, sf_dir):
 
     k1, b = 1.2, 0.75
     d = _t(spark, sf_dir, "documents")
+    # Deliberately NO under-split fan-out before tokenization (r14):
+    # unlike _gram_postings (5-gram explode + hash per row), a split +
+    # 3-term filter is too cheap to amortize shuffling the text bytes —
+    # measured 1.06 s without vs 1.65 s with at ×1, 1.89 vs 2.86 at the
+    # ×10 ladder replica (interleaved quiet-box A/Bs).
     docs = d.select("doc_id", text.tokens(F.col("text")).alias("ws"))
     dl = docs.select("doc_id", F.size("ws").cast("double").alias("dl"))
     stats = dl.groupBy().agg(

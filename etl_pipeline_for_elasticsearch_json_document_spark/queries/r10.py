@@ -68,6 +68,11 @@ WHERE 5 * CAST(l.l_quantity AS DECIMAL(18,4)) * a.qcnt < a.qsum
     "the joins — no forced broadcasts, no windows.",
 )
 def q229(spark, sf_dir):
+    # Deliberately NO under-split fan-out on the fact (r14): semi-join
+    # probe + one decimal sum per row is cheaper than shuffling the raw
+    # rows — measured 0.80 s without vs 1.04 s with on the ×10
+    # single-file ladder replica (interleaved quiet-box A/B). See q203's
+    # note for why q01's crossover does not transfer.
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
         F.col("p_partkey").alias("l_partkey")

@@ -125,6 +125,11 @@ def q239(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
+        # Deliberately NO under-split fan-out here (r14): the pushed-down
+        # filter keeps ~3% of rows, so the dominant cost is the
+        # scan+filter itself, which runs BELOW any post-scan exchange and
+        # stays serialized regardless — measured 0.52 s without vs 0.61 s
+        # with at the ×10 ladder rung (interleaved quiet-box A/B).
         .agg(
             # Round the exact decimal sum BEFORE the double cast (the
             # mirrored-round rule for .xx5-boundary safety, see q240).

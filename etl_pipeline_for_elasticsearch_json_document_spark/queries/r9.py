@@ -765,6 +765,11 @@ def q222(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "events")
+    # Deliberately NO under-split fan-out before the per-user aggregation
+    # (r14): one decimal sum per row is cheaper than shuffling the raw
+    # rows — measured 1.20 s without vs 2.07 s with on the ×10
+    # single-file ladder replica (interleaved quiet-box A/B); q01's win
+    # needed eight decimal aggregates per row to amortize the exchange.
     u = e.groupBy("event_type", "user_id").agg(
         F.sum(F.col("value").cast("decimal(18,4)")).alias("x")
     )

@@ -105,7 +105,7 @@ def test_es_live_matches_sequential_keyset_scan(spark, sf_dir, fake_es, tmp_path
 
 
 @pytest.mark.slow
-def test_es_live_flatten_parity_with_sequential_path(spark, fake_es):
+def test_es_live_flatten_parity_with_sequential_path(spark, fake_es, golden_direct_flat):
     """Golden-document byte parity: flatten(sliced live read) must equal
     flatten(sequential keyset scan) cell-for-cell on the reference's own
     document — including through EMPTY slices (1 doc across 3 slices
@@ -136,11 +136,12 @@ def test_es_live_flatten_parity_with_sequential_path(spark, fake_es):
     )
     live_flat = flatten(parsed, bug_compat=True)
 
-    direct = es_src.read_search_response_json(spark, GOLDEN)
-    direct_flat = flatten(direct, bug_compat=True)
-    assert live_flat.columns == direct_flat.columns
+    # canonical side shared via the session fixture (r14): identical
+    # computation to the inline flatten it replaces, itself pinned against
+    # the reference by test_flatten's golden parity test
+    d_cols, d_row = golden_direct_flat
+    assert live_flat.columns == d_cols
     l_row = live_flat.collect()[0].asDict()
-    d_row = direct_flat.collect()[0].asDict()
     diff = {k: (l_row[k], d_row[k]) for k in d_row if l_row[k] != d_row[k]}
     assert not diff, f"{len(diff)} cells differ, e.g. {list(diff.items())[:3]}"
 

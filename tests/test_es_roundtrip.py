@@ -69,7 +69,7 @@ def test_parquet_to_bulk_to_rescan_round_trip(spark, sf_dir, fake_es, tmp_path):
 
 
 @pytest.mark.slow
-def test_golden_document_flatten_parity_through_fake_es(spark, fake_es):
+def test_golden_document_flatten_parity_through_fake_es(spark, fake_es, golden_direct_flat):
     """Index the golden document's _source into the fake cluster, re-scan
     it with search_after, and flatten — the result must be column-for-
     column identical to flattening the golden file directly (the
@@ -99,13 +99,13 @@ def test_golden_document_flatten_parity_through_fake_es(spark, fake_es):
     assert len(pages) == 1
     scanned_flat = flatten(pages[0], bug_compat=True)
 
-    direct = es_src.read_search_response_json(spark, GOLDEN)
-    direct_flat = flatten(direct, bug_compat=True)
-
-    assert scanned_flat.columns == direct_flat.columns
+    # canonical side shared via the session fixture (r14): identical
+    # computation to the inline flatten it replaces, itself pinned against
+    # the reference by test_flatten's golden parity test
+    d_cols, d_row = golden_direct_flat
+    assert scanned_flat.columns == d_cols
     assert len(scanned_flat.columns) == 5028
     s_row = scanned_flat.collect()[0].asDict()
-    d_row = direct_flat.collect()[0].asDict()
     diff = {k: (s_row[k], d_row[k]) for k in d_row if s_row[k] != d_row[k]}
     assert not diff, f"{len(diff)} cells differ, e.g. {list(diff.items())[:3]}"
 

@@ -298,11 +298,23 @@ ALLOWANCES: dict[str, dict[str, str]] = {
 
 @pytest.mark.slow
 def test_every_query_plan_is_clean_or_allowed(spark, sf_dir):
+    # r14 (suite wall time, VERDICT r13 item 2): the 248 plan builds +
+    # explains are driver-side JVM work behind py4j calls that release
+    # the GIL, and every query fn is session-read-only (temp views are
+    # query-name-prefixed), so they lint safely from a thread pool —
+    # same assertions, ~4x less wall.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def lint_one(item):
+        name, q = item
+        fn = getattr(q, "fn", q)
+        return name, {f["rule"] for f in lint_plan(fn(spark, sf_dir))}
+
     unexpected: dict[str, list[str]] = {}
     stale: dict[str, list[str]] = {}
-    for name, q in sorted(all_queries().items()):
-        fn = getattr(q, "fn", q)
-        found = {f["rule"] for f in lint_plan(fn(spark, sf_dir))}
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(lint_one, sorted(all_queries().items())))
+    for name, found in results:
         allowed = set(ALLOWANCES.get(name, {}))
         extra = found - allowed
         if extra:
