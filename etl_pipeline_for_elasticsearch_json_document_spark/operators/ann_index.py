@@ -197,6 +197,38 @@ def _read_postings(
     return latest.select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
 
 
+def _read_layout_cells(
+    spark: SparkSession, layout_path: str, cids
+) -> DataFrame:
+    """Read ONLY the given cells' ``cid=`` directories of a serving
+    layout (``basePath`` recovers the partition column), instead of
+    scanning the layout ROOT and filtering with ``cid IN (...)``.
+
+    A root read prunes the SCAN fine, but its partition DISCOVERY lists
+    every cell directory in the store first — an O(n_cells) driver cost
+    per call, and past ``spark.sql.sources.parallelPartitionDiscovery.
+    threshold`` (default 32) a distributed LISTING JOB. That term grows
+    with the corpus no matter how few cells the caller touches: the r14
+    gate decomposition measured the root listing at 0.06 s against an
+    8-cell store vs 0.23 s against 64 cells, per call — the structural
+    share of the flapping ``ann_layout_upsert_grown_ratio``. Listing
+    here is O(|cids|), bounded by the caller's own probe/batch.
+
+    A missing directory (a probed or newly-assigned cell with no layout
+    rows yet) contributes zero rows, exactly like the root-read +
+    ``isin`` filter it replaces."""
+    paths = [
+        os.path.join(layout_path, f"cid={int(c)}")
+        for c in cids
+        if os.path.isdir(os.path.join(layout_path, f"cid={int(c)}"))
+    ]
+    if not paths:
+        return spark.createDataFrame(
+            [], "vec_id long, embedding array<double>, cid int"
+        )
+    return spark.read.option("basePath", layout_path).parquet(*paths)
+
+
 def read_ann_index(
     spark: SparkSession, index_path: str, version: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
@@ -464,9 +496,9 @@ def ivf_query(
     in tests); smaller nprobe trades recall for reading
     ``~nprobe/n_cells`` of the corpus. At 100 TB use the cid-partitioned
     serving pair — :func:`write_ivf_layout` + :func:`ivf_query_layout` —
-    where the probe is partition pruning AT THE SCAN (pinned plan:
-    literal ``cid IN`` PartitionFilters, broadcast probes, no corpus
-    shuffle); this semi-join form is the layout-agnostic equivalent for
+    where the probe is partition pruning AT THE SCAN (pinned plan: the
+    probed ``cid=`` dirs ARE the scan's path list, broadcast probes, no
+    corpus shuffle); this semi-join form is the layout-agnostic equivalent for
     a corpus you don't control the layout of, and the parity of the two
     is pinned in tests.
 
@@ -572,17 +604,18 @@ def ivf_query_layout(
 ) -> DataFrame:
     """:func:`ivf_query` served from a :func:`write_ivf_layout` corpus —
     result-identical to the semi-join form (pinned in tests), but the
-    probe is PARTITION PRUNING: the scan's PartitionFilters restrict it
-    to the probed ``cid=`` directories, so only ~nprobe/n_cells of the
-    corpus bytes are read and the corpus side never shuffles (the probe
-    relation is broadcast onto it).
+    probe is PARTITION PRUNING: the scan reads ONLY the probed ``cid=``
+    directories (they are its path list — r14, see
+    :func:`_read_layout_cells`), so only ~nprobe/n_cells of the corpus
+    bytes are read AND only the probed dirs are listed, and the corpus
+    side never shuffles (the probe relation is broadcast onto it).
 
-    The probed cell set is collected driver-side to make it a LITERAL
-    ``IN`` list — that is what lets Catalyst prune partitions at plan
-    time instead of joining at run time. The collect is bounded by
-    |queries| × nprobe cell ids (the query batch is the small side of a
-    serving call by definition); the corpus never flows through the
-    driver.
+    The probed cell set is collected driver-side to make it the scan's
+    literal path list — that is what prunes both the listing and the
+    scan at plan time instead of joining at run time. The collect is
+    bounded by |queries| × nprobe cell ids (the query batch is the small
+    side of a serving call by definition); the corpus never flows
+    through the driver.
     """
     from pyspark.sql.window import Window
 
@@ -622,9 +655,10 @@ def ivf_query_layout(
     probe_rows = probes.collect()
     probed_cids = sorted({int(r["cid"]) for r in probe_rows})
     probes = spark.createDataFrame(probe_rows, probes.schema)
-    corpus = spark.read.parquet(layout_path).filter(
-        F.col("cid").isin(probed_cids)
-    )
+    # r14: the probed cells' directories are read DIRECTLY (the path list
+    # is the partition pruning) — a root read re-listed every cid= dir in
+    # the store per serving call; see _read_layout_cells.
+    corpus = _read_layout_cells(spark, layout_path, probed_cids)
     scored = (
         corpus.join(F.broadcast(probes), "cid")
         .filter(F.col("q_id") != F.col("vec_id"))
@@ -865,9 +899,13 @@ def upsert_ivf_layout(
         # corpus-sized ever reaches the driver.
         from pyspark.sql import Observation
 
+        # r14: survivors come from the affected cells' directories read
+        # DIRECTLY — a root read paid an O(n_cells-in-store) partition
+        # discovery (plus a distributed listing job past 32 dirs) per
+        # catch-up call; see _read_layout_cells. A new cell with no
+        # directory yet contributes zero survivors, as before.
         existing = (
-            spark.read.parquet(layout_path)
-            .filter(F.col("cid").isin([int(c) for c in affected]))
+            _read_layout_cells(spark, layout_path, affected)
             .join(batch_ids, "vec_id", "left_anti")
             .select("vec_id", "embedding", "cid")
         )

@@ -387,26 +387,23 @@ def test_layout_query_parity_and_partition_pruning(spark, emb, tmp_path):
         tuple(r) for r in semi.collect()
     }
 
-    # pruning: the layout scan must carry a literal PartitionFilters IN
-    # list over strictly fewer cells than the store's 8 — pruned at the
-    # scan, not filtered after it (inputFiles() can't show this: it
-    # lists the unpruned FileIndex)
-    import re
-
-    plan = laid._jdf.queryExecution().executedPlan().toString()
-    # <=10 literals print as "IN (a,b)", more as "INSET a, b, ..."
-    m = re.search(
-        r"PartitionFilters: \[cid#\d+ (?:IN \(([\d,]+)\)|INSET ([\d, ]+?), isnotnull)",
-        plan,
-    )
-    assert m, f"no literal cid IN partition filter in plan:\n{plan[:2000]}"
-    probed = {x.strip() for x in (m.group(1) or m.group(2)).split(",")}
+    # pruning: the corpus scan's FileIndex itself must cover strictly
+    # fewer cells than the store's 8. r14 made the pruning the PATH LIST
+    # (the probed cid= dirs are read directly — a root read re-listed
+    # every cell dir in the store per serving call, an O(n_cells) driver
+    # term), so inputFiles() — the files the scan's FileIndex holds — is
+    # now the exact check: before r14 it listed the unpruned index and
+    # could not show pruning; now a full-store listing FAILS this.
+    files = laid.inputFiles()
+    assert files, "layout scan lists no files"
+    probed = {f.split("cid=")[1].split("/")[0] for f in files if "cid=" in f}
     all_cells = {
         d.split("=")[1] for d in os.listdir(layout) if d.startswith("cid=")
     }
-    assert probed < all_cells  # proper subset: pruned, not full scan
+    assert probed and probed < all_cells  # proper subset: pruned, not full scan
     # and the corpus side reaches the scorer without an Exchange: the
     # probe relation is broadcast onto it
+    plan = laid._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
 
@@ -516,15 +513,15 @@ def test_large_k_store_serves_through_layout(spark, emb, tmp_path):
     assert {tuple(r) for r in laid.collect()} == {
         tuple(r) for r in semi.collect()
     }
-    # 3 queries x nprobe 4 probe at most 12 of the 32 cells
-    import re
-
-    plan = laid._jdf.queryExecution().executedPlan().toString()
-    m = re.search(
-        r"PartitionFilters: \[cid#\d+ (?:IN \(([\d,]+)\)|INSET ([\d, ]+?), isnotnull)",
-        plan,
-    )
-    assert m and len((m.group(1) or m.group(2)).split(",")) <= 12
+    # 3 queries x nprobe 4 probe at most 12 of the 32 cells. r14: the
+    # pruning is the scan's PATH LIST (probed dirs read directly, no
+    # O(n_cells) root listing), so the FileIndex's own files are the check.
+    probed = {
+        f.split("cid=")[1].split("/")[0]
+        for f in laid.inputFiles()
+        if "cid=" in f
+    }
+    assert probed and len(probed) <= 12
 
 
 @pytest.mark.slow
@@ -885,3 +882,53 @@ def test_layout_repin_rides_through_compaction(spark, emb, tmp_path):
     # absorbed, so repin is a no-op at pin=3 and the pin contract holds
     ivf_upsert(spark, path, emb.filter(F.col("vec_id") < 5))  # v=4 delta
     assert repin_ivf_layout(path, layout) == 3
+
+
+def test_read_layout_cells_lists_only_requested_dirs(spark, tmp_path):
+    """r14: serving reads list O(|requested cells|) paths, never the
+    layout root — the root read's partition discovery is O(n_cells in
+    store) per call (and a distributed listing job past 32 dirs), the
+    structural term behind the flapping grown-store gate. Contract:
+    (a) rows/schema identical to the root-read + isin filter it
+    replaced, (b) a requested cell with no directory contributes zero
+    rows instead of raising, (c) an all-missing request returns an
+    EMPTY frame with the layout schema."""
+    from etl_pipeline_for_elasticsearch_json_document_spark.operators.ann_index import (
+        _read_layout_cells,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    layout = str(tmp_path / "layout")
+    pts = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_build(spark, path, pts, k=3, iterations=2)
+    write_ivf_layout(spark, path, pts, layout)
+    cells = sorted(
+        int(d.split("=")[1]) for d in os.listdir(layout) if d.startswith("cid=")
+    )
+    assert len(cells) >= 2
+    want = cells[:2]
+
+    def key(rows):
+        return {(r["vec_id"], tuple(r["embedding"]), r["cid"]) for r in rows}
+
+    got = _read_layout_cells(spark, layout, want)
+    ref = spark.read.parquet(layout).filter(F.col("cid").isin(want))
+    assert got.schema == ref.schema
+    assert key(got.collect()) == key(ref.collect())
+    # (a') the scan's FileIndex holds only the requested dirs
+    assert all(f"cid={want[0]}" in f or f"cid={want[1]}" in f for f in got.inputFiles())
+
+    # (b) present + missing mix: the missing cell adds nothing
+    missing = max(cells) + 7
+    mixed = _read_layout_cells(spark, layout, [want[0], missing])
+    only = _read_layout_cells(spark, layout, [want[0]])
+    assert key(mixed.collect()) == key(only.collect())
+
+    # (c) all-missing: empty frame, layout schema
+    empty = _read_layout_cells(spark, layout, [missing, missing + 1])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["vec_id", "embedding", "cid"]
